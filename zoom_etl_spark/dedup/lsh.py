@@ -1,0 +1,70 @@
+"""Random-hyperplane LSH for cosine ANN over embedding columns.
+
+Bucket = sign bits of the embedding projected onto ``n_planes`` fixed
+pseudo-random hyperplanes (deterministic seed → reproducible plans).
+ANN search: bucket the corpus once, bucket the queries, equi-join on
+bucket id, exact cosine rerank within buckets, top-k per query.
+
+Scale: bucketing is a narrow per-row projection (O(dim·planes));
+the join is an equi-join on bucket id → shuffled hash join, linear.
+With b planes the corpus splits into ≤2^b buckets; recall is tuned by
+probing fewer planes (coarser buckets) or multiple tables. This is the
+100 TB path; brute-force cosine (suite ``similarity_topk``) is the
+small-side / exactness baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..operators.windows import topk_per_group
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket(emb: Column | str, dim: int, n_planes: int = 12,
+                      seed: int = 42) -> Column:
+    """Bucket id (long) = packed sign bits of projections onto fixed planes.
+    Plane coefficients are literals folded into the plan — no join needed."""
+    c = F.col(emb) if isinstance(emb, str) else emb
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        lits = F.array(*[F.lit(float(v)) for v in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(c, lits, lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
+    return bucket
+
+
+def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
+                 emb_col: str, dim: int, k: int = 10, n_planes: int = 8,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k cosine neighbors per query row.
+
+    Returns (query_id, neighbor_id, sim) — neighbors limited to the
+    query's LSH bucket (same-bucket candidates only; raise recall by
+    lowering n_planes or unioning multiple seeds).
+    """
+    cb = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(emb_col).alias("c_emb"),
+                       hyperplane_bucket(emb_col, dim, n_planes, seed).alias("bucket"))
+    qb = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(emb_col).alias("q_emb"),
+                        hyperplane_bucket(emb_col, dim, n_planes, seed).alias("bucket"))
+    cand = (qb.join(cb, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.round(cosine_similarity("q_emb", "c_emb"), 6)))
+    return topk_per_group(
+        cand.select("query_id", "neighbor_id", "sim"),
+        keys=["query_id"],
+        order=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )

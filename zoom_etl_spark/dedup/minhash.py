@@ -1,0 +1,97 @@
+"""MinHash + LSH near-duplicate detection, pure DataFrame ops.
+
+Pipeline: tokens → k-token shingles → per-seed min of xxhash64 →
+band keys → equi-self-join on (band, key) → exact-Jaccard verify.
+
+Scale analysis (the point of banding): candidate generation is an
+equi-join on band keys — a plain shuffled hash join, linear in data +
+candidate pairs, never O(n²). Skew guard: a degenerate band bucket
+(e.g. thousands of identical boilerplate docs) would produce a
+quadratic bucket locally; ``max_bucket`` drops buckets above that size
+(standard practice — such docs are caught by exact dedup first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .exact import normalize_text
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(normalize_text(c), " "), lambda t: t != "")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles (strings). Docs shorter than k tokens get
+    one whole-doc shingle so they still participate."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
+    """Array of ``num_perm`` min-hashes. Each permutation is xxhash64 salted
+    by the seed index — evaluated JVM-side per shingle, no UDF."""
+    sigs = [
+        F.array_min(F.transform(shingle_col,
+                                lambda s, seed=seed: F.xxhash64(F.lit(seed), s)))
+        for seed in range(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Hash each band's slice of the signature to one 64-bit key.
+    Returns array<struct<band:int, key:long>> ready to explode."""
+    entries = []
+    for b in range(bands):
+        parts = [sig_col.getItem(b * rows + r) for r in range(rows)]
+        entries.append(F.struct(F.lit(b).alias("band"),
+                                F.xxhash64(F.lit(b), *parts).alias("key")))
+    return F.array(*entries)
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 3, num_perm: int = 32, bands: int = 8,
+                            threshold: float = 0.5,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) with exact Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard). Banding finds candidates; the exact
+    Jaccard on shingle sets (array_intersect/array_union) removes LSH
+    false positives.
+    """
+    rows = num_perm // bands
+    base = df.select(F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh"))
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    banded = (
+        sig.select("doc", "sh", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk"))
+        .select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    # skew guard: drop degenerate buckets (see module docstring)
+    bucket_sizes = banded.groupBy("band", "key").agg(F.count("*").alias("bsz"))
+    banded = (banded.join(bucket_sizes.filter(F.col("bsz") <= max_bucket),
+                          ["band", "key"], "inner").drop("bsz"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.key") == F.col("b.key")) &
+                  (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (cand.withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

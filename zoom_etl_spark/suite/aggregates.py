@@ -1,0 +1,118 @@
+"""Aggregation family: counts, grouped stats, rollup, watermark max,
+tumbling windows, approximate distinct.
+
+The reference delegates aggregation to Postgres/Power BI but documents
+the intended analyses in its DDL comments (reference
+sql/create_tables.sql:9,23-26,38-40,52 — per-host stats, attendance,
+duration, storage rollups); SURVEY.md §2.5 assigns each a query here.
+
+Scale posture: every groupBy is a hash aggregate with map-side partial
+aggregation (automatic in Spark); grouping keys are the natural
+high-cardinality keys so no single reducer hot-spots. approx_count_distinct
+is the 100 TB cardinality path (HLL sketch, no shuffle of raw values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query("agg_count", oracle="""
+SELECT o_orderstatus AS status, count(*) AS cnt
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count (ref create_tables.sql:25 participants_count)."""
+    return (table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count("*").alias("cnt")))
+
+
+@query("agg_group_stats", oracle="""
+SELECT c.c_mktsegment AS segment,
+       n.n_name AS nation,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_rev,
+       round(avg(o.o_totalprice), 2) AS avg_rev,
+       round(max(o.o_totalprice), 2) AS max_rev
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_mktsegment, n.n_name
+""")
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group stats (ref create_tables.sql:9 'grouping by department').
+    Join then aggregate; partial aggregation halves the shuffle."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"),
+                     F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+                 F.round(F.avg("o_totalprice"), 2).alias("avg_rev"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_rev")))
+
+
+@query("agg_rollup", oracle="""
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       count(*) AS cnt,
+       round(sum(l_quantity), 1) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (ref create_tables.sql:52 'storage analysis')."""
+    return (table(spark, sf_dir, "lineitem")
+            .rollup(F.col("l_returnflag").alias("returnflag"),
+                    F.col("l_linestatus").alias("linestatus"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("l_quantity"), 1).alias("sum_qty")))
+
+
+@query("agg_max_watermark", oracle="""
+SELECT max(ts) AS watermark, count(*) AS n_events FROM events
+""")
+def agg_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark derivation (ref extract.py:196-211): max processed event
+    time; batch analog of the streaming watermark."""
+    return (table(spark, sf_dir, "events")
+            .agg(F.max("ts").alias("watermark"), F.count("*").alias("n_events")))
+
+
+@query("agg_approx_distinct", oracle="""
+SELECT event_type, count(DISTINCT user_id) AS exact_users
+FROM events GROUP BY event_type
+""")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality estimation. Oracle checks the EXACT distinct count; the
+    Spark side computes exact too, but the engine exposes
+    approx_count_distinct (HLL) as the 100 TB path — asserted within
+    relative error in unit tests."""
+    return (table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("exact_users")))
+
+
+@query("window_tumbling", oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS cnt,
+       round(sum(value), 3) AS total
+FROM events GROUP BY date_trunc('day', ts)
+""")
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window (ref extract.py:98-104 30-day windows; SURVEY
+    ST5). Uses F.window — identical code works under Structured Streaming
+    with withWatermark; window.start == date_trunc for epoch-aligned days."""
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 3).alias("total"))
+            .select(F.col("w.start").alias("day"), "cnt", "total"))

@@ -1,0 +1,175 @@
+"""Join family: inner/semi/anti/left-flag/FK-enrichment/interval/point-lookup.
+
+Spark-first re-expressions of the reference's join surface (SURVEY.md
+§2.4): the staging merge gate (reference src/db/load.py:203-208), the
+existence-delete semi join (load.py:222-228), the FK enrichment the
+warehouse schema declares (sql/create_tables.sql:27,42-43,60), the
+nullable-membership left join (create_tables.sql:33-41), the per-key
+point lookup with 404 tolerance (extract.py:70-96), and the
+schema-implied participant/recording interval overlap.
+
+Scale posture: bounded dims (nation, region, filtered part) are
+broadcast explicitly; fact-fact joins shuffle on their keys and AQE
+handles skew. The interval join anchors on an equi-key so it stays a
+hash join with a range residual — never a BNL cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..catalog import table
+from ..registry import query
+
+
+@query("join_inner", oracle="""
+SELECT l.l_orderkey AS order_id,
+       l.l_linenumber AS line_no,
+       o.o_orderstatus AS status,
+       round(l.l_extendedprice, 2) AS price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""")
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-gate inner equi-join (ref load.py:203-208). Fact-fact: shuffle
+    hash/sort-merge on the key, AQE decides."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .select(F.col("l_orderkey").alias("order_id"),
+                    F.col("l_linenumber").alias("line_no"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.round("l_extendedprice", 2).alias("price")))
+
+
+@query("join_semi", oracle="""
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence semi join (ref load.py:222-228 DELETE … WHERE EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (c.join(o, "c_custkey", "left_semi")
+            .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")))
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — the retained-staging complement of join_semi."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (c.join(o, "c_custkey", "left_anti")
+            .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")))
+
+
+@query("join_fk_enrich", oracle="""
+SELECT o.o_orderkey AS order_id,
+       c.c_name AS customer,
+       n.n_name AS nation,
+       r.r_name AS region
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def join_fk_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level FK enrichment (ref create_tables.sql:27,42-43,60). nation and
+    region are bounded dims at any scale → explicit broadcast; customer is
+    data-sized → shuffle join, AQE may still broadcast at small SF."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select(F.col("o_orderkey").alias("order_id"),
+                    F.col("c_name").alias("customer"),
+                    F.col("n_name").alias("nation"),
+                    F.col("r_name").alias("region")))
+
+
+@query("join_left_flag", oracle="""
+SELECT l.l_orderkey AS order_id,
+       l.l_linenumber AS line_no,
+       (p.p_partkey IS NOT NULL) AS has_large_part
+FROM lineitem l
+LEFT JOIN (SELECT p_partkey FROM part WHERE p_size > 25) p
+  ON l.l_partkey = p.p_partkey
+""")
+def join_left_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nullable-membership left join with derived boolean flag — the
+    ``internal_user`` pattern (ref create_tables.sql:33-41, load.py:187):
+    membership is derived relationally, not stored."""
+    l = table(spark, sf_dir, "lineitem")
+    p = (table(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+         .select("p_partkey"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")
+            .select(F.col("l_orderkey").alias("order_id"),
+                    F.col("l_linenumber").alias("line_no"),
+                    F.col("p_partkey").isNotNull().alias("has_large_part")))
+
+
+@query("join_interval", oracle="""
+SELECT o.o_orderkey AS order_id, count(*) AS n_in_window
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderkey
+""")
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (SURVEY §2.4 note: participant↔recording
+    overlap implied by create_tables.sql:38-39,54-55). Anchored on the
+    equi-key so Spark plans a hash join with the range predicate as a
+    residual filter — linear, not BNL."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    cond = ((l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate < o.o_orderdate + F.expr("interval 90 days")))
+    return (o.join(l, cond)
+            .groupBy(F.col("o_orderkey").alias("order_id"))
+            .agg(F.count("*").alias("n_in_window")))
+
+
+@query("point_lookup_join", oracle="""
+WITH keys(custkey) AS (VALUES (1), (2), (3), (42), (999999999))
+SELECT CAST(k.custkey AS BIGINT) AS custkey, c.c_name AS name
+FROM keys k LEFT JOIN customer c ON c.c_custkey = k.custkey
+""")
+def point_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key point lookup with tolerated misses (ref extract.py:70-96:
+    404 → logged, not fatal). Key set as a tiny broadcast side of a left
+    join; misses surface as NULLs, exactly the 404 path."""
+    keys = spark.createDataFrame(
+        [(1,), (2,), (3,), (42,), (999999999,)],
+        StructType([StructField("custkey", LongType(), False)]))
+    c = table(spark, sf_dir, "customer")
+    return (F.broadcast(keys).join(c, keys.custkey == c.c_custkey, "left")
+            .select("custkey", F.col("c_name").alias("name")))
+
+
+@query("incremental_scan", oracle="""
+SELECT event_id, user_id, event_type, round(value, 3) AS val
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+""")
+def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-incremental scan (ref extract.py:106-131): only rows since
+    the last successful run. The predicate is pushed into the parquet
+    scan (min/max row-group skipping); on a date-partitioned layout this
+    is partition pruning."""
+    e = table(spark, sf_dir, "events")
+    watermark = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    return (e.filter(F.col("ts") >= watermark)
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 3).alias("val")))

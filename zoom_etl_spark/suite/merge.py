@@ -1,0 +1,112 @@
+"""Merge/upsert queries — the reference's hard core (SURVEY.md §2.4 J3,
+§2.1 S13, §3.3): ON CONFLICT upserts re-expressed as join-merges, and the
+staging→final reconciliation composite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.merge import merge_upsert, staging_merge
+from ..operators.windows import last_wins
+from ..registry import query
+
+_CUTOFF = "2024-01-15 00:00:00"
+
+
+def _snapshot(e: DataFrame, cond) -> DataFrame:
+    """Last-wins state per user for the events matching ``cond`` — the
+    'table state' produced by replaying that slice as upserts."""
+    return (last_wins(e.filter(cond), keys=["user_id"],
+                      version=[F.col("ts"), F.col("event_id")])
+            .select("user_id", "event_id", "event_type", "value"))
+
+
+@query("merge_upsert", oracle=f"""
+SELECT user_id, event_id, event_type, round(value, 3) AS val FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-columns-overwrite upsert via full-outer-join merge (ref
+    load.py:77-92). Target = per-user state before the cutoff; updates =
+    per-user state after. Merging must equal the last-wins state over the
+    whole table — which is the oracle."""
+    e = table(spark, sf_dir, "events")
+    target = _snapshot(e, F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+    updates = _snapshot(e, F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    merged = merge_upsert(target, updates, keys=["user_id"])
+    return merged.select("user_id", "event_id", "event_type",
+                         F.round("value", 3).alias("val"))
+
+
+@query("upsert_last_wins", oracle="""
+SELECT user_id, event_id AS last_event, event_type AS last_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def upsert_last_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-replay upsert stream (ref utils.py:147-167 staging upsert;
+    SURVEY ST4): three chronological batches applied as successive merges
+    — final state must equal single-pass last-wins (the oracle). Each
+    batch is deduped in-batch first, as foreachBatch sinks must."""
+    e = table(spark, sf_dir, "events")
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+    c0, c1 = (F.lit(c).cast("timestamp") for c in cuts)
+    batches = [
+        e.filter(F.col("ts") < c0),
+        e.filter((F.col("ts") >= c0) & (F.col("ts") < c1)),
+        e.filter(F.col("ts") >= c1),
+    ]
+    state = None
+    for b in batches:
+        batch_state = _snapshot(b, F.lit(True))
+        state = batch_state if state is None else merge_upsert(state, batch_state,
+                                                               keys=["user_id"])
+    return state.select("user_id", F.col("event_id").alias("last_event"),
+                        F.col("event_type").alias("last_type"))
+
+
+@query("staging_merge", oracle="""
+WITH staging AS (
+  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+         round(l_extendedprice, 2) AS price
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+),
+parent AS (
+  SELECT DISTINCT o_orderkey AS order_id FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT 'merged' AS state, s.order_id, s.line_no, s.price
+FROM staging s WHERE EXISTS (SELECT 1 FROM parent p WHERE p.order_id = s.order_id)
+UNION ALL
+SELECT 'retained' AS state, s.order_id, s.line_no, s.price
+FROM staging s WHERE NOT EXISTS (SELECT 1 FROM parent p WHERE p.order_id = s.order_id)
+""")
+def staging_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one real multi-operator SQL query (load.py:193-235):
+    staging rows merge into the final table only if their FK parent
+    exists; orphans wait in staging for a later run (late-data holding
+    pen). Output tags each staging row with its disposition."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+
+    staging = (l.filter(F.col("l_shipdate") >= cutoff)
+               .select(F.col("l_orderkey").alias("order_id"),
+                       F.col("l_linenumber").alias("line_no"),
+                       F.round("l_extendedprice", 2).alias("price")))
+    parent = o.filter(F.col("o_orderdate") < cutoff)
+    empty_target = spark.createDataFrame([], staging.schema)
+
+    new_target, retained = staging_merge(
+        staging, parent, empty_target,
+        staging_parent_key="order_id", parent_key="o_orderkey",
+        merge_keys=["order_id", "line_no"])
+    merged_tagged = new_target.select(F.lit("merged").alias("state"), "*")
+    retained_tagged = retained.select(F.lit("retained").alias("state"), "*")
+    return merged_tagged.unionByName(retained_tagged)

@@ -1,0 +1,292 @@
+"""North-star training-data-pipeline operators (SURVEY.md §2.12, BASELINE.json):
+dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + LSH), text analysis (stats, quality,
+fingerprint, BPE-ish token count, language ID).
+
+Generalizes the reference's media-pointer pattern (reference
+sql/create_tables.sql:57-59) to first-class 100 TB data-curation ops.
+All hot paths are built-in higher-order functions (JVM, codegen); no
+Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..dedup.exact import exact_dedup_keys, normalize_text
+from ..dedup.lsh import ann_topk_lsh
+from ..dedup.minhash import minhash_candidate_pairs, shingles, tokens
+from ..dedup.simhash import with_simhash
+from ..functions.vectors import cosine_similarity
+from ..operators.windows import topk_per_group
+from ..registry import query
+
+# ------------------------------------------------------------------- dedup
+
+
+@query("dedup_exact", oracle=r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content hash; narrow shuffle (hash+id only)."""
+    d = table(spark, sf_dir, "documents")
+    return exact_dedup_keys(d, "doc_id", "text")
+
+
+@query("dedup_minhash")  # rows-only: LSH banding is not ANSI-SQL-expressible
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
+    Candidates come from band-key equi-joins (linear), never O(n²)."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, "doc_id", "text",
+                                   k=3, num_perm=32, bands=8, threshold=0.3)
+
+
+@query("dedup_simhash")  # rows-only: 64-bit bit-fold not ANSI-SQL-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash fingerprints (Hamming-distance near-dup keys)."""
+    d = table(spark, sf_dir, "documents")
+    return with_simhash(d, "text").select("doc_id", "simhash")
+
+
+@query("dedup_ngram_jaccard", oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard pairs via inverted-index equi-join —
+    the exact counterpart MinHash approximates. Scales as (docs ×
+    shingles) + pairs-sharing-a-shingle; shingle dedup caps fan-out."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(F.col("doc_id"), shingles("text", 3).alias("grams"))
+    ex = sh.select("doc_id", F.explode("grams").alias("g"))
+    sizes = sh.select("doc_id", F.size("grams").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .filter(jac >= 0.2)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))
+
+
+@query("dedup_embedding", oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 4) AS sim
+FROM pairs WHERE sim >= 0.8
+""")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label blocking — the blocking
+    key turns O(n²) into per-block quadratic (at 100 TB the block key is
+    an LSH bucket, see similarity_ann_lsh; label here stands in for it)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    sim.alias("raw_sim"))
+            .filter(F.col("raw_sim") >= 0.8)
+            .select("id_a", "id_b", F.round("raw_sim", 4).alias("sim")))
+
+
+# -------------------------------------------------------------- similarity
+
+
+@query("similarity_topk", oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, round(sim, 4) AS sim
+FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+""")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): broadcast the query
+    vector, per-row O(dim) arithmetic in codegen, TakeOrderedAndProject
+    for the top-k — no shuffle of scores."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (e.filter(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(qv))
+              .select("vec_id",
+                      cosine_similarity("embedding", "qe").alias("raw_sim")))
+    return (scored.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
+            .limit(10)
+            .select("vec_id", F.round("raw_sim", 4).alias("sim")))
+
+
+@query("similarity_ann_lsh")  # rows-only: hyperplane LSH not ANSI-SQL-expressible
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH bucketing — the 100 TB scale
+    path: equi-join on bucket id replaces the all-pairs cross join."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ann_topk_lsh(e, queries, id_col="vec_id", emb_col="embedding",
+                        dim=64, k=5, n_planes=6)
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@query("text_stats", oracle=r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS INTEGER) AS n_chars_calc,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, lang, n_chars_calc,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+             / nullif(len(toks), 0), 4) AS stopword_ratio
+FROM tok
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text statistics: char/token counts, stopword ratio — the
+    quality-signal basis for corpus filtering."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop = F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "in", "to"))
+    return d.select(
+        "doc_id", "lang",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(stop).cast("double") / F.nullif(F.size(toks), F.lit(0)), 4)
+         .alias("stopword_ratio"),
+    )
+
+
+@query("text_quality_score", oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+           / nullif(len(toks), 0) AS stop_ratio
+  FROM tok
+)
+SELECT doc_id,
+       round(0.5 * least(n_tokens / 20.0, 1.0)
+             + 0.5 * (1.0 - coalesce(stop_ratio, 1.0)), 4) AS quality
+FROM feats
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + (1 - stopword ratio).
+    The shape of fastText-style quality filters, as one codegen'd projection."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop = F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "in", "to"))
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = F.size(stop).cast("double") / F.nullif(F.size(toks), F.lit(0))
+    quality = (0.5 * F.least(n_tokens / 20.0, F.lit(1.0))
+               + 0.5 * (1.0 - F.coalesce(stop_ratio, F.lit(1.0))))
+    return d.select("doc_id", F.round(quality, 4).alias("quality"))
+
+
+@query("text_fingerprint", oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of normalized text (join/dedup key)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+
+
+@query("token_count_bpe", oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpe
+FROM documents
+""")
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count (letter runs / digit runs / single
+    punctuation) — the token-budget estimator for training pipelines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text",
+                                    F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"),
+                                    F.lit(0))).alias("n_bpe"))
+
+
+@query("lang_id_ngram")  # rows-only: corpus-trained argmax not ANSI-SQL-practical
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID, trained on the corpus itself:
+    per-lang top-trigram profiles (small → broadcast) scored against each
+    doc's trigrams; prediction = argmax matches. Entirely joins + aggs."""
+    d = table(spark, sf_dir, "documents")
+    trigrams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+    doc_tri = (d.select("doc_id", "lang", F.explode(trigrams).alias("tri"))
+               .groupBy("doc_id", "lang", "tri").agg(F.count("*").alias("tf")))
+
+    # train: top-20 trigrams per language (tiny profile table)
+    lang_tri = (doc_tri.groupBy("lang", "tri").agg(F.sum("tf").alias("cf")))
+    profiles = topk_per_group(
+        lang_tri, keys=["lang"],
+        order=[F.col("cf").desc(), F.col("tri").asc()], k=20
+    ).select(F.col("lang").alias("cand_lang"), "tri")
+
+    # score: matches of doc trigrams against each candidate profile
+    scores = (doc_tri.join(F.broadcast(profiles), "tri")
+              .groupBy("doc_id", "lang", "cand_lang")
+              .agg(F.sum("tf").alias("score")))
+    best = topk_per_group(
+        scores, keys=["doc_id"],
+        order=[F.col("score").desc(), F.col("cand_lang").asc()], k=1)
+    return best.select("doc_id", F.col("lang").alias("true_lang"),
+                       F.col("cand_lang").alias("pred_lang"), "score")

@@ -1,0 +1,297 @@
+"""Projections, filters, scalar functions, set ops, array/JSON ops.
+
+Spark-first re-expressions of the reference's dataflow transforms
+(SURVEY.md §2.2, §2.3, §2.7, §2.8): the dict→tuple projections of the
+loader (reference src/db/load.py:96-190), the webhook validation filter
+(handler.py:46-52), the scalar string/date helpers (utils.py:62-110,
+extract.py:98-104,157-158, oauth.py:24-26), the union of status scans
+(extract.py:49-68), the XCom list flattening (etl_process.py:68-77), and
+the staging delete set-algebra (load.py:222-228).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import concat_path, parse_timestamp_ntz, sanitize_name, split_extract
+from ..registry import query
+
+# ---------------------------------------------------------------- projections
+
+
+@query("project_users", oracle="""
+SELECT c_custkey AS id,
+       c_name AS name,
+       coalesce(c_mktsegment, 'unknown') AS segment,
+       round(c_acctbal, 2) AS balance
+FROM customer
+""")
+def project_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered field projection with NULL defaulting (ref load.py:96-109)."""
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+
+
+@query("project_filter", oracle="""
+SELECT o_orderkey AS order_id,
+       o_orderstatus AS status,
+       round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_totalprice > 0
+""")
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + falsy-row drop (ref load.py:137-150). Filter sits
+    directly over the scan → pushed into the parquet reader."""
+    o = table(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderstatus").isNotNull() & (F.col("o_totalprice") > 0))
+            .select(F.col("o_orderkey").alias("order_id"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+@query("project_participants", oracle="""
+SELECT l_orderkey AS order_id,
+       l_linenumber AS line_no,
+       round(l_quantity, 2) AS qty,
+       coalesce(l_returnflag = 'R', FALSE) AS returned
+FROM lineitem
+""")
+def project_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with boolean defaulting (ref load.py:178-190 internal_user)."""
+    return table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.round("l_quantity", 2).alias("qty"),
+        F.coalesce(F.col("l_returnflag") == "R", F.lit(False)).alias("returned"),
+    )
+
+
+@query("validate_required", oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL
+  AND user_id IS NOT NULL AND event_type IS NOT NULL
+""")
+def validate_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required-field validation gate (ref handler.py:46-52); the rejected
+    complement is the quarantine path (tested in unit tests)."""
+    e = table(spark, sf_dir, "events")
+    cond = (F.col("event_id").isNotNull() & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    return e.filter(cond).select("event_id", "user_id", "event_type")
+
+
+# ------------------------------------------------------------ scalar functions
+
+
+@query("parse_timestamp", oracle="""
+SELECT event_id,
+       try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed
+FROM events
+""")
+def parse_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-failure timestamp parse (ref load.py:52-69): format to string
+    then try_to_timestamp — never the throwing variant."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        parse_timestamp_ntz(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                            "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+    )
+
+
+@query("sanitize_string", oracle=r"""
+SELECT p_partkey AS part_id,
+       coalesce(nullif(substring(regexp_replace(p_name, '[/:*?"<>|\\]', '_', 'g'), 1, 255), ''),
+                'unknown') AS clean_name
+FROM part
+""")
+def sanitize_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filesystem-name sanitization (ref utils.py:82-88)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(F.col("p_partkey").alias("part_id"),
+                    sanitize_name("p_name").alias("clean_name"))
+
+
+@query("concat_path", oracle="""
+SELECT c_custkey AS id,
+       concat_ws('/', 'records', c_mktsegment, c_name) AS path
+FROM customer
+""")
+def concat_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store key construction (ref handler.py:70,86)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(F.col("c_custkey").alias("id"),
+                    concat_path(F.lit("records"), "c_mktsegment", "c_name").alias("path"))
+
+
+@query("split_extract", oracle="""
+SELECT c_custkey AS id,
+       split_part(c_name, '#', 2) AS cust_no
+FROM customer
+""")
+def split_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter-split field extraction (ref extract.py:157-158)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(F.col("c_custkey").alias("id"),
+                    split_extract("c_name", "#", 1).alias("cust_no"))
+
+
+@query("base64_encode", oracle="""
+SELECT c_custkey AS id,
+       to_base64(encode(c_name)) AS name_b64
+FROM customer
+""")
+def base64_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 credential encoding (ref oauth.py:24-26)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(F.col("c_custkey").alias("id"),
+                    F.base64(F.encode(F.col("c_name"), "UTF-8")).alias("name_b64"))
+
+
+@query("date_range_explode", oracle="""
+WITH b AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders
+)
+SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                   INTERVAL 30 DAY)) AS DATE) AS d
+FROM b
+""")
+def date_range_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day range chunking (ref extract.py:98-104): sequence + explode.
+    The bounds are a 1-row aggregate, so the explode is driver-cheap."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(F.min(F.to_date("o_orderdate")).alias("lo"),
+              F.max(F.to_date("o_orderdate")).alias("hi"))
+    return b.select(F.explode(
+        F.sequence("lo", "hi", F.expr("interval 30 days"))).alias("d"))
+
+
+@query("json_extract", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""")
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload field extraction (ref handler.py:43-44)."""
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+# ------------------------------------------------------------------- set ops
+
+
+@query("union_distinct", oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-status scan union + dedup (ref extract.py:49-68)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.unionByName(b).distinct()
+
+
+@query("dedup_distinct", oracle="""
+SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nationkey FROM customer
+""")
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-style dedup (ref extract.py:68) — hash aggregate."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").alias("nationkey")).distinct()
+
+
+@query("set_except", oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging-minus-merged set difference (ref load.py:222-228)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+@query("set_intersect", oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-to-delete intersection (ref load.py:222-228 complement)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------- array / JSON
+
+
+@query("array_flatten", oracle="""
+SELECT doc_id,
+       CAST(len(flatten([string_split(text, ' '), ['<eos>']])) AS INTEGER) AS n_items
+FROM documents
+""")
+def array_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-list flattening (ref etl_process.py:68-73)."""
+    d = table(spark, sf_dir, "documents")
+    nested = F.array(F.split("text", " "), F.array(F.lit("<eos>")))
+    return d.select("doc_id", F.size(F.flatten(nested)).alias("n_items"))
+
+
+@query("child_explode", oracle="""
+SELECT doc_id, token
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+""")
+def child_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per child element with falsy-skip (ref etl_process.py:75-77)."""
+    d = table(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != ""))
+
+
+@query("coalesce_fallback", oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderstatus <> 'P'
+  UNION ALL
+  SELECT o_orderkey, o_orderdate, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+  FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT o_orderkey AS order_id,
+       o_orderdate AS order_date,
+       round(coalesce(o_totalprice, 0.0), 2) AS total,
+       coalesce(o_orderpriority, 'UNKNOWN') AS priority
+FROM unioned
+""")
+def coalesce_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source schema alignment + default fill (ref extract.py:153-169:
+    webinar fallback rows lack end_time/participants_count → NULL-injected
+    then coalesced). unionByName(allowMissingColumns) does the alignment."""
+    o = table(spark, sf_dir, "orders")
+    full = (o.filter(F.col("o_orderstatus") != "P")
+            .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"))
+    fallback = (o.filter(F.col("o_orderstatus") == "P")
+                .select("o_orderkey", "o_orderdate"))
+    u = full.unionByName(fallback, allowMissingColumns=True)
+    return u.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN")).alias("priority"),
+    )

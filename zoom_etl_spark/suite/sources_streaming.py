@@ -1,0 +1,57 @@
+"""Source + streaming query bindings (rows-only checks: custom sources,
+URL encoding, Structured Streaming, multimodal plumbing — none are
+ANSI-SQL-expressible for the DuckDB oracle; SURVEY.md §2.1, §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from ..sources import rest
+from ..sources.multimodal import attach_fake_media, decode_media
+from ..streaming.ingest import read_events_stream, run_available_now, windowed_counts
+
+
+@query("paginated_scan")  # rows-only: custom Python DataSource
+def paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-partitioned paginated REST scan (ref extract.py:27-47) via the
+    Spark 4 Python Data Source API — each partition walks its own page
+    loop; summarized per key so the check is stable."""
+    rest.register(spark)
+    df = (spark.read.format("paginated_rest")
+          .option("nkeys", "24").option("numpartitions", "8").load())
+    return (df.groupBy("key")
+            .agg(F.count("*").alias("n_rows"),
+                 (F.max("page") + 1).alias("n_pages")))
+
+
+@query("url_encode_twice")  # rows-only: Spark/DuckDB URL-encoding dialects differ
+def url_encode_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double URL-encoding of path keys (ref extract.py:141,186)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.url_encode(F.url_encode(F.concat_ws(" ", "c_name", "c_mktsegment")))
+         .alias("encoded"))
+
+
+@query("stream_ingest")  # rows-only: Structured Streaming
+def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched streaming ingest with watermark + tumbling windows
+    (the Lambda webhook path, ref handler.py:38-111, as readStream)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = windowed_counts(stream, watermark="1 hour", window="1 day")
+    return run_available_now(result, "stream_ingest_result")
+
+
+@query("multimodal_features")  # rows-only: mapInPandas feature extraction
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow-batched mapInPandas feature extraction
+    (the reference's S3-blob pattern as first-class columns; decode
+    stubbed deterministically — container has no media libs)."""
+    d = table(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    return decode_media(media, fake=True)

@@ -1,0 +1,111 @@
+"""Window-function queries: top-k per group, running sums, sort/limit,
+ntile chunking, last-wins dedup (SURVEY.md §2.6, §2.5 A5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.windows import last_wins, ntile_chunks, running_sum, topk_per_group
+from ..registry import query
+
+
+@query("topk_per_group", oracle="""
+SELECT segment, custkey, balance FROM (
+  SELECT c_mktsegment AS segment,
+         c_custkey AS custkey,
+         round(c_acctbal, 2) AS balance,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn <= 3
+""")
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-ordered top-k per group (ref handler.py:18-36: best
+    recording file per category). Deterministic total order: value DESC,
+    unique key ASC (SURVEY §7.3 tiebreaker decision)."""
+    c = table(spark, sf_dir, "customer")
+    base = c.select(F.col("c_mktsegment").alias("segment"),
+                    F.col("c_custkey").alias("custkey"),
+                    F.round("c_acctbal", 2).alias("balance"),
+                    F.col("c_acctbal"))
+    out = topk_per_group(base, keys=["segment"],
+                         order=[F.col("c_acctbal").desc(), F.col("custkey").asc()],
+                         k=3)
+    return out.select("segment", "custkey", "balance")
+
+
+@query("window_running_sum", oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             3) AS run_total
+FROM events
+""")
+def window_running_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total (ref create_tables.sql:38-40 'duration
+    calculation' intent). One shuffle on user_id."""
+    e = table(spark, sf_dir, "events")
+    out = running_sum(e, keys=["user_id"],
+                      order=[F.col("ts"), F.col("event_id")],
+                      value=F.col("value"), out_col="raw_total")
+    return out.select("event_id", "user_id",
+                      F.round("raw_total", 3).alias("run_total"))
+
+
+@query("sort_limit", oracle="""
+SELECT o_orderkey AS order_id, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N (ref pagination page_size, extract.py:25). Spark plans
+    TakeOrderedAndProject — per-partition top-N then driver merge of N×P
+    rows, never a full sort."""
+    o = table(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(10)
+            .select(F.col("o_orderkey").alias("order_id"),
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+@query("ntile_chunks", oracle="""
+SELECT CAST(chunk AS INTEGER) AS chunk,
+       count(*) AS cnt,
+       min(custkey) AS lo,
+       max(custkey) AS hi
+FROM (
+  SELECT ntile(8) OVER (ORDER BY c_custkey) AS chunk, c_custkey AS custkey
+  FROM customer
+) GROUP BY chunk
+""")
+def ntile_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count chunk assignment (ref etl_process.py:45-48 task chunks).
+    Global window = single-task sort; summarized per chunk so the output
+    is bounded. At scale use repartitionByRange (see operator docstring)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    chunked = ntile_chunks(c, 8, order=[F.col("custkey")], out_col="chunk")
+    return (chunked.groupBy("chunk")
+            .agg(F.count("*").alias("cnt"),
+                 F.min("custkey").alias("lo"),
+                 F.max("custkey").alias("hi")))
+
+
+@query("dedup_last_wins", oracle="""
+SELECT user_id, event_type, event_id, round(value, 3) AS val FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def dedup_last_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup — the batch equivalent of repeated
+    ON CONFLICT upserts (ref load.py:83-91). Unique tiebreaker event_id
+    makes the winner deterministic."""
+    e = table(spark, sf_dir, "events")
+    out = last_wins(e, keys=["user_id", "event_type"],
+                    version=[F.col("ts"), F.col("event_id")])
+    return out.select("user_id", "event_type", "event_id",
+                      F.round("value", 3).alias("val"))
