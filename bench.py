@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full plan execution to a noop sink (no driver collect transfer),
+except streaming/rows-only queries that execute inside their builder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zoom_etl_spark.registry import all_queries  # noqa: E402
+from zoom_etl_spark.session import get_spark  # noqa: E402
+from zoom_etl_spark import plans  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(min(os.cpu_count() or 8, 32)))
+
+
+def _sf_label(sf_dir: str) -> float | str:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            pass
+    return tail
+
+
+def main() -> None:
+    spark = get_spark("zoom-etl-spark-bench", cpus=CPUS,
+                      shuffle_partitions=max(int(CPUS) * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # JVM/codegen warmup so the first measured query isn't charged for init
+    plans.flagship(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        fn = specs[name].fn
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        if df.isStreaming:  # already executed inside the builder
+            pass
+        else:
+            df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    plans.flagship(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    timings["flagship_topk_revenue"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "suite_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "cpus": int(CPUS),
+        "n_queries": len(timings),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

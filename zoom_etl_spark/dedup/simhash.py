@@ -16,8 +16,10 @@ from .minhash import tokens
 
 # SQL-text lambda (not Column lambda) because shiftright's shift amount is
 # the *outer* lambda variable — easiest expressed in raw SQL.
+# shiftleft (not acc*2) — the 64th bit wraps into the sign bit, which ANSI
+# multiplication rejects as overflow but bitwise shift permits.
 _PACK_BITS = (
-    "aggregate(sequence(0, 63), 0L, (acc, b) -> acc * 2L + "
+    "aggregate(sequence(0, 63), 0L, (acc, b) -> shiftleft(acc, 1) + "
     " (CASE WHEN aggregate({hashes}, 0L, (s, h) -> s + "
     "   CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) >= 0 "
     "  THEN 1L ELSE 0L END))"
