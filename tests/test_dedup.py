@@ -1,0 +1,69 @@
+"""Dedup/similarity behavior on planted near-duplicates (the synthetic
+corpus has none, so plant our own)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.dedup.exact import exact_dedup_keys
+from zoom_etl_spark.dedup.lsh import ann_topk_lsh
+from zoom_etl_spark.dedup.minhash import minhash_candidate_pairs
+from zoom_etl_spark.dedup.simhash import hamming_distance, with_simhash
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun")
+NEAR = BASE.replace("lazy", "sleepy")          # one-token edit → near-dup
+FAR = ("completely different content about distributed query engines "
+       "processing parquet files with vectorized readers at scale")
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, "  The  QUICK brown fox jumps over the lazy dog while the cat "
+                                             "watches from the warm windowsill in the late afternoon sun ")],
+        "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    out = exact_dedup_keys(_docs(spark), "doc_id", "text")
+    groups = {r.keeper_id: r.n_dups for r in out.collect()}
+    assert groups[1] == 2          # doc 4 is doc 1 after normalization
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             minhash_candidate_pairs(_docs(spark), "doc_id", "text",
+                                     threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5   # near-dup found
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0   # exact dup found
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_separation(spark):
+    sh = {r.doc_id: r.simhash for r in
+          with_simhash(_docs(spark), "text").collect()}
+    df = _docs(spark).sparkSession.createDataFrame(
+        [(sh[1], sh[2]), (sh[1], sh[3])], "a long, b long")
+    near, far = [r.h for r in df.select(hamming_distance("a", "b").alias("h")).collect()]
+    assert near < far
+    assert near <= 16 and far > 16
+
+
+def test_ann_lsh_finds_planted_near_dups(spark, sf_dir):
+    """The LSH use case is near-dup retrieval: a slightly-perturbed copy of
+    a vector (cosine ≈ 1) lands in the same bucket w.h.p. and must surface
+    in the top-k. (Uniformly random vectors are near-orthogonal — low
+    same-bucket probability is expected and not a defect.)"""
+    from zoom_etl_spark.catalog import table
+    e = table(spark, sf_dir, "embeddings")
+    planted = (e.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
+                       "label"))
+    corpus = e.unionByName(planted)
+    approx = ann_topk_lsh(corpus, planted, "vec_id", "embedding", dim=64,
+                          k=5, n_planes=6)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    hits = sum((100000 + i, i) in a for i in range(20))
+    assert hits >= 16   # ≥80% of planted twins retrieved

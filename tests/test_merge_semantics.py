@@ -1,0 +1,87 @@
+"""Merge/upsert semantics the oracle queries can't exercise (SURVEY §7.3):
+NULL-key always-append, all-columns overwrite, idempotent replay, and the
+late-dimension staging re-merge path (ST3/ST4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.operators.merge import merge_upsert, staging_merge
+from zoom_etl_spark.operators.windows import last_wins
+
+from .fixtures import participants
+
+
+def _state(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_overwrites_matched_and_inserts_unmatched(spark):
+    target = spark.createDataFrame(
+        [("u1", "m1", "Old", 1, 1), ("u9", "m9", "Keep", 9, 1)],
+        "user_id string, meeting_uuid string, name string, duration int, version int")
+    updates = spark.createDataFrame(
+        [("u1", "m1", "New", 2, 2), ("u5", "m5", "Insert", 5, 1)],
+        target.schema)
+    out = merge_upsert(target, updates, keys=["user_id", "meeting_uuid"])
+    rows = _state(out)
+    assert ("u1", "m1", "New", 2, 2) in rows          # overwritten (all cols)
+    assert ("u9", "m9", "Keep", 9, 1) in rows         # untouched
+    assert ("u5", "m5", "Insert", 5, 1) in rows       # inserted
+    assert len(rows) == 3
+
+
+def test_null_key_rows_always_append(spark):
+    """Postgres ON CONFLICT: NULL keys never conflict (create_tables.sql:44
+    vs NULL user_id) — NULL-key updates append, never match."""
+    p = participants(spark)
+    target = p.filter(F.col("user_id").isNotNull())
+    null_updates = p.filter(F.col("user_id").isNull())
+    out = merge_upsert(target, null_updates, keys=["user_id", "meeting_uuid"])
+    assert out.count() == target.count() + null_updates.count()
+    # merging the same NULL-key rows again appends again (exact Postgres behavior)
+    out2 = merge_upsert(out, null_updates, keys=["user_id", "meeting_uuid"])
+    assert out2.count() == out.count() + null_updates.count()
+
+
+def test_merge_idempotent_replay(spark):
+    """ST4: re-applying the same keyed batch must not change state."""
+    p = last_wins(participants(spark).filter(F.col("user_id").isNotNull()),
+                  keys=["user_id", "meeting_uuid"], version=[F.col("version")])
+    once = merge_upsert(p, p, keys=["user_id", "meeting_uuid"])
+    twice = merge_upsert(once, p, keys=["user_id", "meeting_uuid"])
+    assert _state(once) == _state(p)
+    assert _state(twice) == _state(p)
+
+
+def test_staging_merge_late_parent_arrives(spark):
+    """ST3: orphan staging rows wait; once the parent lands a later run
+    merges them and staging drains."""
+    staging = spark.createDataFrame(
+        [("r1", "m1", 100), ("r2", "m2", 200)],
+        "id string, meeting_uuid string, file_size int")
+    parents_run1 = spark.createDataFrame([("m1",)], "uuid string")
+    target0 = spark.createDataFrame([], staging.schema)
+
+    t1, s1 = staging_merge(staging, parents_run1, target0,
+                           staging_parent_key="meeting_uuid", parent_key="uuid",
+                           merge_keys=["id", "meeting_uuid"])
+    assert _state(t1) == {("r1", "m1", 100)}
+    assert _state(s1) == {("r2", "m2", 200)}      # orphan waits
+
+    parents_run2 = spark.createDataFrame([("m1",), ("m2",)], "uuid string")
+    t2, s2 = staging_merge(s1, parents_run2, t1,
+                           staging_parent_key="meeting_uuid", parent_key="uuid",
+                           merge_keys=["id", "meeting_uuid"])
+    assert _state(t2) == {("r1", "m1", 100), ("r2", "m2", 200)}
+    assert s2.count() == 0                        # staging drained
+
+
+def test_merge_rejects_mismatched_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1,)], "k int")
+    try:
+        merge_upsert(a, b, keys=["k"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "column mismatch" in str(e)

@@ -1,0 +1,72 @@
+"""Operator semantics on reference-native fixtures: preference top-1 with
+deterministic ties (W1), sanitize edge cases (F2), NULL-on-bad-parse (F1),
+last-wins ordering (A5), running sums, HLL accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.functions.text import parse_timestamp_ntz, sanitize_name
+from zoom_etl_spark.operators.windows import last_wins, running_sum, topk_per_group
+
+from .fixtures import bad_timestamps, dirty_topics, preferences, recording_files
+
+
+def test_preference_top1_per_category(spark):
+    """The webhook handler's first-match-by-priority select (handler.py:18-36)
+    as a join + window: top-1 per (meeting, category), tie broken by file id
+    DESC (the reference's dict-build keeps the LAST duplicate — SURVEY §7.3)."""
+    files = recording_files(spark)
+    prefs = preferences(spark)
+    joined = files.join(F.broadcast(prefs), "recording_type")
+    best = topk_per_group(joined, keys=["meeting_uuid", "category"],
+                          order=[F.col("priority").asc(), F.col("id").desc()], k=1)
+    got = {(r.meeting_uuid, r.category): r.id for r in best.collect()}
+    assert got[("m1", "video")] == "r2"   # tie on type → last id wins
+    assert got[("m1", "audio")] == "r3"
+    assert got[("m1", "chat")] == "r4"
+    assert got[("m2", "audio")] == "r5"
+
+
+def test_sanitize_edge_cases(spark):
+    out = dict((r.id, r.clean) for r in dirty_topics(spark)
+               .select("id", sanitize_name("topic").alias("clean")).collect())
+    assert out[1] == "a_b_c_d_e_f_g_h_i_j"     # every illegal char replaced
+    assert len(out[2]) == 255                  # truncated
+    assert out[3] == "unknown"                 # empty → default
+    assert out[4] == "unknown"                 # NULL → default
+    assert out[5] == "Clean Topic"
+
+
+def test_parse_timestamp_null_on_failure(spark):
+    out = dict((r.id, r.parsed) for r in bad_timestamps(spark)
+               .select("id", parse_timestamp_ntz("ts_str").alias("parsed")).collect())
+    assert out[1] is not None                  # ISO-Z parses
+    assert out[2] is not None                  # space-separated parses
+    assert out[3] is None                      # garbage → NULL, no throw
+    assert out[4] is None
+    assert out[5] is None                      # invalid fields → NULL
+
+
+def test_last_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 2, "b"), ("k", 2, "c")], "key string, ver int, val string")
+    out = last_wins(df, keys=["key"], version=[F.col("ver"), F.col("val")])
+    assert out.collect()[0].val == "c"         # ver tie → val desc
+
+
+def test_running_sum_order(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 10.0), ("u", 2, 5.0), ("v", 1, 1.0)], "u string, t int, x double")
+    out = {(r.u, r.t): r.rs for r in
+           running_sum(df, ["u"], [F.col("t")], F.col("x"), "rs").collect()}
+    assert out[("u", 1)] == 10.0 and out[("u", 2)] == 15.0 and out[("v", 1)] == 1.0
+
+
+def test_hll_within_relative_error(spark, sf_dir):
+    """approx_count_distinct (the 100 TB cardinality path) vs exact."""
+    from zoom_etl_spark.catalog import table
+    e = table(spark, sf_dir, "events")
+    row = e.agg(F.count_distinct("user_id").alias("exact"),
+                F.approx_count_distinct("user_id", 0.02).alias("approx")).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05

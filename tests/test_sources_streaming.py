@@ -1,0 +1,54 @@
+"""Custom source + streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.catalog import table
+from zoom_etl_spark.sources import rest
+from zoom_etl_spark.sources.multimodal import attach_fake_media, decode_media
+from zoom_etl_spark.streaming.ingest import (read_events_stream,
+                                             run_available_now,
+                                             windowed_counts)
+
+
+def test_paginated_source_pagination_and_partitioning(spark):
+    rest.register(spark)
+    df = (spark.read.format("paginated_rest")
+          .option("nkeys", "6").option("numpartitions", "3").load())
+    per_key = {r.key: (r.n_pages, r.n_rows) for r in
+               df.groupBy("key").agg((F.max("page") + 1).alias("n_pages"),
+                                     F.count("*").alias("n_rows")).collect()}
+    for key, (n_pages, n_rows) in per_key.items():
+        expect_pages = key % 3 + 1
+        expect_rows = (expect_pages - 1) * rest.PAGE_SIZE + (key % 7 + 1) * 10
+        assert n_pages == expect_pages, key
+        assert n_rows == expect_rows, key
+    assert df.rdd.getNumPartitions() == 3      # key-range partitioning
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """availableNow drain of the events stream must equal the batch
+    tumbling-window aggregate (same code path, SURVEY ST5)."""
+    stream_out = run_available_now(
+        windowed_counts(read_events_stream(spark, sf_dir)), "t_stream_batch_eq")
+    e = table(spark, sf_dir, "events")
+    batch = (e.groupBy(F.window("ts", "1 day").alias("w"))
+             .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 3).alias("total"))
+             .select(F.col("w.start").alias("day"), "cnt", "total"))
+    assert {tuple(r) for r in stream_out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_multimodal_decode_fake_and_stub(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(20)
+    media = attach_fake_media(d, "doc_id", "text")
+    feats = decode_media(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r.kind == "text/fake" and r.n_bytes > 0 for r in rows)
+    # deterministic: same input → same checksum
+    again = {r.doc_id: r.checksum for r in decode_media(media, fake=True).collect()}
+    assert {r.doc_id: r.checksum for r in rows} == again
+    with pytest.raises(NotImplementedError):
+        decode_media(media, fake=False)

@@ -70,7 +70,10 @@ def staging_merge(staging: DataFrame, parent: DataFrame, target: DataFrame,
     Returns ``(new_target, retained_staging)``. The parent key set is small
     relative to staging at steady state → broadcast semi/anti joins.
     """
+    cols = staging.columns  # name-based joins reorder; restore caller's order
     parent_keys = parent.select(F.col(parent_key).alias(staging_parent_key)).distinct()
-    mergeable = staging.join(F.broadcast(parent_keys), staging_parent_key, "left_semi")
-    retained = staging.join(F.broadcast(parent_keys), staging_parent_key, "left_anti")
+    mergeable = (staging.join(F.broadcast(parent_keys), staging_parent_key, "left_semi")
+                 .select(*cols))
+    retained = (staging.join(F.broadcast(parent_keys), staging_parent_key, "left_anti")
+                .select(*cols))
     return merge_upsert(target, mergeable, merge_keys), retained
