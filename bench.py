@@ -54,6 +54,8 @@ def main() -> None:
         else:
             df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # per-query isolation: drop caches a query persisted internally
+        spark.catalog.clearCache()
 
     t0 = time.time()
     plans.flagship(spark, SF_DIR).write.mode("overwrite").format("noop").save()

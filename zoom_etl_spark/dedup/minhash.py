@@ -26,22 +26,37 @@ def tokens(col: Column | str) -> Column:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (strings). Docs shorter than k tokens get
-    one whole-doc shingle so they still participate."""
+    one whole-doc shingle so they still participate.
+
+    Built from k shifted slices zipped together (k slices + k-1 zips per
+    row) rather than one slice per position (O(n) slices) — the HOF
+    evaluator is interpreted, so constant-factor expression cost matters.
+    """
     toks = tokens(col)
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(grams)
+    m = F.greatest(n - (k - 1), F.lit(1))  # shingle count
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        # zip_with pads the shorter array with NULL; concat_ws skips NULLs,
+        # which reproduces the short-doc whole-doc shingle behavior
+        out = F.zip_with(out, F.slice(toks, 1 + j, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(out)
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 32) -> Column:
-    """Array of ``num_perm`` min-hashes. Each permutation is xxhash64 salted
-    by the seed index — evaluated JVM-side per shingle, no UDF."""
+def shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """64-bit hashes of the k-token shingles — narrow join/compare key
+    (collision probability ~n²/2⁶⁴, negligible)."""
+    return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature(shingle_hash_col: Column, num_perm: int = 32) -> Column:
+    """Array of ``num_perm`` min-hashes over pre-hashed shingles. Each
+    permutation re-salts the 64-bit shingle hash with the seed index —
+    evaluated JVM-side per shingle, no UDF."""
     sigs = [
-        F.array_min(F.transform(shingle_col,
-                                lambda s, seed=seed: F.xxhash64(F.lit(seed), s)))
+        F.array_min(F.transform(shingle_hash_col,
+                                lambda h, seed=seed: F.xxhash64(F.lit(seed), h)))
         for seed in range(num_perm)
     ]
     return F.array(*sigs)
@@ -69,7 +84,11 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     false positives.
     """
     rows = num_perm // bands
-    base = df.select(F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh"))
+    # hashed shingles: one expensive text→shingle evaluation (persisted —
+    # the banded self-join and the verify step would otherwise re-evaluate
+    # it per use), then only 64-bit longs flow through the joins
+    base = df.select(F.col(id_col).alias("doc"),
+                     shingle_hashes(text_col, k).alias("sh")).persist()
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
     banded = (
         sig.select("doc", "sh", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk"))

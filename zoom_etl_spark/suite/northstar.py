@@ -17,9 +17,9 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..dedup.exact import exact_dedup_keys, normalize_text
 from ..dedup.lsh import ann_topk_lsh
-from ..dedup.minhash import minhash_candidate_pairs, shingles, tokens
+from ..dedup.minhash import minhash_candidate_pairs, shingle_hashes, tokens
 from ..dedup.simhash import with_simhash
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, cosine_similarity_arrow
 from ..operators.windows import topk_per_group
 from ..registry import query
 
@@ -87,18 +87,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact counterpart MinHash approximates. Scales as (docs ×
     shingles) + pairs-sharing-a-shingle; shingle dedup caps fan-out."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select(F.col("doc_id"), shingles("text", 3).alias("grams"))
-    ex = sh.select("doc_id", F.explode("grams").alias("g"))
-    sizes = sh.select("doc_id", F.size("grams").alias("n"))
+    # join on 64-bit shingle hashes: identical pair/size counts (collisions
+    # negligible), but only longs cross the shuffle. The shingle expression
+    # is the expensive part — persist the small (doc_id, grams) table so
+    # the self-join reads it once instead of re-evaluating per side (at
+    # 100 TB this becomes a materialized shingle table, same idea).
+    sh = (d.select(F.col("doc_id"), shingle_hashes("text", 3).alias("grams"))
+          .withColumn("n", F.size("grams")).persist())
+    # carry each side's set size through the explode → no size re-joins
+    ex = sh.select("doc_id", "n", F.explode("grams").alias("g"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-             .agg(F.count("*").alias("i")))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+             .agg(F.count("*").alias("i"),
+                  F.first("a.n").alias("na"), F.first("b.n").alias("nb")))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .filter(jac >= 0.2)
+    return (inter.filter(jac >= 0.2)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))
 
 
@@ -122,7 +126,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
-    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    # pair-heavy sweep → Arrow-batched numpy cosine, not the per-row HOF
+    sim = cosine_similarity_arrow(F.col("a.embedding"), F.col("b.embedding"))
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("id_a"),
@@ -272,7 +277,8 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams = F.expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
     doc_tri = (d.select("doc_id", "lang", F.explode(trigrams).alias("tri"))
-               .groupBy("doc_id", "lang", "tri").agg(F.count("*").alias("tf")))
+               .groupBy("doc_id", "lang", "tri").agg(F.count("*").alias("tf"))
+               .persist())  # used twice: profile training + scoring
 
     # train: top-20 trigrams per language (tiny profile table)
     lang_tri = (doc_tri.groupBy("lang", "tri").agg(F.sum("tf").alias("cf")))
