@@ -1,0 +1,83 @@
+"""Plan-shape assertions — the 100 TB posture, locked in as tests:
+filters reach the parquet scan, projections prune columns, bounded dims
+broadcast, global top-N avoids a full sort, aggregates run partial
+(map-side) first. A regression here is a scale bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.registry import all_queries
+
+_SPECS = all_queries()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_incremental_scan_pushes_predicate(spark, sf_dir):
+    """The watermark comparison must reach the scan (on the raw nanos
+    column — a filter above the timestamp conversion doesn't push)."""
+    plan = _physical(_SPECS["incremental_scan"].fn(spark, sf_dir))
+    assert "GreaterThanOrEqual(ts" in plan.split("PushedFilters: ")[1].split("\n")[0]
+
+
+def test_project_users_prunes_columns(spark, sf_dir):
+    plan = _physical(_SPECS["project_users"].fn(spark, sf_dir))
+    # scan must read only the 4 projected source columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "c_custkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_nationkey" not in read_schema
+
+
+def test_fk_enrich_broadcasts_bounded_dims(spark, sf_dir):
+    plan = _physical(_SPECS["join_fk_enrich"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+
+
+def test_sort_limit_is_top_n_not_full_sort(spark, sf_dir):
+    plan = _physical(_SPECS["sort_limit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_group_stats_partial_aggregation(spark, sf_dir):
+    plan = _physical(_SPECS["agg_group_stats"].fn(spark, sf_dir))
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _physical(_SPECS["join_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_interval_join_is_hash_not_bnl(spark, sf_dir):
+    """The equi-anchor must keep the range join a hash join — a
+    BroadcastNestedLoopJoin here would be quadratic at scale."""
+    plan = _physical(_SPECS["join_interval"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_topk_no_shuffle_of_scores(spark, sf_dir):
+    plan = _physical(_SPECS["similarity_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    """No registered query may plan a cartesian product (the one allowed
+    cross join — similarity_topk's broadcast of a 1-row query vector —
+    plans as BroadcastNestedLoopJoin over 1 row, not CartesianProduct)."""
+    offenders = []
+    for name, spec in _SPECS.items():
+        if name in ("stream_ingest", "sink_partitioned_write"):
+            continue  # executes eagerly / writes files
+        plan = _physical(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders

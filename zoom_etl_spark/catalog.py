@@ -39,6 +39,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_since(spark: SparkSession, sf_dir: str, since: str) -> DataFrame:
+    """Events at-or-after a UTC timestamp literal, with the comparison
+    pushed onto the RAW nanos long — a filter on the converted timestamp
+    sits above ``timestamp_micros`` and never reaches the scan (caught by
+    tests/test_plans.py). On a production micros-parquet layout a plain
+    ts filter pushes naturally; this is the nanos-testdata equivalent.
+    """
+    from datetime import datetime, timezone
+    configure(spark)
+    dt = datetime.fromisoformat(since).replace(tzinfo=timezone.utc)
+    since_ns = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (raw.filter(F.col("ts") >= F.lit(since_ns))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(table(spark, sf_dir, n) for n in names)
 

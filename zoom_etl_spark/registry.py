@@ -66,6 +66,7 @@ def _load_suite() -> None:
         return
     from .suite import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         merge,
         northstar,

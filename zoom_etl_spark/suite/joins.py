@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..catalog import table
+from ..catalog import events_since, table
 from ..registry import query
 
 
@@ -168,8 +168,6 @@ def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last successful run. The predicate is pushed into the parquet
     scan (min/max row-group skipping); on a date-partitioned layout this
     is partition pruning."""
-    e = table(spark, sf_dir, "events")
-    watermark = F.lit("2024-01-20 00:00:00").cast("timestamp")
-    return (e.filter(F.col("ts") >= watermark)
-            .select("event_id", "user_id", "event_type",
-                    F.round("value", 3).alias("val")))
+    e = events_since(spark, sf_dir, "2024-01-20 00:00:00")
+    return e.select("event_id", "user_id", "event_type",
+                    F.round("value", 3).alias("val"))

@@ -47,6 +47,45 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(result, "stream_ingest_result")
 
 
+@query("sink_partitioned_write")  # rows-only: filesystem side effects
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned read-back — the physical design
+    replacing the reference's B-tree indexes (ref create_tables.sql:78-81;
+    SURVEY §4.1): partition by the filter/join key, prune at read. The
+    read back of one partition must scan only that directory."""
+    import tempfile
+    out = tempfile.mkdtemp(prefix="zes_sink_")
+    o = table(spark, sf_dir, "orders")
+    (o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    return (back.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count("*").alias("cnt")))
+
+
+@query("udtf_tokenize")  # rows-only: Python UDTF
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.11): one-row→many expansion as a table
+    function — the reference's child-collection fetch shape (S7) where
+    the expansion logic needs imperative Python. Explode covers the
+    declarative cases; this exercises the UDTF surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, token: string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, t in enumerate((text or "").split()):
+                if t:
+                    yield doc_id, i, t
+
+    spark.udtf.register("zes_tokenize", Tokenize)
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_udtf_docs")
+    ex = spark.sql(
+        "SELECT t.* FROM _udtf_docs, LATERAL zes_tokenize(doc_id, text) t")
+    return ex.groupBy("doc_id").agg(F.count("*").alias("n_tokens"),
+                                    F.max("pos").alias("last_pos"))
+
+
 @query("multimodal_features")  # rows-only: mapInPandas feature extraction
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + Arrow-batched mapInPandas feature extraction
