@@ -28,6 +28,18 @@ def test_paginated_source_pagination_and_partitioning(spark):
     assert df.rdd.getNumPartitions() == 3      # key-range partitioning
 
 
+def test_paginated_source_retries_transient_errors(spark):
+    """E1: a transient 429 inside the reader retries with backoff instead
+    of failing the task — flaky run returns the same rows as clean run."""
+    rest.register(spark)
+    clean = (spark.read.format("paginated_rest")
+             .option("nkeys", "6").option("numpartitions", "2").load())
+    flaky = (spark.read.format("paginated_rest")
+             .option("nkeys", "6").option("numpartitions", "2")
+             .option("flaky", "true").load())
+    assert sorted(map(tuple, flaky.collect())) == sorted(map(tuple, clean.collect()))
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """availableNow drain of the events stream must equal the batch
     tumbling-window aggregate (same code path, SURVEY ST5)."""

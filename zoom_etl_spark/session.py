@@ -55,6 +55,8 @@ def get_spark(app_name: str = "zoom-etl-spark", cpus: int | str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed (bucketed) test tables land outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/zes_warehouse")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

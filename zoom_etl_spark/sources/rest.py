@@ -34,10 +34,22 @@ SCHEMA = StructType([
 ])
 
 
-def _fake_fetch_page(key: int, page_token: int | None) -> tuple[list[tuple], int | None]:
+class TransientHttpError(Exception):
+    """Stand-in for HTTP 429/5xx — retryable at the source level."""
+
+
+def _fake_fetch_page(key: int, page_token: int | None,
+                     flaky: bool = False,
+                     _attempts: dict | None = None) -> tuple[list[tuple], int | None]:
     """Deterministic stand-in for one GET: returns (rows, next_page_token).
-    Each key has (key % 3 + 1) pages; the last page is short."""
+    Each key has (key % 3 + 1) pages; the last page is short. With
+    ``flaky``, the first attempt at every even key's page 0 raises a
+    transient error (the 429 path)."""
     page = page_token or 0
+    if flaky and page == 0 and key % 2 == 0 and _attempts is not None:
+        if _attempts.setdefault((key, page), 0) == 0:
+            _attempts[(key, page)] += 1
+            raise TransientHttpError(f"429 on key={key} page={page}")
     n_pages = key % 3 + 1
     if page >= n_pages:
         return [], None
@@ -45,6 +57,25 @@ def _fake_fetch_page(key: int, page_token: int | None) -> tuple[list[tuple], int
     rows = [(key, page, i, f"rec-{key}-{page}-{i}") for i in range(n_rows)]
     next_token = page + 1 if page + 1 < n_pages else None
     return rows, next_token
+
+
+def _fetch_with_retry(key: int, token: int | None, flaky: bool,
+                      attempts: dict, max_tries: int = 3,
+                      base_delay: float = 0.01):
+    """Source-level retry with exponential backoff (reference
+    error_handler.py:8-53: 3 tries, delay·2^(n−1)). Retrying INSIDE the
+    partition reader keeps a transient 429 from failing the whole Spark
+    task; ``spark.task.maxFailures`` remains the backstop for hard
+    failures."""
+    import time as _time
+    last = None
+    for n in range(max_tries):
+        try:
+            return _fake_fetch_page(key, token, flaky, attempts)
+        except TransientHttpError as e:
+            last = e
+            _time.sleep(base_delay * (2 ** n))
+    raise last
 
 
 class RestPartition(InputPartition):
@@ -56,6 +87,7 @@ class PaginatedRestReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_keys = int(options.get("nkeys", 40))
         self.n_partitions = int(options.get("numpartitions", 8))
+        self.flaky = options.get("flaky", "false").lower() == "true"
 
     def partitions(self) -> list[RestPartition]:
         # key-range partitioning: each executor-side task owns a key slice
@@ -64,10 +96,11 @@ class PaginatedRestReader(DataSourceReader):
         return [RestPartition(keys[i:i + step]) for i in range(0, len(keys), step)]
 
     def read(self, partition: RestPartition) -> Iterator[tuple]:
+        attempts: dict = {}  # per-task attempt memory for the retry path
         for key in partition.keys:
             token: int | None = 0
             while token is not None:
-                rows, token = _fake_fetch_page(key, token)
+                rows, token = _fetch_with_retry(key, token, self.flaky, attempts)
                 yield from rows
 
 
