@@ -1,0 +1,63 @@
+"""Custom stateful streaming (applyInPandasWithState) and the foreachBatch
+streaming-upsert sink — the complete Lambda-analog pipeline (SURVEY §3.2:
+stream → validate → stateful/windowed transform → idempotent keyed sink)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.catalog import table
+from zoom_etl_spark.operators.merge import merge_upsert
+from zoom_etl_spark.operators.windows import last_wins
+from zoom_etl_spark.streaming.ingest import read_events_stream
+from zoom_etl_spark.streaming.stateful import user_lifetime_stats
+
+
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = user_lifetime_stats(stream)
+    q = (out.writeStream.format("memory").queryName("t_stateful_stats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode re-emits per batch; the final row per user is the state
+    got = {r.user_id: (r.n_events, round(r.value_sum, 6))
+           for r in spark.table("t_stateful_stats").collect()}
+
+    e = table(spark, sf_dir, "events")
+    want = {r.user_id: (r.n, round(r.s, 6)) for r in
+            e.groupBy("user_id").agg(F.count("*").alias("n"),
+                                     F.sum("value").alias("s")).collect()}
+    assert got == want
+
+
+def test_foreachbatch_upsert_sink(spark, sf_dir):
+    """Streaming upsert contract (ST1/ST4): each micro-batch dedupes
+    in-batch then merges keyed on user_id into the target; the final
+    target equals single-pass batch last-wins."""
+    target_dir = tempfile.mkdtemp(prefix="zes_tgt_") + "/t"
+    stream = read_events_stream(spark, sf_dir)
+
+    def sink(batch, batch_id):
+        cols = ["user_id", "event_id", "event_type", "value"]
+        b = (last_wins(batch, keys=["user_id"],
+                       version=[F.col("ts"), F.col("event_id")])
+             .select(*cols))
+        try:
+            old = spark.read.parquet(target_dir)
+        except Exception:
+            old = spark.createDataFrame([], b.schema)
+        merged = merge_upsert(old, b, keys=["user_id"]).localCheckpoint()
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r.user_id: r.event_id for r in spark.read.parquet(target_dir).collect()}
+    e = table(spark, sf_dir, "events")
+    want = {r.user_id: r.event_id for r in
+            last_wins(e, keys=["user_id"],
+                      version=[F.col("ts"), F.col("event_id")]).collect()}
+    assert got == want

@@ -47,6 +47,20 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(result, "stream_ingest_result")
 
 
+@query("stream_stateful")  # rows-only: arbitrary-state streaming operator
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    lifetime counters maintained across micro-batches — the arbitrary-
+    state generalization of the reference's watermark Variable."""
+    from ..streaming.stateful import user_lifetime_stats
+    stream = read_events_stream(spark, sf_dir)
+    out = user_lifetime_stats(stream)
+    q = (out.writeStream.format("memory").queryName("stream_stateful_result")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_stateful_result")
+
+
 @query("sink_partitioned_write")  # rows-only: filesystem side effects
 def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + pruned read-back — the physical design
