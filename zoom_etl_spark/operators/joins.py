@@ -1,0 +1,68 @@
+"""Join operators Spark lacks as primitives: as-of join and salted
+(skew-resistant) join.
+
+As-of join — "for each left row, the latest right row at-or-before its
+timestamp" — composes from an equi-anchored range join + top-1-per-group
+window: the range predicate rides the equi-key hash join as a residual
+(linear), and row_number picks the winner deterministically.
+
+Salted join — when one join key is pathologically hot, a plain hash join
+sends the whole hot key to one reducer. Salting splits each left key
+into S shards and replicates the right side S× (right side only for the
+salt space, not the data volume of the left), restoring parallelism at
+the cost of an S× right-side fan-out. Use for fact-fact joins with known
+hot keys; AQE's skew-join handles the moderate cases automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import topk_per_group
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              right_cols: Sequence[str] | None = None,
+              tiebreak: Sequence[Column] | None = None,
+              how: str = "inner") -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` (per equi-key). Deterministic under ties
+    via ``tiebreak`` (default: right_ts then right cols are NOT unique —
+    pass a unique right column). ``how='left'`` keeps unmatched left rows
+    with NULL right columns.
+    """
+    right_cols = list(right_cols or (c for c in right.columns if c not in on))
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = cond & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+
+    joined = l.join(r, cond, "left" if how == "left" else "inner")
+    order = [F.col(f"r.{right_ts}").desc_nulls_last()]
+    if tiebreak is not None:
+        order += list(tiebreak)
+    # partition by the left row identity: all left columns
+    keys = [F.col(f"l.{c}") for c in left.columns]
+    best = topk_per_group(joined, keys=keys, order=order, k=1)
+    return best.select(*[F.col(f"l.{c}").alias(c) for c in left.columns],
+                       *[F.col(f"r.{c}").alias(f"asof_{c}") for c in right_cols])
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with the left side salted into ``n_salts`` shards and the
+    right side exploded across all shards — result identical to a plain
+    join (verified in tests), parallelism restored for hot keys."""
+    salted_left = left.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                          F.lit(n_salts))).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    salted_right = right.withColumn("__salt", salts)
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")

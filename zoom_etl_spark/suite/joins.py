@@ -158,6 +158,85 @@ def point_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("custkey", F.col("c_name").alias("name")))
 
 
+@query("join_asof", oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT user_id, event_id, last_click FROM (
+  SELECT p.user_id, p.event_id, c.event_id AS last_click,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+) WHERE rn = 1
+""")
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent click at-or-
+    before it (the classic attribution query; SURVEY §2.4 notes the
+    reference implies interval/as-of shapes via its time-pair schema).
+    Equi-anchored range join + deterministic top-1 window."""
+    from ..operators.joins import asof_join
+    e = table(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    out = asof_join(purchases, clicks, on=["user_id"],
+                    left_ts="ts", right_ts="click_ts",
+                    right_cols=["click_id"],
+                    tiebreak=[F.col("r.click_id").desc()])
+    return out.select("user_id", "event_id",
+                      F.col("asof_click_id").alias("last_click"))
+
+
+@query("window_lag_lead", oracle="""
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_event,
+       lead(event_id) OVER w AS next_event,
+       CAST(coalesce(date_diff('second', lag(ts) OVER w, ts), -1) AS BIGINT) AS secs_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead neighbor access per user timeline (session-delta shape,
+    ref create_tables.sql:38-40 attendance intent)."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+    return e.select(
+        "event_id", "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.coalesce(secs, F.lit(-1)).alias("secs_since_prev"))
+
+
+@query("join_salted", oracle="""
+SELECT l.l_orderkey AS order_id,
+       l.l_linenumber AS line_no,
+       o.o_orderstatus AS status
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""")
+def join_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join — same result set as the plain equi-join
+    (the oracle IS the plain join); the salted physical plan splits every
+    hot key across 8 shards. For when one key dominates (AQE skew-join
+    covers moderate skew automatically)."""
+    from ..operators.joins import salted_join
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"))
+    o = (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").alias("status")))
+    return salted_join(l, o, "k", n_salts=8).select("order_id", "line_no", "status")
+
+
 @query("incremental_scan", oracle="""
 SELECT event_id, user_id, event_type, round(value, 3) AS val
 FROM events
