@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from zoom_etl_spark.catalog import table
 from zoom_etl_spark.sources import rest
-from zoom_etl_spark.sources.multimodal import attach_fake_media, decode_media
+from zoom_etl_spark.sources.multimodal import (attach_fake_media, decode_media,
+                                               sample_frames)
 from zoom_etl_spark.streaming.ingest import (read_events_stream,
                                              run_available_now,
                                              windowed_counts)
@@ -64,3 +65,17 @@ def test_multimodal_decode_fake_and_stub(spark, sf_dir):
     assert {r.doc_id: r.checksum for r in rows} == again
     with pytest.raises(NotImplementedError):
         decode_media(media, fake=False)
+
+
+def test_multimodal_frame_sampling_one_to_many(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(10)
+    media = attach_fake_media(d, "doc_id", "text")
+    frames = sample_frames(media, every_n_bytes=16, max_frames=4)
+    rows = frames.collect()
+    assert len(rows) > 10                      # output exceeds input rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, fake=False)

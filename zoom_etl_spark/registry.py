@@ -71,6 +71,7 @@ def _load_suite() -> None:
         merge,
         northstar,
         relational,
+        scalars_wide,
         sources_streaming,
         windows,
     )

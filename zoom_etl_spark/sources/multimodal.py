@@ -69,3 +69,42 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             })
 
     return df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame_no", IntegerType(), False),
+    StructField("frame_checksum", LongType(), True),
+])
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 32,
+                  max_frames: int = 8, fake: bool = True) -> DataFrame:
+    """One-to-many frame sampling from media blobs (video → frames) via
+    mapInPandas — each input row yields up to ``max_frames`` rows.
+
+    Real frame decode (pyav/ffmpeg) is unavailable in this container —
+    ``fake=False`` raises NotImplementedError by design; the fake path
+    deterministically 'samples' byte windows as frames. The one-to-many
+    Arrow-batched plumbing (the part that matters at scale: no per-row
+    Python, output can exceed input) is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires video libs not in this container; "
+            "run with fake=True for the deterministic stand-in")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_nos, out_cks = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                for i in range(min(max_frames, max(1, len(blob) // every_n_bytes))):
+                    window = blob[i * every_n_bytes:(i + 1) * every_n_bytes]
+                    out_ids.append(doc_id)
+                    out_nos.append(i)
+                    out_cks.append(sum(window) % (1 << 31))
+            yield pd.DataFrame({"doc_id": out_ids,
+                                "frame_no": pd.array(out_nos, dtype="int32"),
+                                "frame_checksum": pd.array(out_cks, dtype="int64")})
+
+    return df.mapInPandas(frames, FRAME_SCHEMA)

@@ -1,0 +1,142 @@
+"""Wide scalar-function coverage (SURVEY §2.3 family, broadened): string,
+math, date-part, and conditional functions a warehouse user expects —
+each oracle-checked so the engine's function surface is pinned to ANSI
+semantics, not just present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query("string_funcs_wide", oracle="""
+SELECT c_custkey AS id,
+       upper(c_name) AS up,
+       lower(c_mktsegment) AS lo,
+       length(c_name) AS len,
+       substring(c_name, 1, 8) AS pre,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       replace(c_name, 'Customer', 'Cust') AS repl,
+       reverse(c_mktsegment) AS rev,
+       trim(concat('  ', c_name, '  ')) AS trimmed,
+       left(c_name, 4) AS l4,
+       right(c_name, 4) AS r4,
+       contains(c_name, '#00') AS has_zero,
+       starts_with(c_name, 'Customer') AS is_cust,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels
+FROM customer
+""")
+def string_funcs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function sweep, one pass, all codegen."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.length("c_name").alias("len"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.col("c_name").substr(F.length("c_name") - 3, F.lit(4)).alias("r4"),
+        F.contains(F.col("c_name"), F.lit("#00")).alias("has_zero"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_cust"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("lowered_vowels"),
+    )
+
+
+@query("math_funcs_wide", oracle="""
+SELECT o_orderkey AS id,
+       round(abs(o_totalprice - 100000.0), 2) AS dist,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS ceil_k,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS floor_k,
+       round(sqrt(o_totalprice), 4) AS sq,
+       round(ln(o_totalprice), 6) AS logn,
+       round(log10(o_totalprice), 6) AS log_ten,
+       round(pow(o_totalprice, 0.5) - sqrt(o_totalprice), 6) AS pow_diff,
+       CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+       CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS sgn,
+       greatest(o_totalprice, 150000.0) AS hi,
+       least(o_totalprice, 150000.0) AS lo
+FROM orders
+""")
+def math_funcs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function sweep (abs/ceil/floor/sqrt/ln/log10/pow/mod/sign)."""
+    o = table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.abs(tp - 100000.0), 2).alias("dist"),
+        F.ceil(tp / 1000.0).alias("ceil_k"),
+        F.floor(tp / 1000.0).alias("floor_k"),
+        F.round(F.sqrt(tp), 4).alias("sq"),
+        F.round(F.log(tp), 6).alias("logn"),
+        F.round(F.log10(tp), 6).alias("log_ten"),
+        F.round(F.pow(tp, F.lit(0.5)) - F.sqrt(tp), 6).alias("pow_diff"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.signum(tp - 150000.0).alias("sgn"),
+        F.greatest(tp, F.lit(150000.0)).alias("hi"),
+        F.least(tp, F.lit(150000.0)).alias("lo"),
+    )
+
+
+@query("date_funcs_wide", oracle="""
+SELECT o_orderkey AS id,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dy,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""")
+def date_funcs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part/arithmetic sweep (year/month/day/quarter, interval math,
+    trunc, last_day, formatting)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        (d + F.expr("interval 90 days")).alias("due"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+@query("conditional_funcs", oracle="""
+SELECT o_orderkey AS id,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN TRUE ELSE FALSE END AS urgent,
+       ifnull(NULL, o_orderstatus) AS never_null
+FROM orders
+""")
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/IN conditional sweep."""
+    o = table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(tp > 200000, "high").when(tp > 100000, "mid")
+         .otherwise("low").alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")),
+                   F.lit("pending")).alias("status_or_pending"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+        F.coalesce(F.lit(None).cast("string"),
+                   F.col("o_orderstatus")).alias("never_null"),
+    )
