@@ -1,0 +1,68 @@
+"""Partition-scoped merge + compaction: only touched partitions rewrite,
+untouched partition files stay byte-identical on disk."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.catalog import table
+from zoom_etl_spark.operators.maintenance import (compact_partition,
+                                                  merge_into_partitioned,
+                                                  partition_file_count)
+
+
+def _files_with_mtimes(target_dir, partition_col, value):
+    pdir = os.path.join(target_dir, f"{partition_col}={value}")
+    return {f: os.path.getmtime(os.path.join(pdir, f))
+            for f in os.listdir(pdir) if f.endswith(".parquet")}
+
+
+def test_merge_rewrites_only_touched_partitions(spark, sf_dir):
+    target_dir = tempfile.mkdtemp(prefix="zes_part_") + "/t"
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"))
+    o.write.partitionBy("status").parquet(target_dir)
+
+    untouched_before = _files_with_mtimes(target_dir, "status", "F")
+
+    # contract: a key's partition is stable → update an id that already
+    # lives in partition O, plus insert a brand-new key into O
+    some_o_id = o.filter(F.col("status") == "O").select("id").first().id
+    updates = spark.createDataFrame(
+        [(some_o_id, 999.0, "O"), (999999999, 1.0, "O")],
+        "id long, total double, status string")
+    touched = merge_into_partitioned(spark, target_dir, updates,
+                                     keys=["id"], partition_col="status")
+    assert touched == ["O"]
+
+    # untouched partition: exact same files, same mtimes
+    assert _files_with_mtimes(target_dir, "status", "F") == untouched_before
+
+    back = spark.read.parquet(target_dir)
+    assert back.filter(F.col("id") == 999999999).count() == 1       # inserted
+    assert back.filter(F.col("id") == some_o_id).collect()[0].total == 999.0
+    # row count grew by exactly the new key
+    assert back.count() == o.count() + 1
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
+    target_dir = tempfile.mkdtemp(prefix="zes_comp_") + "/t"
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("etype"))
+    # simulate many small streaming appends
+    e.repartition(16).write.partitionBy("etype").parquet(target_dir)
+    before_files = partition_file_count(target_dir, "etype", "click")
+    assert before_files > 4
+    before_rows = spark.read.parquet(target_dir).count()
+    other_before = _files_with_mtimes(target_dir, "etype", "view")
+
+    compact_partition(spark, target_dir, "etype", "click", target_files=1)
+
+    assert partition_file_count(target_dir, "etype", "click") == 1
+    assert spark.read.parquet(target_dir).count() == before_rows
+    assert _files_with_mtimes(target_dir, "etype", "view") == other_before

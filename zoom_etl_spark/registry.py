@@ -73,6 +73,7 @@ def _load_suite() -> None:
         relational,
         scalars_wide,
         sources_streaming,
+        tpch,
         windows,
     )
     _loaded = True
