@@ -80,11 +80,13 @@ WHERE event_id IS NOT NULL AND ts IS NOT NULL
 """)
 def validate_required(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Required-field validation gate (ref handler.py:46-52); the rejected
-    complement is the quarantine path (tested in unit tests)."""
+    complement carries a typed reason (operators/quarantine.py, tested in
+    tests/test_quarantine_credentials.py)."""
+    from ..operators.quarantine import required_fields_rules, validate_split
     e = table(spark, sf_dir, "events")
-    cond = (F.col("event_id").isNotNull() & F.col("ts").isNotNull()
-            & F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
-    return e.filter(cond).select("event_id", "user_id", "event_type")
+    valid, _quarantined = validate_split(
+        e, required_fields_rules("event_id", "ts", "user_id", "event_type"))
+    return valid.select("event_id", "user_id", "event_type")
 
 
 # ------------------------------------------------------------ scalar functions
