@@ -1,0 +1,68 @@
+"""End-to-end webhook ingest: custom streaming source → nested parse →
+validate/quarantine → sanitize → preference select → path build, both as
+a stream (foreachBatch) and as the equivalent batch run — results equal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.sources import webhook_stream
+from zoom_etl_spark.sources.webhook_stream import synth_event
+from zoom_etl_spark.streaming.webhook_pipeline import webhook_batch_pipeline
+
+N_EVENTS = 40
+
+
+def _batch_result(spark):
+    raw = spark.createDataFrame(
+        [(i, synth_event(i)) for i in range(N_EVENTS)], "event_no long, body string")
+    staging, rejected = webhook_batch_pipeline(raw, spark)
+    return staging, rejected
+
+
+def test_batch_pipeline_shapes(spark):
+    staging, rejected = _batch_result(spark)
+    srows = staging.collect()
+    assert len(srows) > 0
+    # malformed events (every 5th: no uuid) all rejected with typed reason
+    rrows = rejected.collect()
+    assert len(rrows) == N_EVENTS // 5
+    assert all(r._quarantine_reason == "MISSING_UUID" for r in rrows)
+    # sanitize: the topic segment is cleaned (only the topic is sanitized,
+    # like the reference — timestamps keep their colons)
+    assert all("|" not in r.file_path for r in srows)
+    assert any("a_b_c" in r.file_path for r in srows)  # 'a/b|c' cleaned
+    # preference: at most one file per (meeting, category-implied type)
+    per_meeting_type = {}
+    for r in srows:
+        key = (r.meeting_uuid, r.recording_type)
+        per_meeting_type[key] = per_meeting_type.get(key, 0) + 1
+    assert all(v == 1 for v in per_meeting_type.values())
+
+
+def test_stream_equals_batch(spark):
+    webhook_stream.register(spark)
+    raw_stream = (spark.readStream.format("webhook_sim")
+                  .option("nevents", str(N_EVENTS)).option("perbatch", "7").load())
+
+    collected = []
+
+    def sink(batch, batch_id):
+        staging, _rejected = webhook_batch_pipeline(batch, spark)
+        collected.extend(tuple(r) for r in staging.collect())
+
+    batch_staging, _ = _batch_result(spark)
+    want = {tuple(r) for r in batch_staging.collect()}
+
+    # Python streaming sources don't support availableNow → run with a
+    # fast processing-time trigger and stop once the source is drained
+    import time
+    q = (raw_stream.writeStream.foreachBatch(sink)
+         .trigger(processingTime="1 second").start())
+    deadline = time.time() + 120
+    while len(collected) < len(want) and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+
+    assert set(collected) == want
+    assert len(collected) == len(want)   # no duplicate delivery across batches
