@@ -69,6 +69,16 @@ def test_similarity_topk_no_shuffle_of_scores(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must shrink the 16 configured shuffle partitions for tiny
+    aggregate outputs (the runtime re-plan the engine relies on at every
+    scale) — visible as AQEShuffleRead(coalesced) in the final plan."""
+    df = _SPECS["agg_count"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan, plan[:600]
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     """No registered query may plan a cartesian product (the one allowed
     cross join — similarity_topk's broadcast of a 1-row query vector —

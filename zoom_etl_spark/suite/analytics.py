@@ -143,6 +143,85 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("win_start"), "cnt", "total"))
 
 
+@query("scd2_history", oracle="""
+SELECT user_id,
+       event_id,
+       event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM events
+""")
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: each per-key change gets
+    a [valid_from, valid_to) interval; the open row is current. The
+    versioned-history generalization of the reference's last-wins upsert
+    (keep every version instead of only the newest)."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return e.select(
+        "user_id", "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"))
+
+
+@query("array_funcs_wide", oracle="""
+WITH t AS (
+  SELECT doc_id, list_sort(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n,
+       toks[1] AS first_sorted,
+       toks[-1] AS last_sorted,
+       list_contains(toks, 'data') AS has_data,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       CAST(list_position(toks, 'data') AS INTEGER) AS data_pos,
+       array_to_string(list_slice(toks, 1, 3), ',') AS first3
+FROM t
+""")
+def array_funcs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function sweep (sort/contains/distinct/position/slice) with
+    scalar outputs. Spark array_position and DuckDB list_position agree:
+    1-based, 0/NULL→0 normalized via coalesce."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.element_at("toks", 1).alias("first_sorted"),
+        F.element_at("toks", -1).alias("last_sorted"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.array_position("toks", "data").cast("int").alias("data_pos"),
+        F.array_join(F.slice("toks", 1, 3), ",").alias("first3"))
+
+
+@query("regexp_funcs", oracle="""
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER) AS vowel_runs,
+       regexp_matches(text, 'join|merge') AS mentions_join,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+FROM documents
+""")
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp sweep (extract group / extract-all count / match / global
+    replace) on patterns valid in both Java regex and RE2."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), F.lit(0))).alias("vowel_runs"),
+        F.col("text").rlike("join|merge").alias("mentions_join"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"))
+
+
 @query("error_categorize", oracle="""
 SELECT CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'MISSING_FIELD'
             WHEN value < 0.05 THEN 'OUT_OF_RANGE'
