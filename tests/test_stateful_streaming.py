@@ -32,6 +32,22 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_dedup_with_watermark(spark, sf_dir):
+    """Streaming exactly-once-per-key dedup: dropDuplicates under a
+    watermark bounds the dedup state (keys older than the watermark age
+    out) — the streaming analog of A1."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (stream.withWatermark("ts", "1 hour")
+               .dropDuplicates(["user_id"]))
+    q = (deduped.writeStream.format("memory").queryName("t_stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("t_stream_dedup")
+    e = table(spark, sf_dir, "events")
+    assert got.count() == e.select("user_id").distinct().count()
+    assert got.select("user_id").distinct().count() == got.count()
+
+
 def test_foreachbatch_upsert_sink(spark, sf_dir):
     """Streaming upsert contract (ST1/ST4): each micro-batch dedupes
     in-batch then merges keyed on user_id into the target; the final

@@ -101,6 +101,39 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("user_id").alias("exact_users")))
 
 
+@query("agg_collect", oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+       CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+FROM events GROUP BY user_id
+""")
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation (collect_set), emitted as a sorted joined
+    string so the comparison is order-insensitive and scalar."""
+    e = table(spark, sf_dir, "events")
+    types = F.collect_set("event_type")
+    return (e.groupBy("user_id")
+            .agg(F.array_join(F.array_sort(types), ",").alias("types_seen"),
+                 F.size(types).alias("n_types")))
+
+
+@query("agg_max_by", oracle="""
+SELECT user_id,
+       arg_max(event_type, value) AS top_type,
+       round(max(value), 3) AS top_value
+FROM events GROUP BY user_id
+""")
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax aggregation (max_by/arg_max): the event type carrying each
+    user's max value. Deterministic on this data — values are continuous
+    doubles, exact ties have measure zero (a production version would
+    order by (value, unique_id))."""
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy("user_id")
+            .agg(F.max_by("event_type", "value").alias("top_type"),
+                 F.round(F.max("value"), 3).alias("top_value")))
+
+
 @query("window_tumbling", oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        count(*) AS cnt,
