@@ -32,6 +32,38 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with event-time bounds: each purchase
+    joined to the same user's clicks within the preceding 2 hours.
+    Watermarks bound both sides' state; results equal the batch join."""
+    def split(df):
+        purchases = (df.filter(F.col("event_type") == "purchase")
+                     .select(F.col("user_id").alias("p_user"),
+                             F.col("event_id").alias("p_id"),
+                             F.col("ts").alias("p_ts")))
+        clicks = (df.filter(F.col("event_type") == "click")
+                  .select(F.col("user_id").alias("c_user"),
+                          F.col("event_id").alias("c_id"),
+                          F.col("ts").alias("c_ts")))
+        return purchases, clicks
+
+    sp, sc = split(read_events_stream(spark, sf_dir))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 2 hours")))
+    joined = (sp.withWatermark("p_ts", "1 hour")
+              .join(sc.withWatermark("c_ts", "1 hour"), cond)
+              .select("p_id", "c_id"))
+    q = (joined.writeStream.format("memory").queryName("t_ss_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.p_id, r.c_id) for r in spark.table("t_ss_join").collect()}
+
+    bp, bc = split(table(spark, sf_dir, "events"))
+    want = {(r.p_id, r.c_id) for r in bp.join(bc, cond).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_dedup_with_watermark(spark, sf_dir):
     """Streaming exactly-once-per-key dedup: dropDuplicates under a
     watermark bounds the dedup state (keys older than the watermark age

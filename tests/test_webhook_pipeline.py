@@ -40,6 +40,20 @@ def test_batch_pipeline_shapes(spark):
     assert all(v == 1 for v in per_meeting_type.values())
 
 
+def test_corrupt_json_routed_to_quarantine(spark):
+    """Unparseable bodies must not kill the pipeline: from_json yields a
+    NULL struct, which the first validation rule tags (PERMISSIVE-mode
+    behavior, SURVEY §1.3)."""
+    raw = spark.createDataFrame(
+        [(0, synth_event(0)), (1, "{not valid json"), (2, ""), (3, None)],
+        "event_no long, body string")
+    staging, rejected = webhook_batch_pipeline(raw, spark)
+    assert staging.count() > 0                         # good event flows
+    reasons = {r.event_no: r._quarantine_reason for r in rejected.collect()}
+    assert set(reasons) == {1, 2, 3}
+    assert all(v == "MISSING_UUID" for v in reasons.values())
+
+
 def test_stream_equals_batch(spark):
     webhook_stream.register(spark)
     raw_stream = (spark.readStream.format("webhook_sim")
