@@ -50,6 +50,24 @@ def test_simhash_hamming_separation(spark):
     assert near <= 16 and far > 16
 
 
+def test_ann_ivf_finds_planted_near_dups(spark, sf_dir):
+    """IVF twin of the LSH recall test: a perturbed copy lands in the same
+    (or a probed) cell and must surface in the top-k."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.dedup.ivf import ann_topk_ivf
+    e = table(spark, sf_dir, "embeddings")
+    planted = (e.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
+                       "label"))
+    corpus = e.unionByName(planted)
+    approx = ann_topk_ivf(corpus, planted, "vec_id", "embedding", dim=64,
+                          k=5, n_cells=8, n_probe=2, iters=2)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    hits = sum((100000 + i, i) in a for i in range(20))
+    assert hits >= 18   # n_probe=2 covers boundary cases → high recall
+
+
 def test_ann_lsh_finds_planted_near_dups(spark, sf_dir):
     """The LSH use case is near-dup retrieval: a slightly-perturbed copy of
     a vector (cosine ≈ 1) lands in the same bucket w.h.p. and must surface

@@ -169,6 +169,17 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round("raw_sim", 4).alias("sim")))
 
 
+@query("similarity_ann_ivf")  # rows-only: k-means IVF not ANSI-SQL-expressible
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: data-adaptive coarse k-means cells, n_probe-cell search,
+    exact rerank — the clustered-corpus scale path complementing LSH."""
+    from ..dedup.ivf import ann_topk_ivf
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ann_topk_ivf(e, queries, id_col="vec_id", emb_col="embedding",
+                        dim=64, k=5, n_cells=8, n_probe=2, iters=2)
+
+
 @query("similarity_ann_lsh")  # rows-only: hyperplane LSH not ANSI-SQL-expressible
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucketing — the 100 TB scale
