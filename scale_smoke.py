@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""10x scale smoke: synthesize ~sf1 tables (6M lineitem rows) from the
+sf0.1 parquet by key-shifted replication, then run representative heavy
+queries end-to-end. Answers "does the plan survive a 10x scale-up" with
+wall-clock evidence rather than argument. Writes only under /tmp.
+
+Replication keeps key relationships intact: copy c gets every key offset
+by c * KEY_STRIDE, so joins/FKs still match within a copy and cardinality
+scales linearly in every table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from zoom_etl_spark.registry import all_queries  # noqa: E402
+from zoom_etl_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/zes_sf1"
+COPIES = 10
+STRIDE = 100_000_000
+
+QUERIES = [
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "agg_group_stats",
+    "join_inner", "join_interval", "merge_upsert", "staging_merge",
+    "window_running_sum", "dedup_last_wins",
+]
+
+KEYED = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+UNKEYED = ["region", "nation"]  # bounded dims stay as-is
+
+
+def replicate(spark):
+    from zoom_etl_spark.catalog import table
+    copies = spark.range(COPIES).select(F.col("id").alias("__c"))
+    for name, keys in KEYED.items():
+        df = table(spark, SRC, name)
+        rep = df.crossJoin(F.broadcast(copies))
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("__c") * STRIDE)
+        if name == "events":  # keep nanos-long ts loadable via catalog path
+            rep = rep.withColumn("ts", F.expr("CAST(unix_micros(ts) AS BIGINT) * 1000"))
+        rep.drop("__c").write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    for name in UNKEYED:
+        table(spark, SRC, name).write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+
+
+def main():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("zes-scale-smoke", cpus=cpus,
+                      shuffle_partitions=int(cpus) * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+        t0 = time.time()
+        replicate(spark)
+        print(f"# replicated {COPIES}x into {OUT} in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+
+    from zoom_etl_spark import plans
+    specs = all_queries()
+    fns = {name: specs[name].fn for name in QUERIES}
+    fns["flagship_topk_revenue"] = plans.flagship
+    timings = {}
+    for name, fn in fns.items():
+        t0 = time.time()
+        fn(spark, OUT).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        print(f"# {timings[name]:8.2f}s {name}", file=sys.stderr)
+    print(json.dumps({"metric": "scale_smoke_10x", "unit": "sec",
+                      "copies": COPIES, "queries": timings,
+                      "value": round(sum(timings.values()), 2)}))
+
+
+if __name__ == "__main__":
+    main()
