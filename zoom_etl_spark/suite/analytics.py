@@ -143,6 +143,51 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("win_start"), "cnt", "total"))
 
 
+@query("agg_stats_corr", oracle="""
+SELECT l_returnflag AS returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(stddev_pop(l_extendedprice), 2) AS price_stddev,
+       round(var_pop(l_quantity), 4) AS qty_var
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev/variance) per group —
+    single-pass streaming moments, mergeable partials."""
+    l = table(spark, sf_dir, "lineitem")
+    return (l.groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+                 F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+                 F.round(F.stddev_pop("l_extendedprice"), 2).alias("price_stddev"),
+                 F.round(F.var_pop("l_quantity"), 4).alias("qty_var")))
+
+
+@query("window_rank_dist", oracle="""
+SELECT c_custkey AS custkey,
+       c_mktsegment AS segment,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""")
+def window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-distribution windows (rank / dense_rank / percent_rank /
+    cume_dist) per segment."""
+    from pyspark.sql import Window
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(),
+                                                   F.col("c_custkey"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+
+
 @query("scd2_history", oracle="""
 SELECT user_id,
        event_id,
