@@ -143,6 +143,29 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("win_start"), "cnt", "total"))
 
 
+@query("agg_grouping_id", oracle="""
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() indicators distinguish real NULL group keys from rollup
+    subtotal rows — required for correct BI consumption of rollups."""
+    l = table(spark, sf_dir, "lineitem")
+    # grouping() must reference the raw rollup columns — alias afterwards
+    return (l.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("int").alias("g_status"),
+                 F.count("*").alias("cnt"))
+            .select(F.col("l_returnflag").alias("returnflag"),
+                    F.col("l_linestatus").alias("linestatus"),
+                    "g_flag", "g_status", "cnt"))
+
+
 @query("agg_stats_corr", oracle="""
 SELECT l_returnflag AS returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
