@@ -63,6 +63,24 @@ def test_running_sum_order(spark):
     assert out[("u", 1)] == 10.0 and out[("u", 2)] == 15.0 and out[("v", 1)] == 1.0
 
 
+def test_stratified_sampling_bounds(spark, sf_dir):
+    """sampleBy: per-stratum sampling for balanced training subsets (the
+    100 TB data-curation path: downsample dominant classes). Seeded,
+    fraction approximately honored per stratum."""
+    from zoom_etl_spark.catalog import table
+    e = table(spark, sf_dir, "events")
+    fracs = {"click": 0.5, "view": 0.1, "purchase": 1.0}
+    s = e.sampleBy("event_type", fracs, seed=42)
+    got = {r.event_type: r.cnt for r in
+           s.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    base = {r.event_type: r.cnt for r in
+            e.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    assert set(got) <= set(fracs)                     # unlisted strata dropped
+    assert got["purchase"] == base["purchase"]        # fraction 1.0 = all
+    assert 0.25 * base["click"] <= got["click"] <= 0.75 * base["click"]
+    assert got["view"] <= 0.3 * base["view"]
+
+
 def test_hll_within_relative_error(spark, sf_dir):
     """approx_count_distinct (the 100 TB cardinality path) vs exact."""
     from zoom_etl_spark.catalog import table

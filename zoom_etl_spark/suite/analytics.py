@@ -290,6 +290,69 @@ def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"))
 
 
+@query("recursive_cte", oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS TIMESTAMP)
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m + INTERVAL 1 MONTH <= (SELECT max(o_orderdate) FROM orders)
+)
+SELECT months.m AS month, coalesce(oc.cnt, 0) AS n_orders
+FROM months
+LEFT JOIN (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, count(*) AS cnt
+  FROM orders GROUP BY 1
+) oc ON oc.m = months.m
+""")
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a complete month spine from
+    min to max order date — including gap months as zero — joined to
+    per-month order counts. The canonical calendar-spine pattern BI tools
+    need and plain GROUP BY can't produce (it drops empty months)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_rc_orders")
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM _rc_orders)) AS TIMESTAMP)
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m + INTERVAL 1 MONTH <= (SELECT max(o_orderdate) FROM _rc_orders)
+        )
+        SELECT months.m AS month, coalesce(oc.cnt, 0) AS n_orders
+        FROM months
+        LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS m, count(*) AS cnt
+          FROM _rc_orders GROUP BY 1
+        ) oc ON oc.m = months.m
+    """)
+
+
+@query("unpivot_melt", oracle="""
+SELECT l_orderkey AS order_id, l_linenumber AS line_no, metric,
+       round(value, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+""")
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns to long (metric, value) rows —
+    one pass (Expand node), not a union of three scans."""
+    l = table(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=[F.col("l_quantity").alias("quantity"),
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_discount").alias("discount")],
+        variableColumnName="metric", valueColumnName="value")
+    return melted.select(F.col("l_orderkey").alias("order_id"),
+                         F.col("l_linenumber").alias("line_no"),
+                         "metric", F.round("value", 2).alias("val"))
+
+
 @query("error_categorize", oracle="""
 SELECT CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'MISSING_FIELD'
             WHEN value < 0.05 THEN 'OUT_OF_RANGE'
