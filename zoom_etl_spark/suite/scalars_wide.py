@@ -116,6 +116,34 @@ def date_funcs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("try_funcs", oracle="""
+SELECT o_orderkey AS id,
+       round(o_totalprice / ((o_orderkey % 5) * 2 + 1), 4) AS odd_div,
+       CASE WHEN (o_orderkey % 3) = 1 THEN NULL
+            ELSE o_totalprice / ((o_orderkey % 3) - 1) END AS div_or_null,
+       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS good_cast
+FROM orders
+""")
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: Spark 4 runs ANSI mode (divide-by-zero and
+    bad casts THROW) — production pipelines use try_divide/try_cast for
+    NULL-on-failure, the reference loader's error regime (SURVEY §7.3,
+    generalized). Divisors are kept ODD in the rounded column: an even
+    divisor of 2-decimal prices can land exactly on the 5th-decimal
+    rounding boundary, where Spark (HALF_UP) and DuckDB (half-even)
+    legitimately disagree."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.try_divide("o_totalprice", (F.col("o_orderkey") % 5) * 2 + 1), 4)
+         .alias("odd_div"),
+        F.try_divide("o_totalprice", (F.col("o_orderkey") % 3) - 1)
+         .alias("div_or_null"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("good_cast"))
+
+
 @query("conditional_funcs", oracle="""
 SELECT o_orderkey AS id,
        CASE WHEN o_totalprice > 200000 THEN 'high'
