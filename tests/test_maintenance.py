@@ -50,6 +50,30 @@ def test_merge_rewrites_only_touched_partitions(spark, sf_dir):
     assert back.count() == o.count() + 1
 
 
+def test_merge_rejects_null_partition_updates(spark, sf_dir):
+    import pytest
+    target_dir = tempfile.mkdtemp(prefix="zes_part_") + "/t"
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"))
+    o.write.partitionBy("status").parquet(target_dir)
+    updates = spark.createDataFrame([(1, 9.0, None)], "id long, total double, status string")
+    with pytest.raises(ValueError, match="NULL 'status'"):
+        merge_into_partitioned(spark, target_dir, updates,
+                               keys=["id"], partition_col="status")
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+    from zoom_etl_spark.operators.joins import salted_join
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, "y")], "k int, w string")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(a, b, "k", how="full_outer")
+    assert salted_join(a, b, "k", how="left").count() == 1
+
+
 def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
     target_dir = tempfile.mkdtemp(prefix="zes_comp_") + "/t"
     e = table(spark, sf_dir, "events").select(

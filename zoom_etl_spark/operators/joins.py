@@ -34,6 +34,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     via ``tiebreak`` (default: right_ts then right cols are NOT unique —
     pass a unique right column). ``how='left'`` keeps unmatched left rows
     with NULL right columns.
+
+    Left rows must be DISTINCT: the winner is picked per left-row
+    identity (all left columns), so two fully-identical left rows would
+    collapse to one output row. Include a unique id column on the left.
     """
     right_cols = list(right_cols or (c for c in right.columns if c not in on))
     l = left.alias("l")
@@ -58,7 +62,16 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join with the left side salted into ``n_salts`` shards and the
     right side exploded across all shards — result identical to a plain
-    join (verified in tests), parallelism restored for hot keys."""
+    join (verified in tests), parallelism restored for hot keys.
+
+    Only inner/left joins are valid: the right side is physically
+    replicated across the salt space, so right/full-outer would emit
+    unmatched right rows once PER SALT (n_salts duplicates).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows")
     salted_left = left.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                           F.lit(n_salts))).cast("int"))

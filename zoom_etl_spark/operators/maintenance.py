@@ -47,6 +47,11 @@ def merge_into_partitioned(spark: SparkSession, target_dir: str,
     partitions too, not the table.
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if None in touched:
+        raise ValueError(
+            f"updates contain NULL {partition_col!r} values — they would be "
+            "silently excluded from the partition-pruned merge; assign a "
+            "partition value (or quarantine them) first")
     if not touched:
         return []
     target = spark.read.parquet(target_dir)
