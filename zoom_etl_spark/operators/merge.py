@@ -56,6 +56,41 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     return merged.unionByName(upd_nullkey.select(*cols))
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  compare_cols: Sequence[str] | None = None) -> DataFrame:
+    """CDC-style change feed between two snapshots of the same table:
+    every key classified as 'insert' (new only), 'delete' (old only),
+    'update' (both, compared columns differ) or 'unchanged'.
+
+    The batch change-capture primitive downstream consumers need when the
+    source (like the reference's warehouse) only exposes current state —
+    one full-outer join on the key, one shuffle per side. NULL-safe
+    column comparison (``eqNullSafe``) so NULL→value and value→NULL both
+    read as updates.
+    """
+    cols = [c for c in new.columns if c not in keys]
+    compare_cols = list(compare_cols or cols)
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = reduce(lambda a, b: a & b,
+                  (F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys))
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    same = reduce(lambda a, b: a & b,
+                  (F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare_cols))
+    change = (F.when(~in_old, "insert")
+              .when(~in_new, "delete")
+              .when(same, "unchanged")
+              .otherwise("update"))
+    return joined.select(
+        *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+        change.alias("change"),
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols],
+        *[F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols],
+    )
+
+
 def staging_merge(staging: DataFrame, parent: DataFrame, target: DataFrame,
                   staging_parent_key: str, parent_key: str,
                   merge_keys: Sequence[str]) -> tuple[DataFrame, DataFrame]:

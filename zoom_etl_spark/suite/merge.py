@@ -71,6 +71,42 @@ def upsert_last_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("event_type").alias("last_type"))
 
 
+@query("cdc_diff", oracle="""
+WITH old_state AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1
+),
+new_state AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT coalesce(n.user_id, o.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            WHEN o.event_id = n.event_id AND o.event_type = n.event_type THEN 'unchanged'
+            ELSE 'update' END AS change,
+       n.event_id AS new_event_id,
+       o.event_id AS old_event_id
+FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+""")
+def cdc_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two snapshots: per-user state before the cutoff
+    vs final state — inserts (users first seen after), updates (newer
+    last event), unchanged (no later events). The CDC primitive for
+    current-state-only sources like the reference's warehouse."""
+    from ..operators.merge import snapshot_diff
+    e = table(spark, sf_dir, "events")
+    old = _snapshot(e, F.col("ts") < F.lit(_CUTOFF).cast("timestamp")) \
+        .select("user_id", "event_id", "event_type")
+    new = _snapshot(e, F.lit(True)).select("user_id", "event_id", "event_type")
+    d = snapshot_diff(old, new, keys=["user_id"],
+                      compare_cols=["event_id", "event_type"])
+    return d.select("user_id", "change",
+                    F.col("new_event_id"), F.col("old_event_id"))
+
+
 @query("staging_merge", oracle="""
 WITH staging AS (
   SELECT l_orderkey AS order_id, l_linenumber AS line_no,
