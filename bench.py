@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from zoom_etl_spark.registry import all_queries  # noqa: E402
 from zoom_etl_spark.session import get_spark  # noqa: E402
 from zoom_etl_spark import plans  # noqa: E402
+from zoom_etl_spark.metrics import StageMetrics, mb  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(min(os.cpu_count() or 8, 32)))
@@ -37,14 +38,19 @@ def _sf_label(sf_dir: str) -> float | str:
 
 def main() -> None:
     spark = get_spark("zoom-etl-spark-bench", cpus=CPUS,
-                      shuffle_partitions=max(int(CPUS) * 2, 16))
+                      shuffle_partitions=max(int(CPUS) * 2, 16), ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
     # JVM/codegen warmup so the first measured query isn't charged for init
     plans.flagship(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
+    meter = StageMetrics(spark)  # per-query shuffle/spill cost attribution
     timings: dict[str, float] = {}
+    shuffle_write_mb: dict[str, float] = {}
+    cost_totals = {"inputBytes": 0, "shuffleReadBytes": 0,
+                   "shuffleWriteBytes": 0, "memoryBytesSpilled": 0,
+                   "diskBytesSpilled": 0}
     for name in sorted(specs):
         fn = specs[name].fn
         t0 = time.time()
@@ -54,15 +60,25 @@ def main() -> None:
         else:
             df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        cost = meter.delta()
+        if cost:
+            shuffle_write_mb[name] = mb(cost["shuffleWriteBytes"])
+            for k in cost_totals:
+                cost_totals[k] += cost[k]
         # per-query isolation: drop caches a query persisted internally
         spark.catalog.clearCache()
 
     t0 = time.time()
     plans.flagship(spark, SF_DIR).write.mode("overwrite").format("noop").save()
     timings["flagship_topk_revenue"] = round(time.time() - t0, 3)
+    cost = meter.delta()
+    if cost:
+        shuffle_write_mb["flagship_topk_revenue"] = mb(cost["shuffleWriteBytes"])
+        for k in cost_totals:
+            cost_totals[k] += cost[k]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "suite_total_wall_clock",
         "value": total,
         "unit": "sec",
@@ -70,7 +86,11 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "cpus": int(CPUS),
         "n_queries": len(timings),
-    }))
+    }
+    if meter.enabled:
+        out["shuffle_write_mb"] = shuffle_write_mb
+        out["cost_totals_mb"] = {k: mb(v) for k, v in cost_totals.items()}
+    print(json.dumps(out))
     spark.stop()
 
 

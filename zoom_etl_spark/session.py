@@ -40,7 +40,8 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 def get_spark(app_name: str = "zoom-etl-spark", cpus: int | str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              ui: bool = False) -> SparkSession:
     """Build a local session shaped like the driver's.
 
     ``local[N]`` with N from $SPARK_GRAFT_CPUS; shuffle partitions sized to
@@ -53,7 +54,7 @@ def get_spark(app_name: str = "zoom-etl-spark", cpus: int | str | None = None,
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # managed (bucketed) test tables land outside the repo
         .config("spark.sql.warehouse.dir", "/tmp/zes_warehouse")
