@@ -285,25 +285,50 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang top-trigram profiles (small → broadcast) scored against each
     doc's trigrams; prediction = argmax matches. Entirely joins + aggs."""
     d = table(spark, sf_dir, "documents")
-    trigrams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
-    doc_tri = (d.select("doc_id", "lang", F.explode(trigrams).alias("tri"))
-               .groupBy("doc_id", "lang", "tri").agg(F.count("*").alias("tf"))
-               .persist())  # used twice: profile training + scoring
+    tri_expr = ("transform(sequence(1, greatest(length(text) - 2, 1)), "
+                "i -> substring(text, i, 3))")
 
-    # train: top-20 trigrams per language (tiny profile table)
-    lang_tri = (doc_tri.groupBy("lang", "tri").agg(F.sum("tf").alias("cf")))
+    # train: top-20 trigrams per language. The only shuffle in the whole
+    # query — and hash aggregation partials combine map-side, so shuffle
+    # volume is bounded by distinct (lang, trigram) pairs per partition,
+    # NOT by corpus size. (The previous plan also shuffled every
+    # doc-trigram occurrence for scoring: ~corpus-sized — fatal at 100 TB.)
+    lang_tri = (d.select("lang", F.explode(F.expr(tri_expr)).alias("tri"))
+                .groupBy("lang", "tri").agg(F.count("*").alias("cf")))
     profiles = topk_per_group(
         lang_tri, keys=["lang"],
-        order=[F.col("cf").desc(), F.col("tri").asc()], k=20
-    ).select(F.col("lang").alias("cand_lang"), "tri")
+        order=[F.col("cf").desc(), F.col("tri").asc()], k=20)
+    prof_rows = sorted(
+        profiles.groupBy("lang").agg(F.collect_list("tri").alias("tris")).collect(),
+        key=lambda r: r["lang"])  # n_langs rows — driver-side by construction
 
-    # score: matches of doc trigrams against each candidate profile
-    scores = (doc_tri.join(F.broadcast(profiles), "tri")
-              .groupBy("doc_id", "lang", "cand_lang")
-              .agg(F.sum("tf").alias("score")))
-    best = topk_per_group(
-        scores, keys=["doc_id"],
-        order=[F.col("score").desc(), F.col("cand_lang").asc()], k=1)
-    return best.select("doc_id", F.col("lang").alias("true_lang"),
-                       F.col("cand_lang").alias("pred_lang"), "score")
+    if not prof_rows:  # empty corpus: keep the output schema stable
+        return d.select(
+            "doc_id", F.col("lang").alias("true_lang"),
+            F.lit(None).cast("string").alias("pred_lang"),
+            F.lit(None).cast("bigint").alias("score"))
+
+    # score: per-doc, per-candidate trigram hits computed entirely
+    # row-local against the broadcast-literal profiles (langs × 20 × 3
+    # chars — constant-folded into the task binary; zero scoring shuffle).
+    entries: list = []
+    for r in prof_rows:
+        entries.append(F.lit(r["lang"]))
+        entries.append(F.array(*[F.lit(t) for t in r["tris"]]))
+    best = F.expr("""
+        array_sort(
+          transform(map_keys(prof), c -> struct(
+            cast(size(filter(tris, t -> array_contains(prof[c], t))) as bigint)
+              AS score,
+            c AS cand_lang)),
+          (a, b) -> CASE WHEN a.score > b.score THEN -1
+                         WHEN a.score < b.score THEN 1
+                         WHEN a.cand_lang < b.cand_lang THEN -1
+                         WHEN a.cand_lang > b.cand_lang THEN 1
+                         ELSE 0 END)[0]""")
+    return (d.select("doc_id", "lang", F.expr(tri_expr).alias("tris"))
+            .withColumn("prof", F.create_map(*entries))
+            .withColumn("best", best)
+            .select("doc_id", F.col("lang").alias("true_lang"),
+                    F.col("best.cand_lang").alias("pred_lang"),
+                    F.col("best.score").alias("score")))
