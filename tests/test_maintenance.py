@@ -90,3 +90,34 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
     assert partition_file_count(target_dir, "etype", "click") == 1
     assert spark.read.parquet(target_dir).count() == before_rows
     assert _files_with_mtimes(target_dir, "etype", "view") == other_before
+
+
+def test_auto_join_detects_skew_and_matches_plain(spark):
+    from zoom_etl_spark.operators.joins import auto_join
+    # one key owns 90% of the left side — pathological by any threshold
+    hot = spark.range(0, 9000).selectExpr("1 AS k", "id AS v")
+    cold = spark.range(0, 1000).selectExpr("cast(id % 50 + 2 AS bigint) AS k",
+                                           "id + 9000 AS v")
+    left = hot.unionAll(cold)
+    right = spark.range(1, 60).selectExpr("id AS k", "id * 10 AS w")
+    decision: dict = {}
+    out = auto_join(left, right, "k", sample_fraction=0.5,
+                    decision_out=decision)
+    assert decision["strategy"] == "salted"
+    assert decision["hot_share"] > 0.5
+    plain = left.join(right, "k")
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain).count() == 0
+    assert plain.exceptAll(out).count() == 0
+
+
+def test_auto_join_uniform_stays_plain(spark):
+    from zoom_etl_spark.operators.joins import auto_join
+    left = spark.range(0, 5000).selectExpr("id % 500 AS k", "id AS v")
+    right = spark.range(0, 500).selectExpr("id AS k", "id * 10 AS w")
+    decision: dict = {}
+    out = auto_join(left, right, "k", sample_fraction=0.5,
+                    decision_out=decision)
+    assert decision["strategy"] == "plain"
+    assert decision["hot_share"] < 0.2
+    assert out.count() == 5000

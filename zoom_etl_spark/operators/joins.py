@@ -58,6 +58,52 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
                        *[F.col(f"r.{c}").alias(f"asof_{c}") for c in right_cols])
 
 
+def skew_stats(df: DataFrame, key: str,
+               sample_fraction: float = 0.01) -> dict:
+    """Estimate join-key skew from a sampled, column-pruned scan.
+
+    One Spark job: sample → groupBy(key) (map-side combined, shuffle
+    bounded by distinct keys in the sample) → single-row agg. Returns
+    ``{"n": sampled_rows, "top_count": hottest_key_count,
+    "hot_share": top_count / n}``. At 100 TB the scan reads ONE column
+    at ``sample_fraction`` of the data — cheap relative to the join it
+    informs. The reference has no stats at all; its chunk splitter
+    assumes uniform keys (SURVEY.md §4.1).
+    """
+    counts = (df.select(key).sample(fraction=sample_fraction, seed=7)
+              .groupBy(key).count())
+    row = counts.agg(F.sum("count").alias("n"),
+                     F.max("count").alias("top")).first()
+    n = int(row["n"] or 0)
+    top = int(row["top"] or 0)
+    return {"n": n, "top_count": top,
+            "hot_share": (top / n) if n else 0.0}
+
+
+def auto_join(left: DataFrame, right: DataFrame, key: str,
+              how: str = "inner", skew_threshold: float = 0.2,
+              n_salts: int = 8, sample_fraction: float = 0.01,
+              decision_out: dict | None = None) -> DataFrame:
+    """Equi-join that picks its physical strategy from data, not hope:
+    sample the left side's key distribution and use ``salted_join`` when
+    one key owns ≥ ``skew_threshold`` of the rows, else a plain join.
+
+    AQE's skew-join splitter handles moderate skew at runtime; the salted
+    path is for pathological keys (a single key spanning many partitions'
+    worth of rows) where post-shuffle splitting still leaves one reducer
+    reading the whole hot key's shuffle blocks. ``decision_out`` (if
+    passed) is populated with the measured stats and the chosen strategy
+    so pipelines can log WHY a plan was picked.
+    """
+    stats = skew_stats(left, key, sample_fraction=sample_fraction)
+    salted = stats["hot_share"] >= skew_threshold and how in ("inner", "left")
+    if decision_out is not None:
+        decision_out.update(stats, strategy="salted" if salted else "plain")
+    if salted:
+        return salted_join(left, right, key, n_salts=n_salts, how=how)
+    return left.join(right, key, how)
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join with the left side salted into ``n_salts`` shards and the

@@ -237,6 +237,34 @@ def join_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(l, o, "k", n_salts=8).select("order_id", "line_no", "status")
 
 
+@query("join_auto_skew", oracle="""
+SELECT l.k AS k, l.line_no AS line_no, o.status AS status
+FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey END AS k,
+             l_linenumber AS line_no
+      FROM lineitem) l
+JOIN (SELECT o_orderkey AS k, o_orderstatus AS status FROM orders) o
+  USING (k)
+""")
+def join_auto_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-driven join: sample the key histogram, salt only when one key
+    is pathologically hot. Here ~80% of lineitem keys are remapped onto a
+    single hot key, so the sampler must pick the salted plan — and the
+    oracle (the plain SQL join) proves salting changed the physical
+    strategy, not the result."""
+    from ..operators.joins import auto_join
+    l = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(1))
+         .otherwise(F.col("l_orderkey")).cast("bigint").alias("k"),
+        F.col("l_linenumber").alias("line_no"))
+    o = (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                 F.col("o_orderstatus").alias("status")))
+    decision: dict = {}
+    out = auto_join(l, o, "k", sample_fraction=0.1, decision_out=decision)
+    assert decision["strategy"] == "salted", decision  # the point of the query
+    return out.select("k", "line_no", "status")
+
+
 @query("incremental_scan", oracle="""
 SELECT event_id, user_id, event_type, round(value, 3) AS val
 FROM events
