@@ -1,0 +1,75 @@
+"""ANN quality gates: recall@10 vs exact brute force (ROADMAP item 4).
+
+Everything is seeded/deterministic (fixed hyperplanes, fixed k-means
+init, deterministic tie-breaks), so the thresholds are real floors
+measured on the sf0.001 embeddings, with headroom. The structural claim
+— multi-probe candidate sets are supersets, so recall is monotone in
+probe count — is asserted exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.catalog import table
+from zoom_etl_spark.dedup.ivf import ann_topk_ivf
+from zoom_etl_spark.dedup.lsh import ann_topk_lsh
+from zoom_etl_spark.functions.vectors import cosine_similarity
+from zoom_etl_spark.operators.windows import topk_per_group
+
+DIM = 64
+K = 10
+
+
+@pytest.fixture(scope="module")
+def ann_fixture(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = corpus.limit(50)
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_emb"))
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"))
+    cand = (q.crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.round(cosine_similarity("q_emb", "c_emb"), 6)))
+    truth = topk_per_group(
+        cand.select("query_id", "neighbor_id", "sim"), keys=["query_id"],
+        order=[F.col("sim").desc(), F.col("neighbor_id").asc()], k=K)
+    tsets: dict = {}
+    for r in truth.collect():
+        tsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return corpus, queries, tsets
+
+
+def _recall(df, tsets) -> float:
+    got: dict = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sum(len(got.get(k, set()) & s) / len(s)
+               for k, s in tsets.items()) / len(tsets)
+
+
+def test_lsh_multiprobe_recall_monotone(ann_fixture):
+    corpus, queries, tsets = ann_fixture
+    recalls = [
+        _recall(ann_topk_lsh(corpus, queries, "vec_id", "embedding", DIM,
+                             k=K, n_planes=4, n_flip=nf), tsets)
+        for nf in (0, 2, 4)]
+    # superset candidate sets → recall can only improve with more probes
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    # measured 0.148 / 0.336 / 0.47 on sf0.001 — floors with headroom
+    assert recalls[2] >= 0.40, recalls
+
+
+def test_ivf_probe_recall(ann_fixture):
+    corpus, queries, tsets = ann_fixture
+    r2 = _recall(ann_topk_ivf(corpus, queries, "vec_id", "embedding", DIM,
+                              k=K, n_cells=16, n_probe=2), tsets)
+    r4 = _recall(ann_topk_ivf(corpus, queries, "vec_id", "embedding", DIM,
+                              k=K, n_cells=16, n_probe=4), tsets)
+    # measured 0.792 / 1.0 on sf0.001
+    assert r2 >= 0.70, r2
+    assert r4 >= 0.95, r4
+    assert r2 <= r4

@@ -44,26 +44,71 @@ def hyperplane_bucket(emb: Column | str, dim: int, n_planes: int = 12,
     return bucket
 
 
+def probe_buckets(emb: Column | str, dim: int, n_planes: int = 12,
+                  seed: int = 42, n_flip: int = 2) -> Column:
+    """Query-directed multi-probe (Lv et al., VLDB'07): the query's own
+    bucket plus the ``n_flip`` buckets reached by flipping the planes with
+    the SMALLEST projection margin — the bits most likely to be on the
+    wrong side for a true near neighbor. Returns array<long> of 1+n_flip
+    bucket ids, computed entirely row-local (plane coefficients are
+    constant-folded literals; no extra hash tables, no extra corpus pass).
+    """
+    c = F.col(emb) if isinstance(emb, str) else emb
+    planes = _planes(dim, n_planes, seed)
+    projs = F.array(*[
+        F.aggregate(
+            F.zip_with(c, F.array(*[F.lit(float(v)) for v in planes[p]]),
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for p in range(n_planes)])
+    base = F.aggregate(
+        projs, F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0))
+    # plane indices ordered by |margin| ascending (struct sort: m then i)
+    order = F.transform(
+        F.array_sort(F.transform(
+            projs, lambda x, i: F.struct(F.abs(x).alias("m"), i.alias("i")))),
+        lambda s: s["i"])
+    # mask for plane p: bit (n_planes-1-p) — literal table, element_at 1-based
+    masks = F.array(*[F.lit(1 << (n_planes - 1 - p)).cast("long")
+                      for p in range(n_planes)])
+    flips = F.transform(
+        F.slice(order, 1, n_flip),
+        lambda i: base.bitwiseXOR(F.element_at(masks, i + 1)))
+    return F.concat(F.array(base), flips)
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
                  emb_col: str, dim: int, k: int = 10, n_planes: int = 8,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, n_flip: int = 0) -> DataFrame:
     """Approximate top-k cosine neighbors per query row.
 
     Returns (query_id, neighbor_id, sim) — neighbors limited to the
-    query's LSH bucket (same-bucket candidates only; raise recall by
-    lowering n_planes or unioning multiple seeds).
+    query's probed LSH buckets. ``n_flip=0`` probes only the query's own
+    bucket; ``n_flip=t`` adds the t most marginal Hamming-1 buckets
+    (query-directed multi-probe), a strict candidate-set superset so
+    recall is monotone in t while the corpus is still bucketed ONCE.
     """
     cb = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(emb_col).alias("c_emb"),
                        hyperplane_bucket(emb_col, dim, n_planes, seed).alias("bucket"))
-    qb = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(emb_col).alias("q_emb"),
-                        hyperplane_bucket(emb_col, dim, n_planes, seed).alias("bucket"))
+    if n_flip > 0:
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
+            F.explode(probe_buckets(emb_col, dim, n_planes, seed, n_flip)
+                      ).alias("bucket"))
+    else:
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
+            hyperplane_bucket(emb_col, dim, n_planes, seed).alias("bucket"))
     cand = (qb.join(cb, "bucket")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("sim", F.round(cosine_similarity("q_emb", "c_emb"), 6)))
+    cand = cand.select("query_id", "neighbor_id", "sim")
+    if n_flip > 0:  # a neighbor can appear via several probed buckets
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     return topk_per_group(
-        cand.select("query_id", "neighbor_id", "sim"),
+        cand,
         keys=["query_id"],
         order=[F.col("sim").desc(), F.col("neighbor_id").asc()],
         k=k,

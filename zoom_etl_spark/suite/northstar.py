@@ -183,11 +183,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_ann_lsh")  # rows-only: hyperplane LSH not ANSI-SQL-expressible
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucketing — the 100 TB scale
-    path: equi-join on bucket id replaces the all-pairs cross join."""
+    path: equi-join on bucket id replaces the all-pairs cross join.
+    Query-directed multi-probe (n_flip=2: the two most marginal planes)
+    recovers recall lost to bucket-boundary splits while the corpus is
+    still bucketed exactly once."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return ann_topk_lsh(e, queries, id_col="vec_id", emb_col="embedding",
-                        dim=64, k=5, n_planes=6)
+                        dim=64, k=5, n_planes=6, n_flip=2)
 
 
 # ------------------------------------------------------------ text analysis
