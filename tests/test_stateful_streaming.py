@@ -109,3 +109,63 @@ def test_foreachbatch_upsert_sink(spark, sf_dir):
             last_wins(e, keys=["user_id"],
                       version=[F.col("ts"), F.col("event_id")]).collect()}
     assert got == want
+
+
+class _FakeState:
+    def __init__(self):
+        self._v, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+
+def test_scd2_update_fn_across_batches():
+    """State transition across two simulated micro-batches: the open
+    version carries over and is closed by the next batch's first row."""
+    import pandas as pd
+    from zoom_etl_spark.streaming.stateful import _scd2_update
+
+    st = _FakeState()
+    b1 = pd.DataFrame({"user_id": [1, 1], "event_id": [10, 11],
+                       "event_type": ["join", "leave"],
+                       "ts": pd.to_datetime(["2024-01-01 10:00",
+                                             "2024-01-01 11:00"])})
+    out1 = pd.concat(list(_scd2_update((1,), iter([b1]), st)))
+    # v10 closed at 11:00; v11 open
+    assert list(out1.event_id) == [10, 11]
+    assert list(out1.is_current) == [False, True]
+    assert out1.iloc[0]["valid_to"] == pd.Timestamp("2024-01-01 11:00")
+    assert pd.isna(out1.iloc[1]["valid_to"])
+
+    b2 = pd.DataFrame({"user_id": [1], "event_id": [12],
+                       "event_type": ["rejoin"],
+                       "ts": pd.to_datetime(["2024-01-01 12:00"])})
+    out2 = pd.concat(list(_scd2_update((1,), iter([b2]), st)))
+    # the carried-over v11 closes at 12:00; v12 is the new open row
+    assert list(out2.event_id) == [11, 12]
+    assert list(out2.is_current) == [False, True]
+    assert out2.iloc[0]["valid_to"] == pd.Timestamp("2024-01-01 12:00")
+
+
+def test_scd2_streaming_matches_batch(spark, sf_dir):
+    """End-to-end IVM: the finalized emitted log equals the batch SCD2
+    window query over the same events."""
+    from zoom_etl_spark.streaming.stateful import scd2_finalize, scd2_maintain
+    from zoom_etl_spark.suite.analytics import scd2_history
+
+    stream = read_events_stream(spark, sf_dir)
+    out = scd2_maintain(stream)
+    q = (out.writeStream.format("memory").queryName("t_scd2_ivm")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got_df = scd2_finalize(spark.table("t_scd2_ivm"))
+    got = {(r.user_id, r.event_id, r.state, r.valid_from, r.valid_to,
+            r.is_current) for r in got_df.collect()}
+    want = {(r.user_id, r.event_id, r.state, r.valid_from, r.valid_to,
+             r.is_current) for r in scd2_history(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0

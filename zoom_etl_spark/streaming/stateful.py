@@ -16,8 +16,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
-                               TimestampType)
+from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
+                               StructField, StructType, TimestampType)
 
 OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType(), True),
@@ -55,3 +55,80 @@ def user_lifetime_stats(events_stream: DataFrame) -> DataFrame:
             .groupBy("user_id")
             .applyInPandasWithState(_update, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------- SCD2 IVM
+
+SCD2_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("event_id", LongType(), True),
+    StructField("state", StringType(), True),
+    StructField("valid_from", TimestampType(), True),
+    StructField("valid_to", TimestampType(), True),
+    StructField("is_current", BooleanType(), True),
+])
+
+# the open version only: (event_id, state, valid_from_us)
+SCD2_STATE_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("state", StringType(), True),
+    StructField("from_us", LongType(), True),
+])
+
+
+def _scd2_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    cur = state.get if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    out: list[tuple] = []
+    for r in rows.itertuples():
+        ts_us = int(r.ts.value // 1000)
+        if cur is not None:
+            # new version closes the open one: emit its finished interval
+            out.append((key[0], cur[0], cur[1], cur[2], ts_us, False))
+        cur = (int(r.event_id), str(r.event_type), ts_us)
+    if cur is None:
+        return
+    state.update(cur)
+    out.append((key[0], cur[0], cur[1], cur[2], None, True))
+    yield pd.DataFrame(
+        {"user_id": [o[0] for o in out],
+         "event_id": [o[1] for o in out],
+         "state": [o[2] for o in out],
+         "valid_from": [pd.Timestamp(o[3] * 1000) for o in out],
+         "valid_to": [pd.Timestamp(o[4] * 1000) if o[4] is not None else pd.NaT
+                      for o in out],
+         "is_current": [o[5] for o in out]})
+
+
+def scd2_maintain(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained SCD2 history (ROADMAP item 5): the
+    streaming IVM analog of the batch ``scd2_history`` query.
+
+    State per key is ONLY the open version (constant per key — not the
+    history), so state size is bounded by key cardinality regardless of
+    stream length. Each micro-batch emits the intervals it closed plus
+    the (re-emitted) open row; a closed emission for an event_id
+    supersedes that event_id's earlier open emission, so the materialized
+    view is ``scd2_finalize`` over everything emitted.
+
+    Assumes per-key event-time order ACROSS micro-batches (within a
+    batch, rows are sorted here). Out-of-order input needs version
+    buffering in state — see docs/plan_audit notes.
+    """
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(_scd2_update, SCD2_OUTPUT_SCHEMA,
+                                    SCD2_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def scd2_finalize(emitted: DataFrame) -> DataFrame:
+    """Collapse the emitted update log to the current SCD2 view: for each
+    (user_id, event_id) version, the closed emission (is_current=false)
+    supersedes the open one it re-stated."""
+    from ..operators.windows import topk_per_group
+    from pyspark.sql import functions as F
+    return topk_per_group(
+        emitted, keys=["user_id", "event_id"],
+        order=[F.col("is_current").asc()], k=1)

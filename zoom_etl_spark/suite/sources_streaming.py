@@ -61,6 +61,30 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stateful_result")
 
 
+@query("stream_scd2_ivm", oracle="""
+SELECT user_id, event_id, event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def stream_scd2_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD2 view (streaming state = only the open
+    version per key, bounded by key cardinality). Oracle-checked against
+    the BATCH window formulation — the rare streaming op whose converged
+    state is exactly ANSI-SQL-expressible, so the IVM path gets the full
+    value-hash gate, not a rows-only check."""
+    from ..streaming.stateful import scd2_finalize, scd2_maintain
+    stream = read_events_stream(spark, sf_dir)
+    out = scd2_maintain(stream)
+    q = (out.writeStream.format("memory").queryName("stream_scd2_log")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return scd2_finalize(spark.table("stream_scd2_log")).select(
+        "user_id", "event_id", "state", "valid_from", "valid_to", "is_current")
+
+
 @query("sink_partitioned_write")  # rows-only: filesystem side effects
 def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + pruned read-back — the physical design
