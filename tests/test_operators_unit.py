@@ -88,3 +88,21 @@ def test_hll_within_relative_error(spark, sf_dir):
     row = e.agg(F.count_distinct("user_id").alias("exact"),
                 F.approx_count_distinct("user_id", 0.02).alias("approx")).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_gapfill_locf_materializes_missing_buckets(spark):
+    from zoom_etl_spark.operators.timeseries import gapfill_locf
+    import datetime as dt
+    rows = [(1, dt.datetime(2024, 1, 1, 0), 10.0),
+            (1, dt.datetime(2024, 1, 1, 3), 40.0),   # 01:00, 02:00 missing
+            (2, dt.datetime(2024, 1, 1, 5), 7.0)]    # single bucket: no gaps
+    b = spark.createDataFrame(rows, "k int, h timestamp, v double")
+    out = {(r.k, r.h.hour): (r.v, r.v_locf)
+           for r in gapfill_locf(b, "k", "h", "v", "1 hour").collect()}
+    assert out == {
+        (1, 0): (10.0, 10.0),
+        (1, 1): (None, 10.0),   # gap rows exist, filled forward
+        (1, 2): (None, 10.0),
+        (1, 3): (40.0, 40.0),
+        (2, 5): (7.0, 7.0),
+    }

@@ -1,0 +1,48 @@
+"""Time-series regularization: per-key time spine + gap fill.
+
+The hypertable-rollup shape (TimescaleDB ``time_bucket_gapfill``,
+InfluxDB ``fill(previous)``): bucket an event stream, then materialize
+EVERY bucket in each key's active range — missing buckets appear as
+rows — and fill values forward (LOCF). Spark lacks this as a primitive;
+it composes from sequence()+explode for the spine, a left join back
+onto the observed buckets, and an ignore-nulls last() window for the
+fill. No reference counterpart (closest intent: the attendance
+time-math in sql/create_tables.sql:38-40).
+
+Scale: the spine explode is row-local (one output row per bucket in the
+key's own span — output-proportional, no cross product); the spine⋈agg
+join and the LOCF window both hash-partition on the key, so AQE handles
+them as ordinary keyed stages. Dense keys (years of 1-min buckets)
+fan out proportionally to their true bucket count, never to other keys'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_spine(buckets: DataFrame, key: str, bucket_col: str,
+               step: str) -> DataFrame:
+    """One row per ``step`` interval between each key's min and max
+    bucket (inclusive). ``step`` is a SQL interval literal body, e.g.
+    ``'1 hour'``."""
+    return (buckets.groupBy(key)
+            .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+            .select(key, F.explode(F.expr(
+                f"sequence(__lo, __hi, interval {step})")).alias(bucket_col)))
+
+
+def gapfill_locf(buckets: DataFrame, key: str, bucket_col: str,
+                 val_col: str, step: str) -> DataFrame:
+    """Materialize missing buckets and carry the last observation
+    forward. Output: (key, bucket, raw value-or-NULL, filled value).
+    The first bucket per key is always observed (the spine starts at the
+    key's min), so the filled column is never NULL."""
+    spine = time_spine(buckets, key, bucket_col, step)
+    joined = spine.join(buckets, [key, bucket_col], "left")
+    w = (Window.partitionBy(key).orderBy(bucket_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        key, bucket_col, F.col(val_col),
+        F.last(val_col, ignorenulls=True).over(w).alias(f"{val_col}_locf"))

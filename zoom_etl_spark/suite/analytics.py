@@ -373,3 +373,29 @@ def error_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise("OK"))
     return (e.groupBy(reason.alias("reason"))
             .agg(F.count("*").alias("cnt")))
+
+
+@query("gapfill_locf_hourly", oracle="""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 3) AS v
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM agg GROUP BY user_id),
+j AS (SELECT s.user_id, s.h, a.v FROM spine s LEFT JOIN agg a USING (user_id, h))
+SELECT user_id, h, v,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+FROM j
+""")
+def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup gap fill (TimescaleDB time_bucket_gapfill +
+    fill(previous)): hourly per-user averages with every missing hour
+    materialized on a sequence()-explode spine and filled LOCF via an
+    ignore-nulls last() window. Spine fan-out is row-local and
+    output-proportional; join + window hash-partition on user_id."""
+    from ..operators.timeseries import gapfill_locf
+    e = table(spark, sf_dir, "events")
+    agg = (e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+           .agg(F.round(F.avg("value"), 3).alias("v")))
+    return gapfill_locf(agg, "user_id", "h", "v", "1 hour")
