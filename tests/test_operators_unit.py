@@ -106,3 +106,23 @@ def test_gapfill_locf_materializes_missing_buckets(spark):
         (1, 3): (40.0, 40.0),
         (2, 5): (7.0, 7.0),
     }
+
+
+def test_gapfill_linear_interpolates_between_observations(spark):
+    from zoom_etl_spark.operators.timeseries import gapfill_linear
+    import datetime as dt
+    rows = [(1, dt.datetime(2024, 1, 1, 0), 10.0),
+            (1, dt.datetime(2024, 1, 1, 3), 40.0),   # 01:00, 02:00 missing
+            (2, dt.datetime(2024, 1, 1, 4), None),   # leading edge gap
+            (2, dt.datetime(2024, 1, 1, 5), 7.0)]
+    b = spark.createDataFrame(rows, "k int, h timestamp, v double")
+    out = {(r.k, r.h.hour): r.v_interp
+           for r in gapfill_linear(b, "k", "h", "v", "1 hour").collect()}
+    assert out == {
+        (1, 0): 10.0,
+        (1, 1): 20.0,   # straight line 10 -> 40 over 3 hours
+        (1, 2): 30.0,
+        (1, 3): 40.0,
+        (2, 4): 7.0,    # edge gap degrades to nearest observation
+        (2, 5): 7.0,
+    }

@@ -46,3 +46,36 @@ def gapfill_locf(buckets: DataFrame, key: str, bucket_col: str,
     return joined.select(
         key, bucket_col, F.col(val_col),
         F.last(val_col, ignorenulls=True).over(w).alias(f"{val_col}_locf"))
+
+
+def gapfill_linear(buckets: DataFrame, key: str, bucket_col: str,
+                   val_col: str, step: str) -> DataFrame:
+    """Materialize missing buckets and fill by linear interpolation
+    between the surrounding observations (edges degrade to nearest-
+    observation fill). Two ignore-nulls window passes — last() looking
+    back, first() looking forward — give each gap row its bracketing
+    (time, value) pairs; the interpolation itself is row-local
+    arithmetic. Same partitioning story as ``gapfill_locf``."""
+    spine = time_spine(buckets, key, bucket_col, step)
+    joined = spine.join(buckets, [key, bucket_col], "left")
+    t = F.unix_timestamp(bucket_col).cast("double")
+    obs_t = F.when(F.col(val_col).isNotNull(), t)
+    wb = (Window.partitionBy(key).orderBy(bucket_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(key).orderBy(bucket_col)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    pv = F.last(val_col, ignorenulls=True).over(wb)
+    nv = F.first(val_col, ignorenulls=True).over(wf)
+    pt = F.last(obs_t, ignorenulls=True).over(wb)
+    nt = F.first(obs_t, ignorenulls=True).over(wf)
+    interp = F.when(F.col(val_col).isNotNull(), F.col(val_col)) \
+              .when(pv.isNull(), nv) \
+              .when(nv.isNull(), pv) \
+              .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt))
+    # full precision out — callers choose their own rounding. (Half-way
+    # cases are COMMON here: 3-decimal inputs × power-of-2 gap ratios
+    # land exactly on .xxxxxx5, where round() tie-break modes differ
+    # across engines.)
+    return joined.select(
+        key, bucket_col, F.col(val_col),
+        interp.alias(f"{val_col}_interp"))

@@ -405,3 +405,47 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
            .agg(F.round(F.avg("value"), 3).alias("v")))
     return gapfill_locf(agg, "user_id", "h", "v", "1 hour")
+
+
+@query("gapfill_interp_hourly", oracle="""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 3) AS v
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM agg GROUP BY user_id),
+j AS (SELECT s.user_id, s.h, a.v FROM spine s LEFT JOIN agg a USING (user_id, h)),
+k AS (
+  SELECT user_id, h, v,
+         CAST(epoch(h) AS DOUBLE) AS t,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS DOUBLE) END IGNORE NULLS) OVER wb AS pt,
+         first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS DOUBLE) END IGNORE NULLS) OVER wf AS nt
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h, v,
+       trunc((CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) * 1e6) / 1e6
+         AS v_interp
+FROM k
+""")
+def gapfill_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: gaps get the value on the straight
+    line between the bracketing observations (edge gaps: nearest). Two
+    ignore-nulls window passes + row-local arithmetic; the DuckDB oracle
+    mirrors the same frames, pinning IGNORE NULLS semantics across
+    engines. Output is truncated (not rounded) to 6 decimals: the
+    interpolation lands on exact .xxxxxx5 halves often enough that
+    round() tie-break modes (Spark half-up, DuckDB half-even) diverge."""
+    from ..operators.timeseries import gapfill_linear
+    e = table(spark, sf_dir, "events")
+    agg = (e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+           .agg(F.round(F.avg("value"), 3).alias("v")))
+    out = gapfill_linear(agg, "user_id", "h", "v", "1 hour")
+    trunc6 = ((F.col("v_interp") * 1e6).cast("bigint").cast("double") / 1e6)
+    return out.select("user_id", "h", "v", trunc6.alias("v_interp"))

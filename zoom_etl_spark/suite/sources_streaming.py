@@ -61,6 +61,29 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stateful_result")
 
 
+@query("stream_static_enrich", oracle="""
+SELECT e.event_id, e.user_id, c.c_name AS name, c.c_mktsegment AS segment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the streaming side never
+    buffers state (each micro-batch broadcast-joins the static dim), and
+    the converged result IS the batch join — so this streaming op gets
+    the full DuckDB value gate. The Lambda enrich step (ref
+    handler.py:88-97) as a continuous pipeline."""
+    stream = read_events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer")
+    enriched = (stream.join(F.broadcast(dim),
+                            stream.user_id == dim.c_custkey)
+                .select("event_id", "user_id",
+                        F.col("c_name").alias("name"),
+                        F.col("c_mktsegment").alias("segment")))
+    q = (enriched.writeStream.format("memory").queryName("stream_enrich_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_enrich_out")
+
+
 @query("stream_scd2_ivm", oracle="""
 SELECT user_id, event_id, event_type AS state,
        ts AS valid_from,
