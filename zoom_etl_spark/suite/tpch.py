@@ -243,3 +243,323 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "totalprice", "sum_qty")
             .orderBy(F.col("totalprice").desc(), F.col("orderkey"))
             .limit(100))
+
+
+@query("tpch_q4_order_priority", oracle="""
+SELECT o.o_orderpriority AS priority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY priority
+""")
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking: the EXISTS shape. A correlated
+    existence test (any line shipped >60 days after order) becomes a
+    LEFT SEMI join with the correlation as a join-side predicate — one
+    shuffle on orderkey, lineitem never widens the output. (The
+    reference's schema lacks commit/receipt dates; ship-lag vs
+    orderdate is the same late-line semantics on available columns.)"""
+    o = (table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))))
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(l, (F.col("o_orderkey") == F.col("l_orderkey"))
+                  & (F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+                  "left_semi")
+    return (late.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("priority"))
+
+
+@query("tpch_q13_customer_distribution", oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: outer join that must keep
+    zero-order customers, then a histogram of the counts. The join
+    filter lives in the ON clause (a WHERE would silently drop the NULL
+    rows — the classic outer-join bug); count(o_orderkey) skips NULLs so
+    no-order customers land in the c_count=0 bucket. Second agg is over
+    a tiny domain → single light shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy(c.c_custkey)
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@query("tpch_q14_promo_revenue", oracle="""
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+                    AS DOUBLE), 4) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""")
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo revenue: conditional-aggregate ratio. part is a
+    broadcast dim (two columns after pruning), so the month of lineitem
+    never shuffles — the CASE rides the probe side into one scalar agg.
+    Sums accumulate in exact decimal (engine-order-independent), the
+    ratio is computed in double."""
+    l = (table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(24,6)"))
+    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(promo).cast("double")
+                         / F.sum(rev).cast("double"), 4).alias("promo_revenue")))
+
+
+@query("tpch_q17_small_qty_revenue", oracle="""
+WITH thr AS (
+  SELECT l_partkey, count(*) AS cnt,
+         sum(CAST(l_quantity AS DECIMAL(24,6))) AS qty_sum
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
+                  / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN thr t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND 5.0 * l.l_quantity * t.cnt < CAST(t.qty_sum AS DOUBLE)
+""")
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: correlated scalar subquery
+    (quantity < 20% of the part's average) decorrelated into a per-part
+    aggregate joined back. The brand semi-filter is applied BEFORE the
+    threshold aggregate — the correlated avg only ever references rows
+    of the same part, so restricting to the brand's parts first shrinks
+    both sides without changing semantics. The avg comparison is
+    rewritten 5*qty*cnt < sum(qty): sums in exact decimal, no
+    engine-dependent division ordering."""
+    p23 = (table(spark, sf_dir, "part")
+           .filter(F.col("p_brand") == "Brand#23").select("p_partkey"))
+    l = table(spark, sf_dir, "lineitem")
+    lf = l.join(F.broadcast(p23), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    thr = (lf.groupBy("l_partkey")
+           .agg(F.count("*").alias("cnt"),
+                F.sum(F.col("l_quantity").cast("decimal(24,6)")).alias("qty_sum")))
+    return (lf.join(F.broadcast(thr), "l_partkey")
+            .filter(F.lit(5.0) * F.col("l_quantity") * F.col("cnt")
+                    < F.col("qty_sum").cast("double"))
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
+                         .cast("double") / 7.0, 2).alias("avg_yearly")))
+
+
+@query("tpch_q2_min_cost_supplier", oracle="""
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice / l.l_quantity) AS unit_price
+  FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey),
+best AS (
+  SELECT l_partkey, min(unit_price) AS best_price
+  FROM offers GROUP BY l_partkey)
+SELECT o.l_partkey AS partkey, p.p_brand AS brand,
+       s.s_name AS supplier, n.n_name AS nation,
+       round(o.unit_price, 6) AS unit_price
+FROM offers o
+JOIN best b ON b.l_partkey = o.l_partkey AND o.unit_price = b.best_price
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 15
+ORDER BY unit_price, partkey, supplier
+LIMIT 100
+""")
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 min-cost supplier: the join-back-to-per-group-min shape (the
+    correlated MIN subquery, decorrelated). Observed unit prices stand
+    in for partsupp.ps_supplycost, which the schema lacks. The min is
+    on a raw double (no re-aggregation), so the equality join back is
+    exact and engine-independent. part/supplier/nation broadcast; the
+    only real shuffle is the offers groupBy."""
+    l = table(spark, sf_dir, "lineitem")
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_size") == 15).select("p_partkey", "p_brand"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    offers = (l.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(unit).alias("unit_price")))
+    best = (offers.groupBy("l_partkey")
+            .agg(F.min("unit_price").alias("best_price")))
+    return (offers.join(best, ["l_partkey"])
+            .filter(F.col("unit_price") == F.col("best_price"))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.col("p_brand").alias("brand"),
+                    F.col("s_name").alias("supplier"),
+                    F.col("n_name").alias("nation"),
+                    F.round("unit_price", 6).alias("unit_price"))
+            .orderBy("unit_price", "partkey", "supplier")
+            .limit(100))
+
+
+@query("tpch_q7_nation_volume", oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))), 2)
+            AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations: the disjunctive
+    cross-dimension predicate. Each nation filter is pushed to its own
+    dim BEFORE joining (supplier and customer both shrink to 2/25 of
+    rows), and the OR-pair condition evaluates on the joined row — far
+    cheaper than joining first and filtering later. Both dims broadcast;
+    lineitem⋈orders is the one real shuffle."""
+    pair = ("NATION_3", "NATION_7")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("sk")))
+    c = (table(spark, sf_dir, "customer")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                    F.col("n_name").alias("cust_nation"))),
+               F.col("c_nationkey") == F.col("ck")))
+    l = (table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))))
+    o = table(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .filter(((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+                    | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0])))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@query("tpch_q8_market_share", oracle="""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+                    AS DOUBLE), 4) AS mkt_share
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n1.n_regionkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+ORDER BY o_year
+""")
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: conditional-sum ratio over an 8-table
+    star. Every dimension (part filtered to one type, supplier+nation,
+    customer restricted to the region) broadcasts; the plan is lineitem
+    ⋈ orders as the single shuffle with four broadcast hash joins
+    hanging off it. The share numerator rides a CASE on the supplier
+    nation — no second pass over the fact."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = (table(spark, sf_dir, "customer")
+         .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                           .select(F.col("n_nationkey").alias("ck"))),
+               F.col("c_nationkey") == F.col("ck"), "left_semi"))
+    s = (table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("sk")))
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    o = (table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))))
+    l = table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    natl = F.when(F.col("supp_nation") == "NATION_2", rev) \
+            .otherwise(F.lit(0).cast("decimal(24,6)"))
+    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .join(F.broadcast(s.select("s_suppkey", "supp_nation")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"),
+                  "left_semi")
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(natl).cast("double")
+                         / F.sum(rev).cast("double"), 4).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@query("tpch_q15_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+       CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY suppkey
+""")
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: scalar-subquery max over a derived view, joined
+    back by exact equality. Revenue accumulates in exact decimal so the
+    max-equality join is deterministic (ties all surface, as in the
+    spec). The per-supplier agg is computed once and reused for both
+    the max and the join — in Spark that's just referencing the same
+    DataFrame; the shuffle output is reused, not recomputed."""
+    l = (table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))))
+    s = table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    revenue = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum(rev).alias("total_revenue")))
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (revenue.join(F.broadcast(top),
+                         F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+            .select(F.col("s_suppkey").alias("suppkey"),
+                    F.col("s_name").alias("name"),
+                    F.round("total_revenue", 2).cast("double").alias("total_revenue"))
+            .orderBy("suppkey"))
