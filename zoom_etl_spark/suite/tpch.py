@@ -563,3 +563,329 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s_name").alias("name"),
                     F.round("total_revenue", 2).cast("double").alias("total_revenue"))
             .orderBy("suppkey"))
+
+
+@query("tpch_q9_product_profit", oracle="""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))
+                      - CAST(p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(24,6))), 2)
+            AS DOUBLE) AS profit
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, o_year
+ORDER BY nation, o_year DESC
+""")
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit: revenue minus cost per supplier-nation and
+    order-year. p_retailprice*qty*0.1 stands in for ps_supplycost (no
+    partsupp table in the schema). The LIKE '%red%' filter can't use
+    row-group stats but DOES prune the broadcast build side to a
+    fraction of part before the fact join; profit terms accumulate in
+    exact decimal."""
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%red%"))
+         .select("p_partkey", "p_retailprice"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    cost = (F.col("p_retailprice") * F.col("l_quantity") * 0.1).cast("decimal(24,6)")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey) \
+          .select("s_suppkey", F.col("n_name").alias("nation"))
+    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(rev - cost), 2).cast("double").alias("profit"))
+            .orderBy(F.col("nation"), F.col("o_year").desc()))
+
+
+@query("tpch_q11_important_stock", oracle="""
+WITH filtered AS (
+  SELECT l.l_partkey,
+         CAST(l.l_extendedprice AS DECIMAL(24,6)) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_5')
+SELECT l_partkey AS partkey,
+       CAST(round(sum(value), 2) AS DOUBLE) AS value
+FROM filtered
+GROUP BY l_partkey
+HAVING CAST(sum(value) AS DOUBLE)
+       > 0.002 * (SELECT CAST(sum(value) AS DOUBLE) FROM filtered)
+ORDER BY value DESC, partkey
+""")
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: HAVING against a scalar subquery over the
+    same derived set. The filtered fact is aggregated ONCE per part;
+    the global total is a second agg over those per-part partials (not a
+    second fact scan), broadcast as a 1-row build side. Threshold
+    compares exact-decimal sums cast to double — deterministic across
+    engines."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    l = table(spark, sf_dir, "lineitem")
+    sk = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    per_part = (l.join(F.broadcast(sk), F.col("l_suppkey") == F.col("s_suppkey"),
+                       "left_semi")
+                .groupBy("l_partkey")
+                .agg(F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
+                     .alias("value_sum")))
+    total = per_part.agg(F.sum("value_sum").alias("total"))
+    return (per_part.join(F.broadcast(total),
+                          F.col("value_sum").cast("double")
+                          > 0.002 * F.col("total").cast("double"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("value_sum", 2).cast("double").alias("value"))
+            .orderBy(F.col("value").desc(), F.col("partkey")))
+
+
+@query("tpch_q12_shipmode_priority", oracle="""
+SELECT l.l_linestatus AS linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY linestatus
+""")
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping modes / priority: pivot-style CASE counts with a
+    cross-table residual predicate (ship lag > 90 days stands in for
+    receipt-vs-commit; l_linestatus for the missing l_shipmode). The
+    year filter pushes to the lineitem scan; the lag predicate rides
+    the orderkey join as a post-join filter."""
+    o = table(spark, sf_dir, "orders")
+    l = (table(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(l, (F.col("o_orderkey") == F.col("l_orderkey"))
+                   & (F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+            .groupBy(F.col("l_linestatus").alias("linestatus"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("linestatus"))
+
+
+@query("tpch_q16_supplier_cnt", oracle="""
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, brand, type, size
+""")
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier-count by part class: NOT IN exclusion + COUNT
+    DISTINCT. Negative-balance suppliers stand in for the
+    complaints-comment filter. The exclusion list is a broadcast
+    LEFT ANTI (safe here: keys are non-null, so NOT IN == anti join);
+    count(DISTINCT) expands to a two-phase agg — partial distinct
+    map-side, exact count after one shuffle."""
+    p = (table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    l = table(spark, sf_dir, "lineitem")
+    return (l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                   "left_anti")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.col("p_brand").alias("brand"),
+                     F.col("p_type").alias("type"),
+                     F.col("p_size").alias("size"))
+            .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "brand", "type", "size"))
+
+
+@query("tpch_q19_discounted_revenue", oracle="""
+SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue: disjunction of cross-table conjunctions.
+    The part-only disjuncts (brand+size) are pre-applied to shrink the
+    broadcast build side — the full OR still evaluates post-join, but
+    part rows matching NO disjunct never enter the hash table. At 100 TB
+    that inferred build-side filter is the difference between
+    broadcasting all of part and 3 brands of it."""
+    part_pred = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+                 | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+                 | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)))
+    p = (table(spark, sf_dir, "part").filter(part_pred)
+         .select("p_partkey", "p_brand", "p_size"))
+    l = table(spark, sf_dir, "lineitem")
+    full = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30)))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .filter(full)
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@query("tpch_q20_promotion_suppliers", oracle="""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(24,6))) AS total_qty,
+         sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                  THEN CAST(l.l_quantity AS DECIMAL(24,6)) ELSE 0 END) AS year_qty
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l.l_partkey, l.l_suppkey)
+SELECT DISTINCT s.s_name AS name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+WHERE n.n_regionkey = 1
+  AND CAST(sh.year_qty AS DOUBLE) > 0.5 * CAST(sh.total_qty AS DOUBLE)
+ORDER BY name
+""")
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 promotion-eligible suppliers: nested semi-join chain — parts
+    by name prefix → per-(part,supplier) shipped totals → suppliers
+    where the promo year moved >50% of all-time volume → region filter.
+    One conditional aggregate replaces TPC-H's separate availqty
+    lookup; both quantities sum in exact decimal and compare in
+    double. DISTINCT collapses multi-part qualifiers before the sort."""
+    p = (table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("red%")).select("p_partkey"))
+    l = table(spark, sf_dir, "lineitem")
+    in_year = ((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    qty = F.col("l_quantity").cast("decimal(24,6)")
+    shipped = (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"),
+                      "left_semi")
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(qty).alias("total_qty"),
+                    F.sum(F.when(in_year, qty).otherwise(
+                        F.lit(0).cast("decimal(24,6)"))).alias("year_qty")))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    sn = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .select("s_suppkey", F.col("s_name").alias("name"),
+                  F.col("n_name").alias("nation")))
+    return (shipped.filter(F.col("year_qty").cast("double")
+                           > 0.5 * F.col("total_qty").cast("double"))
+            .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("name", "nation").distinct()
+            .orderBy("name"))
+
+
+@query("tpch_q21_waiting_suppliers", oracle="""
+SELECT s.s_name AS name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_4'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                    ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, name
+LIMIT 100
+""")
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting: the EXISTS + NOT-EXISTS
+    self-join pair. Both correlated subqueries become orderkey-keyed
+    joins against the SAME per-order lineitem pass — a semi join for
+    'another supplier participated' and an anti join for 'no OTHER
+    supplier was late'. The suppkey<>suppkey disequality rides each
+    join as a residual; lineitem is scanned twice but shuffles on
+    orderkey both times (AQE coalesces the shared exchange layout).
+    Ship lag >90 days stands in for receipt-after-commit."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    sn = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .select("s_suppkey", F.col("s_name").alias("name")))
+    l1 = (l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(late)
+          .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+          .select("l_orderkey", "l_suppkey", "name"))
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(late)
+          .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")))
+    return (l1.join(l2, (F.col("k2") == F.col("l_orderkey"))
+                    & (F.col("s2") != F.col("l_suppkey")), "left_semi")
+            .join(l3, (F.col("k3") == F.col("l_orderkey"))
+                  & (F.col("s3") != F.col("l_suppkey")), "left_anti")
+            .groupBy("name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("name"))
+            .limit(100))
+
+
+@query("tpch_q22_global_sales_opportunity", oracle="""
+WITH eligible AS (
+  SELECT substr(c_name, -2) AS cntrycode, c_custkey, c_acctbal
+  FROM customer
+  WHERE substr(c_name, -2) IN ('13', '31', '23', '29', '30', '18', '17'))
+SELECT cntrycode, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(24,6))), 2) AS DOUBLE) AS totacctbal
+FROM eligible e
+WHERE e.c_acctbal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE)
+                     FROM eligible WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+GROUP BY cntrycode
+ORDER BY cntrycode
+""")
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity: scalar-average subquery + NOT EXISTS
+    anti join. The trailing digits of c_name stand in for the phone
+    country code. The average is computed over the eligible set once
+    (decimal sum / count, cast to double — one deterministic division),
+    broadcast as a 1-row build; customers-without-orders is a LEFT ANTI
+    against just the o_custkey column. At scale the anti join shuffles
+    customer once; orders arrives pre-projected to one column."""
+    c = table(spark, sf_dir, "customer")
+    code = F.substring(F.col("c_name"), -2, 2)
+    eligible = (c.filter(code.isin("13", "31", "23", "29", "30", "18", "17"))
+                .select(code.alias("cntrycode"), "c_custkey", "c_acctbal"))
+    avg_bal = (eligible.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(24,6)"))
+                     / F.count("*")).cast("double").alias("avg_bal")))
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (eligible.join(F.broadcast(avg_bal),
+                          F.col("c_acctbal") > F.col("avg_bal"))
+            .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+            .groupBy("cntrycode")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(24,6)")), 2)
+                 .cast("double").alias("totacctbal"))
+            .orderBy("cntrycode"))
