@@ -169,3 +169,40 @@ def test_scd2_streaming_matches_batch(spark, sf_dir):
     want = {(r.user_id, r.event_id, r.state, r.valid_from, r.valid_to,
              r.is_current) for r in scd2_history(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_lastwins_ivm_out_of_order_multibatch(spark, sf_dir):
+    """Last-wins IVM must converge to the batch answer even when
+    micro-batches arrive out of event-time order: the newest data is
+    fed FIRST, then older replays — the redelivery/late-replay case the
+    state design (keep max (ts, event_id)) exists for."""
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+    from zoom_etl_spark.streaming.stateful import (lastwins_finalize,
+                                                   lastwins_maintain)
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_ooo_")
+    # newest third first (file 0), oldest last (file 2)
+    thirds = F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
+    parts = e.withColumn("g", thirds)
+    raw = parts.withColumn("ts", F.unix_micros("ts") * 1000)  # back to nanos-long
+    for g in (1, 2, 3):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+    # replay of the newest slice again at the end = redelivery
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    out = lastwins_maintain(stream)
+    q = (out.writeStream.format("memory").queryName("t_lw_ooo")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.event_id)
+           for r in lastwins_finalize(spark.table("t_lw_ooo")).collect()}
+    want = {(r.user_id, r.event_id)
+            for r in last_wins(e, keys=["user_id"],
+                               version=[F.col("ts"), F.col("event_id")]).collect()}
+    assert got == want

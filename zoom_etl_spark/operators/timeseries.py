@@ -60,14 +60,26 @@ def gapfill_linear(buckets: DataFrame, key: str, bucket_col: str,
     joined = spine.join(buckets, [key, bucket_col], "left")
     t = F.unix_timestamp(bucket_col).cast("double")
     obs_t = F.when(F.col(val_col).isNotNull(), t)
-    wb = (Window.partitionBy(key).orderBy(bucket_col)
+    # Both lookups are RUNNING frames (unboundedPreceding→currentRow):
+    # the forward-looking bracket is a running last() over the DESC
+    # order. An unboundedFollowing frame here is O(n^2) per partition in
+    # Spark's window exec (re-scans the tail for every row) — at 2 years
+    # of hourly buckets that turned this operator into the whole bench.
+    wb = (Window.partitionBy(key).orderBy(F.col(bucket_col).asc())
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wf = (Window.partitionBy(key).orderBy(bucket_col)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    pv = F.last(val_col, ignorenulls=True).over(wb)
-    nv = F.first(val_col, ignorenulls=True).over(wf)
-    pt = F.last(obs_t, ignorenulls=True).over(wb)
-    nt = F.first(obs_t, ignorenulls=True).over(wf)
+    wf = (Window.partitionBy(key).orderBy(F.col(bucket_col).desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # materialize each bracket column ONCE — window expressions are not
+    # common-subexpression-eliminated, so inlining them into the CASE
+    # would evaluate 10 window aggregates instead of 4
+    bracketed = joined.select(
+        key, bucket_col, F.col(val_col),
+        F.last(val_col, ignorenulls=True).over(wb).alias("__pv"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("__pt"),
+        F.last(val_col, ignorenulls=True).over(wf).alias("__nv"),
+        F.last(obs_t, ignorenulls=True).over(wf).alias("__nt"))
+    pv, pt = F.col("__pv"), F.col("__pt")
+    nv, nt = F.col("__nv"), F.col("__nt")
     interp = F.when(F.col(val_col).isNotNull(), F.col(val_col)) \
               .when(pv.isNull(), nv) \
               .when(nv.isNull(), pv) \
@@ -76,6 +88,6 @@ def gapfill_linear(buckets: DataFrame, key: str, bucket_col: str,
     # cases are COMMON here: 3-decimal inputs × power-of-2 gap ratios
     # land exactly on .xxxxxx5, where round() tie-break modes differ
     # across engines.)
-    return joined.select(
+    return bracketed.select(
         key, bucket_col, F.col(val_col),
         interp.alias(f"{val_col}_interp"))

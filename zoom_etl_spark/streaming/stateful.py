@@ -132,3 +132,66 @@ def scd2_finalize(emitted: DataFrame) -> DataFrame:
     return topk_per_group(
         emitted, keys=["user_id", "event_id"],
         order=[F.col("is_current").asc()], k=1)
+
+
+# ----------------------------------------------------------- last-wins IVM
+
+LASTWINS_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("event_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("ts", TimestampType(), True),
+    StructField("value", DoubleType(), True),
+])
+
+LASTWINS_STATE_SCHEMA = StructType([
+    StructField("ts_us", LongType(), True),
+    StructField("event_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+])
+
+
+def _lastwins_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    cur = state.get if state.exists else None
+    for pdf in pdfs:
+        for r in pdf.itertuples():
+            cand = (int(r.ts.value // 1000), int(r.event_id),
+                    str(r.event_type), float(r.value))
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                cur = cand
+    if cur is None:
+        return
+    state.update(cur)
+    yield pd.DataFrame({
+        "user_id": [key[0]], "event_id": [cur[1]], "event_type": [cur[2]],
+        "ts": [pd.Timestamp(cur[0] * 1000)], "value": [cur[3]]})
+
+
+def lastwins_maintain(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained last-wins view (ROADMAP item 5): per key,
+    the payload of the latest (ts, event_id) — the streaming IVM analog
+    of the batch ``dedup_last_wins`` query, and the maintained form of
+    the reference's idempotent-upsert contract (webhook redelivery,
+    ref handler.py:60-74).
+
+    Unlike the SCD2 operator this one is fully OUT-OF-ORDER TOLERANT
+    across micro-batches: state keeps only the max (ts, event_id) pair
+    seen, so a late replay can never regress the view, and redelivered
+    duplicates are no-ops. State is one fixed-width row per key —
+    bounded by key cardinality, independent of stream length."""
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(_lastwins_update, LASTWINS_OUTPUT_SCHEMA,
+                                    LASTWINS_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def lastwins_finalize(emitted: DataFrame) -> DataFrame:
+    """Collapse the update log to the converged view: per-key emissions
+    are monotone in (ts, event_id), so the latest emission is the max."""
+    from ..operators.windows import topk_per_group
+    from pyspark.sql import functions as F
+    return topk_per_group(
+        emitted, keys=["user_id"],
+        order=[F.col("ts").desc(), F.col("event_id").desc()], k=1)

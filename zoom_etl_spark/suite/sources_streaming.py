@@ -155,3 +155,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     media = attach_fake_media(d, "doc_id", "text")
     return decode_media(media, fake=True)
+
+
+@query("stream_lastwins_ivm", oracle="""
+SELECT user_id, event_id, event_type, ts, value FROM (
+  SELECT user_id, event_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+""")
+def stream_lastwins_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained last-wins view: state = one fixed-width
+    row per key (the max (ts, event_id) payload), out-of-order and
+    redelivery tolerant. Converged state is oracle-checked against the
+    batch row_number()=1 formulation — full value-hash gate."""
+    from ..streaming.stateful import lastwins_finalize, lastwins_maintain
+    stream = read_events_stream(spark, sf_dir)
+    out = lastwins_maintain(stream)
+    q = (out.writeStream.format("memory").queryName("stream_lastwins_log")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return lastwins_finalize(spark.table("stream_lastwins_log")).select(
+        "user_id", "event_id", "event_type", "ts", "value")
+
+
+@query("stream_windowed_agg_ivm", oracle="""
+SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,3))), 3) AS DOUBLE) AS total
+FROM events
+GROUP BY user_id, h
+""")
+def stream_windowed_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained windowed aggregate (ROADMAP item 5): the
+    built-in watermarked tumbling-window agg IS the IVM — Spark keeps
+    per-(key, window) partials in the state store and re-emits on
+    change; no custom state needed (design stance: built-ins first).
+    Finalize picks each key-window's latest emission via max_by on the
+    strictly-monotone count. Converged state == the batch hourly
+    groupBy, value-hash-checked."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id"))
+           .agg(F.count("*").alias("cnt"),
+                F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3)
+                .cast("double").alias("total")))
+    out = agg.select("user_id", F.col("w.start").alias("h"), "cnt", "total")
+    q = (out.writeStream.format("memory").queryName("stream_winagg_log")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    log = spark.table("stream_winagg_log")
+    return (log.groupBy("user_id", "h")
+            .agg(F.max("cnt").alias("cnt"),
+                 F.max_by("total", "cnt").alias("total")))
