@@ -208,3 +208,45 @@ def stream_windowed_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (log.groupBy("user_id", "h")
             .agg(F.max("cnt").alias("cnt"),
                  F.max_by("total", "cnt").alias("total")))
+
+
+@query("stream_stream_join", oracle="""
+SELECT a.user_id, a.event_id AS signup_id, a.ts AS signup_ts,
+       b.event_id AS error_id, b.ts AS error_ts, b.value AS error_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'error'
+ AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+""")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (ROADMAP: maintained-join shape):
+    attribute each error event to same-user signups in the preceding
+    hour. Both sides carry watermarks and the join condition bounds
+    event time on both ends, so Spark's symmetric-hash join keeps only
+    one watermark-window of state per side — bounded regardless of
+    stream length. Inner-join matches emit eagerly (watermark is for
+    state eviction, not emission), so the drained output equals the
+    batch self-join, value-hash-checked against the oracle."""
+    signups = (read_events_stream(spark, sf_dir)
+               .filter(F.col("event_type") == "signup")
+               .withWatermark("ts", "1 hour")
+               .select("user_id", F.col("event_id").alias("signup_id"),
+                       F.col("ts").alias("signup_ts")))
+    errors = (read_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "error")
+              .withWatermark("ts", "1 hour")
+              .select(F.col("user_id").alias("e_user_id"),
+                      F.col("event_id").alias("error_id"),
+                      F.col("ts").alias("error_ts"),
+                      F.col("value").alias("error_value")))
+    joined = signups.join(
+        errors,
+        F.expr("user_id = e_user_id AND error_ts >= signup_ts "
+               "AND error_ts < signup_ts + INTERVAL 1 HOUR"),
+        "inner")
+    q = (joined.writeStream.format("memory").queryName("stream_ss_join_log")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_ss_join_log").select(
+        "user_id", "signup_id", "signup_ts",
+        "error_id", "error_ts", "error_value")
