@@ -288,10 +288,18 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang top-trigram profiles (small → broadcast) scored against each
     doc's trigrams; prediction = argmax matches. Entirely joins + aggs."""
     d = table(spark, sf_dir, "documents")
+    # The per-row work here (trigram explode, higher-order-function
+    # scoring) is CPU-bound and interpreted — parallelism is the whole
+    # game, but a small corpus arrives as one input split. Rebalance to
+    # the cluster's width first: the shuffled payload is just the raw
+    # text (tiny relative to the trigram blow-up it feeds). At real
+    # scale the source has many splits and this coalesces to a no-op
+    # AQE-sized exchange. (Was 14s single-task at sf0.1 — 32 cores idle.)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     tri_expr = ("transform(sequence(1, greatest(length(text) - 2, 1)), "
                 "i -> substring(text, i, 3))")
 
-    # train: top-20 trigrams per language. The only shuffle in the whole
+    # train: top-20 trigrams per language. The only keyed shuffle in the
     # query — and hash aggregation partials combine map-side, so shuffle
     # volume is bounded by distinct (lang, trigram) pairs per partition,
     # NOT by corpus size. (The previous plan also shuffled every
