@@ -33,12 +33,21 @@ FIELDS = (
 
 
 class StageMetrics:
-    """Snapshot/delta reader over cumulative completed-stage totals."""
+    """Snapshot/delta reader over cumulative completed-stage totals.
+
+    The UI store evicts old stages past ``spark.ui.retainedStages``; naive
+    sum-over-retained snapshots would shrink after eviction and produce
+    negative deltas. Instead each completed stage attempt is counted into a
+    running total exactly once (completed-stage metrics are final), keyed by
+    (stageId, attemptId) — totals are monotonic regardless of eviction.
+    """
 
     def __init__(self, spark: SparkSession):
         sc = spark.sparkContext
         self._base = sc.uiWebUrl  # None when the UI is disabled
         self._app = sc.applicationId
+        self._seen: set[tuple[int, int]] = set()
+        self._cum = dict.fromkeys(FIELDS, 0)
         self._last = self._snapshot()
 
     @property
@@ -54,11 +63,14 @@ class StageMetrics:
                 stages = json.load(resp)
         except Exception:
             return None
-        totals = dict.fromkeys(FIELDS, 0)
         for stage in stages:
+            key = (int(stage.get("stageId", -1)), int(stage.get("attemptId", 0)))
+            if key in self._seen:
+                continue
+            self._seen.add(key)
             for f in FIELDS:
-                totals[f] += int(stage.get(f) or 0)
-        return totals
+                self._cum[f] += int(stage.get(f) or 0)
+        return dict(self._cum)
 
     def delta(self) -> dict[str, int] | None:
         """Metrics accrued since the previous snapshot (or init)."""
@@ -66,7 +78,7 @@ class StageMetrics:
         prev, self._last = self._last, cur
         if cur is None or prev is None:
             return None
-        return {f: cur[f] - prev[f] for f in FIELDS}
+        return {f: max(0, cur[f] - prev[f]) for f in FIELDS}
 
 
 def mb(n_bytes: int) -> float:

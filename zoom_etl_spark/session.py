@@ -55,6 +55,12 @@ def get_spark(app_name: str = "zoom-etl-spark", cpus: int | str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
         .config("spark.ui.enabled", "true" if ui else "false")
+        # StageMetrics diffs cumulative completed-stage totals from the UI
+        # store; keep enough stages retained that a full bench run (117
+        # queries, several stages each) never evicts between snapshots —
+        # eviction would make later snapshots shrink and deltas go negative.
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # managed (bucketed) test tables land outside the repo
         .config("spark.sql.warehouse.dir", "/tmp/zes_warehouse")

@@ -83,6 +83,16 @@ def _scd2_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
     out: list[tuple] = []
     for r in rows.itertuples():
         ts_us = int(r.ts.value // 1000)
+        if cur is not None and ts_us < cur[2]:
+            # Cross-batch regression: an already-open version is newer than
+            # this row. Correct SCD2 under out-of-order arrival needs version
+            # buffering + retraction; until then fail loudly rather than emit
+            # a silently-wrong history (e.g. if the source ever switches to
+            # multiple files / maxFilesPerTrigger).
+            raise ValueError(
+                f"scd2_maintain: out-of-order event for key {key[0]!r} "
+                f"(ts {ts_us}us < open-version start {cur[2]}us); "
+                "source must deliver per-key event-time order across batches")
         if cur is not None:
             # new version closes the open one: emit its finished interval
             out.append((key[0], cur[0], cur[1], cur[2], ts_us, False))
@@ -113,8 +123,9 @@ def scd2_maintain(events_stream: DataFrame) -> DataFrame:
     view is ``scd2_finalize`` over everything emitted.
 
     Assumes per-key event-time order ACROSS micro-batches (within a
-    batch, rows are sorted here). Out-of-order input needs version
-    buffering in state — see docs/plan_audit notes.
+    batch, rows are sorted here); a cross-batch regression raises rather
+    than emitting a silently-wrong history. Out-of-order input needs
+    version buffering in state — see docs/plan_audit notes.
     """
     return (events_stream
             .groupBy("user_id")

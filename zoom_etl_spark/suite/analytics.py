@@ -77,11 +77,11 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_pivot", oracle="""
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
 FROM events GROUP BY user_id
 """)
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +317,9 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1, unbounded at 100 TB). One bounds scan + literal fold
     # makes each iteration a constant-time 1-row step.
     lo, hi = o.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    if lo is None or hi is None:  # empty orders → empty spine, same schema
+        return spark.createDataFrame(
+            [], "month timestamp, n_orders bigint")
     return spark.sql(f"""
         WITH RECURSIVE months(m) AS (
           SELECT CAST(date_trunc('month', TIMESTAMP '{lo}') AS TIMESTAMP)

@@ -134,7 +134,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("tpch_q6_forecast_revenue", oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))), 2)
+            AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -153,8 +154,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"),
+        .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                           .cast("decimal(24,6)")), 2)
+             .cast("double").alias("revenue"),
              F.count("*").alias("n_lines")))
 
 
