@@ -50,6 +50,37 @@ def test_simhash_hamming_separation(spark):
     assert near <= 16 and far > 16
 
 
+def test_ngram_jaccard_exact_values(spark):
+    """Emitted Jaccard is exact over the FULL shingle sets (join-back
+    verify), and planted near-dups are found."""
+    from zoom_etl_spark.dedup.ngram import ngram_jaccard_pairs
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
+                                 threshold=0.2).collect()}
+    assert pairs[(1, 4)] == 1.0            # exact dup after normalization
+    assert 0.5 <= pairs[(1, 2)] < 1.0      # one-token edit → high Jaccard
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_candidates_linear_under_boilerplate(spark):
+    """Adversarial hot-shingle corpus: every doc shares one boilerplate
+    trigram. Uncapped, the inverted-index self-join would emit
+    m(m-1)/2 ≈ 20k candidate pairs; the df cap must keep candidates to
+    exactly the rare-shingle pairs (here: one planted near-dup pair)."""
+    from zoom_etl_spark.dedup.ngram import ngram_candidates, shingled
+    m = 200
+    rows = [(i, f"shared boiler plate unique{i}a unique{i}b unique{i}c")
+            for i in range(m)]
+    # planted pair sharing rare shingles beyond the boilerplate
+    rows += [(1000, "shared boiler plate alpha beta gamma delta epsilon"),
+             (1001, "shared boiler plate alpha beta gamma delta zeta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingled(d, "doc_id", "text").persist()
+    cand = ngram_candidates(sh, max_df=50).collect()
+    assert {(r.id_a, r.id_b) for r in cand} == {(1000, 1001)}
+    sh.unpersist()
+
+
 def test_ann_ivf_finds_planted_near_dups(spark, sf_dir):
     """IVF twin of the LSH recall test: a perturbed copy lands in the same
     (or a probed) cell and must surface in the top-k."""
@@ -66,6 +97,27 @@ def test_ann_ivf_finds_planted_near_dups(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     hits = sum((100000 + i, i) in a for i in range(20))
     assert hits >= 18   # n_probe=2 covers boundary cases → high recall
+
+
+def test_lsh_pair_blocking_finds_planted_near_dups(spark, sf_dir):
+    """near_dup_pairs_lsh must recover planted perturbed-copy pairs —
+    including ones label-blocking would MISS (the plant flips the label,
+    so a.label = b.label never pairs them)."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.dedup.lsh import near_dup_pairs_lsh
+    e = table(spark, sf_dir, "embeddings")
+    planted = (e.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
+                       F.concat(F.col("label"), F.lit("_flip")).alias("label")))
+    corpus = e.unionByName(planted)
+    pairs = near_dup_pairs_lsh(corpus, "vec_id", "embedding", dim=64,
+                               threshold=0.8, n_planes=6, n_flip=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    hits = sum((i, 100000 + i) in got for i in range(20))
+    assert hits >= 16   # ≥80% of planted twins, all cross-label
+    # random unrelated vectors are near-orthogonal → no false positives
+    assert all(b - a == 100000 for a, b in got)
 
 
 def test_ann_lsh_finds_planted_near_dups(spark, sf_dir):

@@ -69,6 +69,19 @@ def test_similarity_topk_no_shuffle_of_scores(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_point_lookup_broadcasts_keys_not_customer(spark, sf_dir):
+    """The 5-key lookup set must be the broadcast build side; customer
+    must never be shuffled or sorted to serve a point lookup. (The
+    preserved side of a left join can't broadcast — the right-outer
+    rewrite is what makes this plan legal.)"""
+    plan = _physical(_SPECS["point_lookup_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    # customer reaches the join straight from its scan — no shuffle anywhere
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     """AQE must shrink the 16 configured shuffle partitions for tiny
     aggregate outputs (the runtime re-plan the engine relies on at every

@@ -78,6 +78,48 @@ def probe_buckets(emb: Column | str, dim: int, n_planes: int = 12,
     return F.concat(F.array(base), flips)
 
 
+def near_dup_pairs_lsh(df: DataFrame, id_col: str, emb_col: str, dim: int,
+                       threshold: float = 0.8, n_planes: int = 8,
+                       seed: int = 42, n_flip: int = 2,
+                       max_bucket: int = 10000) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold) with
+    hyperplane-bucket blocking — the all-pairs twin of ``ann_topk_lsh``
+    and the 100 TB replacement for attribute (label) blocking: no
+    attribute is hot enough to go quadratic because buckets are sign
+    patterns of random projections, and degenerate buckets (e.g. a spike
+    of near-identical vectors) are dropped at ``max_bucket`` exactly like
+    ``minhash.max_bucket``.
+
+    Multi-probe for pairs: each row joins from its own bucket PLUS its
+    ``n_flip`` most marginal Hamming-1 buckets (left side only) against
+    base buckets (right side) — a pair split across one marginal plane is
+    still found, while the corpus is bucketed once.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
+                     hyperplane_bucket(emb_col, dim, n_planes, seed)
+                     .alias("bucket"))
+    # skew guard: a degenerate bucket of m rows would emit O(m²) pairs
+    sizes = base.groupBy("bucket").agg(F.count("*").alias("bsz"))
+    base = (base.join(sizes.filter(F.col("bsz") <= max_bucket), "bucket")
+            .drop("bsz"))
+    probes = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
+        F.explode(probe_buckets(emb_col, dim, n_planes, seed, n_flip))
+        .alias("bucket")) if n_flip > 0 else base
+    cand = (probes.alias("a")
+            .join(base.alias("b"),
+                  (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.id") != F.col("b.id")))
+            .select(F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b"),
+                    F.col("a.emb").alias("ea"), F.col("b.emb").alias("eb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sim = cosine_similarity("ea", "eb")
+    return (cand.withColumn("raw_sim", sim)
+            .filter(F.col("raw_sim") >= threshold)
+            .select("id_a", "id_b", F.round("raw_sim", 4).alias("sim")))
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, id_col: str,
                  emb_col: str, dim: int, k: int = 10, n_planes: int = 8,
                  seed: int = 42, n_flip: int = 0) -> DataFrame:

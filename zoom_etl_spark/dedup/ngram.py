@@ -1,0 +1,77 @@
+"""Exact n-gram Jaccard near-dup pairs via a df-capped inverted index.
+
+The exact counterpart MinHash approximates (SURVEY §2.12). Candidate
+generation is an inverted-index self-join: every pair of docs sharing a
+shingle meets once per shared shingle. Unguarded, a boilerplate shingle
+shared by m docs contributes m(m-1)/2 candidate pairs — quadratic in the
+hot shingle's document frequency, fatal at 100 TB (the same degenerate-
+bucket failure ``minhash.max_bucket`` guards against).
+
+Two-phase design keeps the cap from touching reported values:
+
+1. **Candidates** come only from shingles with document frequency in
+   [2, max_df]. df=1 shingles can't form a pair; df>max_df shingles are
+   boilerplate whose pairs the cap deliberately skips. Candidate count is
+   bounded by sum over kept shingles of df² ≤ max_df · (total postings)
+   — linear in corpus size for fixed max_df.
+2. **Verification** joins the full shingle sets back and computes exact
+   Jaccard with array_intersect — so every emitted pair's value is exact
+   over ALL shingles (capped ones included). The cap affects recall only:
+   a pair sharing *nothing but* >max_df boilerplate is skipped, the same
+   trade exact-dedup-then-minhash pipelines make.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .minhash import shingle_hashes
+
+
+def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc, grams, n): hashed distinct k-token shingles + set size. One
+    expensive text→shingle evaluation; callers persist when reused."""
+    return (df.select(F.col(id_col).alias("doc"),
+                      shingle_hashes(text_col, k).alias("grams"))
+            .withColumn("n", F.size("grams")))
+
+
+def ngram_candidates(sh: DataFrame, max_df: int = 50) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 shingle with
+    document frequency in [2, max_df]. Linear in corpus size for fixed
+    max_df (see module docstring)."""
+    ex = sh.select("doc", F.explode("grams").alias("g"))
+    # document frequency per shingle — partials combine map-side, so the
+    # shuffle is bounded by distinct shingles per partition, not postings
+    keep = (ex.groupBy("g").agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("g"))
+    exr = ex.join(keep, "g")
+    return (exr.alias("a")
+            .join(exr.alias("b"),
+                  (F.col("a.g") == F.col("b.g"))
+                  & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("id_a"),
+                    F.col("b.doc").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, threshold: float = 0.2,
+                        max_df: int = 50) -> DataFrame:
+    """Pairs (id_a, id_b, jaccard) with exact shingle-set Jaccard ≥
+    threshold, candidates capped at document frequency max_df."""
+    sh = shingled(df, id_col, text_col, k).persist()
+    cand = ngram_candidates(sh, max_df)
+    pa = sh.select(F.col("doc").alias("id_a"), F.col("grams").alias("ga"),
+                   F.col("n").alias("na"))
+    pb = sh.select(F.col("doc").alias("id_b"), F.col("grams").alias("gb"),
+                   F.col("n").alias("nb"))
+    # exact Jaccard on the FULL sets: i from array_intersect, union by
+    # inclusion-exclusion — per-pair O(na+nb), pairs are cap-bounded
+    j = (cand.join(pa, "id_a").join(pb, "id_b")
+         .withColumn("i", F.size(F.array_intersect("ga", "gb")).cast("double")))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (j.filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))

@@ -148,13 +148,19 @@ FROM keys k LEFT JOIN customer c ON c.c_custkey = k.custkey
 """)
 def point_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key point lookup with tolerated misses (ref extract.py:70-96:
-    404 → logged, not fatal). Key set as a tiny broadcast side of a left
-    join; misses surface as NULLs, exactly the 404 path."""
+    404 → logged, not fatal). The key set must be the BUILD side: Spark
+    can't broadcast the preserved (left) side of a left-outer join, so
+    ``broadcast(keys).join(c, …, "left")`` silently degrades to shuffling
+    the entire customer table to look up 5 keys. A right-outer join with
+    the keys broadcast keeps the big table streamed in place — each
+    customer partition probes the 5-key hash table locally, misses
+    surface as NULLs (the 404 path), zero shuffle. Plan shape asserted
+    in test_plans.py."""
     keys = spark.createDataFrame(
         [(1,), (2,), (3,), (42,), (999999999,)],
         StructType([StructField("custkey", LongType(), False)]))
     c = table(spark, sf_dir, "customer")
-    return (F.broadcast(keys).join(c, keys.custkey == c.c_custkey, "left")
+    return (c.join(F.broadcast(keys), keys.custkey == c.c_custkey, "right")
             .select("custkey", F.col("c_name").alias("name")))
 
 

@@ -16,8 +16,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..dedup.exact import exact_dedup_keys, normalize_text
-from ..dedup.lsh import ann_topk_lsh
-from ..dedup.minhash import minhash_candidate_pairs, shingle_hashes, tokens
+from ..dedup.lsh import ann_topk_lsh, near_dup_pairs_lsh
+from ..dedup.minhash import minhash_candidate_pairs
+from ..dedup.ngram import ngram_jaccard_pairs
 from ..dedup.simhash import with_simhash
 from ..functions.vectors import cosine_similarity, cosine_similarity_arrow
 from ..operators.windows import topk_per_group
@@ -83,27 +84,16 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram-shingle Jaccard pairs via inverted-index equi-join —
-    the exact counterpart MinHash approximates. Scales as (docs ×
-    shingles) + pairs-sharing-a-shingle; shingle dedup caps fan-out."""
+    """Exact trigram-shingle Jaccard pairs via a df-capped inverted-index
+    equi-join — the exact counterpart MinHash approximates. A shingle in
+    more than max_df docs is boilerplate and would contribute O(df²)
+    candidate pairs; the cap (mirroring minhash's max_bucket) keeps
+    candidates linear while the join-back verify stays exact over ALL
+    shingles. max_df=50 drops nothing at test SFs (max observed df: 7 at
+    sf0.01, 25 at sf0.1) so the oracle remains exact."""
     d = table(spark, sf_dir, "documents")
-    # join on 64-bit shingle hashes: identical pair/size counts (collisions
-    # negligible), but only longs cross the shuffle. The shingle expression
-    # is the expensive part — persist the small (doc_id, grams) table so
-    # the self-join reads it once instead of re-evaluating per side (at
-    # 100 TB this becomes a materialized shingle table, same idea).
-    sh = (d.select(F.col("doc_id"), shingle_hashes("text", 3).alias("grams"))
-          .withColumn("n", F.size("grams")).persist())
-    # carry each side's set size through the explode → no size re-joins
-    ex = sh.select("doc_id", "n", F.explode("grams").alias("g"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-             .agg(F.count("*").alias("i"),
-                  F.first("a.n").alias("na"), F.first("b.n").alias("nb")))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (inter.filter(jac >= 0.2)
-            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))
+    return ngram_jaccard_pairs(d, "doc_id", "text",
+                               k=3, threshold=0.2, max_df=50)
 
 
 @query("dedup_embedding", oracle="""
@@ -120,9 +110,11 @@ SELECT id_a, id_b, round(sim, 4) AS sim
 FROM pairs WHERE sim >= 0.8
 """)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs with label blocking — the blocking
-    key turns O(n²) into per-block quadratic (at 100 TB the block key is
-    an LSH bucket, see similarity_ann_lsh; label here stands in for it)."""
+    """Embedding-cosine near-dup pairs with label blocking — the
+    oracle-checkable variant (DuckDB can reproduce attribute blocking;
+    it can't reproduce hyperplane buckets). The 100 TB path is
+    ``dedup_embedding_lsh`` below: same pairs contract, LSH-bucket
+    blocking, no attribute hot enough to go per-block quadratic."""
     e = table(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
@@ -135,6 +127,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sim.alias("raw_sim"))
             .filter(F.col("raw_sim") >= 0.8)
             .select("id_a", "id_b", F.round("raw_sim", 4).alias("sim")))
+
+
+@query("dedup_embedding_lsh")  # rows-only: hyperplane buckets not ANSI-SQL
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked on random-hyperplane LSH buckets —
+    the scale path for ``dedup_embedding``: bucket cardinality is data-
+    independent (2^n_planes sign patterns), degenerate buckets capped,
+    multi-probe recovers pairs split across one marginal plane. Recall
+    vs the exact label-blocked variant is gated in test_dedup.py."""
+    e = table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_lsh(e, "vec_id", "embedding", dim=64,
+                              threshold=0.8, n_planes=6, n_flip=2)
 
 
 # -------------------------------------------------------------- similarity
