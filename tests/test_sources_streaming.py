@@ -79,3 +79,47 @@ def test_multimodal_frame_sampling_one_to_many(spark, sf_dir):
     assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
     with pytest.raises(NotImplementedError):
         sample_frames(media, fake=False)
+
+
+def test_stream_left_join_converges_to_batch_under_watermark_gate(spark, sf_dir):
+    """Drained left-outer stream-stream join == batch left join, with the
+    null side gated by the final watermark: a null row may emit only once
+    the watermark proves no match can arrive (signup_ts + 1h ≤ wm), and
+    every provably-final unmatched signup MUST have emitted."""
+    from zoom_etl_spark.suite.sources_streaming import stream_stream_left_join
+
+    out = stream_stream_left_join(spark, sf_dir)
+    matched = {tuple(r) for r in out.filter(F.col("error_id").isNotNull()).collect()}
+    nulls = {r.signup_id for r in out.filter(F.col("error_id").isNull()).collect()}
+
+    e = table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .select("user_id", F.col("event_id").alias("signup_id"),
+                 F.col("ts").alias("signup_ts")))
+    x = (e.filter(F.col("event_type") == "error")
+         .select(F.col("user_id").alias("e_user_id"),
+                 F.col("event_id").alias("error_id"),
+                 F.col("ts").alias("error_ts"),
+                 F.col("value").alias("error_value")))
+    batch = s.join(x, F.expr(
+        "user_id = e_user_id AND error_ts >= signup_ts "
+        "AND error_ts < signup_ts + INTERVAL 1 HOUR"), "left").drop("e_user_id")
+
+    # matched rows emit eagerly: exact equality with the batch inner part
+    batch_matched = {tuple(r) for r in
+                     batch.filter(F.col("error_id").isNotNull()).collect()}
+    assert matched == batch_matched
+
+    # final global watermark = min of both sides' (max event time − delay)
+    max_s = s.agg(F.max("signup_ts")).first()[0]
+    max_x = x.agg(F.max("error_ts")).first()[0]
+    wm = min(max_s, max_x) - __import__("datetime").timedelta(hours=1)
+
+    unmatched = batch.filter(F.col("error_id").isNull()).select(
+        "signup_id", "signup_ts").collect()
+    hour = __import__("datetime").timedelta(hours=1)
+    must_emit = {r.signup_id for r in unmatched if r.signup_ts + hour < wm}
+    may_emit = {r.signup_id for r in unmatched if r.signup_ts + hour <= wm}
+    assert must_emit <= nulls <= may_emit, (
+        f"missing={must_emit - nulls} extra={nulls - may_emit}")
+    assert nulls  # the gate actually drained something

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.merge import merge_upsert, staging_merge
+from .operators.txn import TableGroup
 from .operators.windows import last_wins
 from .sources import rest
 
@@ -80,3 +81,32 @@ def run_batch_etl(spark: SparkSession, user_target: str, meeting_target: str,
                                 version=[F.col("duration")]),
                       keys=["meeting_uuid"])
     return {"users": n_users, "meetings": n_meetings}
+
+
+def reconcile_staging(spark: SparkSession, group: TableGroup,
+                      staging_parent_key: str, parent_key: str,
+                      merge_keys: list[str],
+                      staging: str = "staging", target: str = "target",
+                      parent: str = "parent") -> dict:
+    """The reference's transactional staging→final reconciliation
+    (src/db/load.py:193-235): merge parent-gated staging rows into the
+    target, retain orphans for a later run — and, like the reference's
+    single DB transaction (:230-234), publish BOTH resulting tables with
+    one atomic commit. A crash anywhere before the pointer swap leaves
+    the previous (consistent) version of target AND staging visible;
+    there is no state in which the merge landed but staging still holds
+    the merged rows (the double-apply / torn-read hazard the reference's
+    rollback at :44-50 exists to prevent).
+
+    Both outputs stem from one staging scan; the merge itself is
+    idempotent (keyed upsert), so a retry after a crash converges.
+    """
+    new_target, retained = staging_merge(
+        group.read(spark, staging), group.read(spark, parent),
+        group.read(spark, target),
+        staging_parent_key=staging_parent_key, parent_key=parent_key,
+        merge_keys=merge_keys)
+    version = group.publish({target: new_target, staging: retained})
+    return {"version": version,
+            "target_rows": group.read(spark, target).count(),
+            "retained_rows": group.read(spark, staging).count()}

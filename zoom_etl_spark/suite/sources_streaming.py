@@ -250,3 +250,78 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_ss_join_log").select(
         "user_id", "signup_id", "signup_ts",
         "error_id", "error_ts", "error_value")
+
+
+@query("stream_upsert_sink", oracle="""
+SELECT user_id, event_id, event_type, ts, value FROM (
+  SELECT user_id, event_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+""")
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed-upsert sink — the reference's JDBC loader
+    (execute_values INSERT…ON CONFLICT, src/db/load.py:41-50) as a
+    streaming sink: per micro-batch last-wins dedup + merge-upsert,
+    committed atomically with a batch-id ledger so redelivered batches
+    are exactly-once no-ops (idempotency proven in test_upsert_sink.py).
+    Converged table state == batch last-wins per user, value-hash-checked."""
+    import tempfile
+
+    from ..operators.txn import TableGroup
+    from ..streaming.sink import UpsertSink
+    group = TableGroup(tempfile.mkdtemp(prefix="zes_sink_grp_"))
+    group.publish({"events_current": spark.createDataFrame(
+        [], "user_id long, event_id long, event_type string, "
+            "ts timestamp, value double")})
+    sink = UpsertSink(group, "events_current", keys=["user_id"],
+                      version_cols=["ts", "event_id"])
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value")
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="zes_sink_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return group.read(spark, "events_current")
+
+
+def _ss_left_join_streams(spark: SparkSession, sf_dir: str):
+    signups = (read_events_stream(spark, sf_dir)
+               .filter(F.col("event_type") == "signup")
+               .withWatermark("ts", "1 hour")
+               .select("user_id", F.col("event_id").alias("signup_id"),
+                       F.col("ts").alias("signup_ts")))
+    errors = (read_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "error")
+              .withWatermark("ts", "1 hour")
+              .select(F.col("user_id").alias("e_user_id"),
+                      F.col("event_id").alias("error_id"),
+                      F.col("ts").alias("error_ts"),
+                      F.col("value").alias("error_value")))
+    return signups.join(
+        errors,
+        F.expr("user_id = e_user_id AND error_ts >= signup_ts "
+               "AND error_ts < signup_ts + INTERVAL 1 HOUR"),
+        "left_outer").drop("e_user_id")
+
+
+@query("stream_stream_left_join")  # rows-only: drained set is watermark-gated
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join (ROADMAP item 5's named
+    remainder): signups with no same-user error in the following hour
+    emit with NULL error columns. Matches emit eagerly like the inner
+    join; a null-side row emits only once the watermark passes
+    signup_ts + 1 hour — the proof no match can still arrive — via the
+    post-data no-data micro-batch availableNow runs to flush state.
+    Signups younger than (stream max ts − join window − watermark delay)
+    are still awaiting that proof at drain and correctly do NOT emit;
+    test_sources_streaming.py checks the emitted set equals the batch
+    left join under exactly that gate."""
+    joined = _ss_left_join_streams(spark, sf_dir)
+    q = (joined.writeStream.format("memory").queryName("stream_ss_ljoin_log")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_ss_ljoin_log").select(
+        "user_id", "signup_id", "signup_ts",
+        "error_id", "error_ts", "error_value")
