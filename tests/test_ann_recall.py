@@ -63,6 +63,42 @@ def test_lsh_multiprobe_recall_monotone(ann_fixture):
     assert recalls[2] >= 0.40, recalls
 
 
+@pytest.mark.parametrize("target", [0.3, 0.45])
+def test_lsh_autotune_hits_recall_target(ann_fixture, target):
+    """tune_lsh_flips must return the SMALLEST n_flip meeting the target
+    (monotone supersets ⇒ first hit is optimal), with measured recall
+    actually ≥ target."""
+    from zoom_etl_spark.dedup.tune import tune_lsh_flips
+    corpus, queries, _ = ann_fixture
+    out = tune_lsh_flips(corpus, queries, "vec_id", "embedding", DIM,
+                         k=K, n_planes=4, target_recall=target)
+    assert out["met"] and out["recall"] >= target, out
+    # minimality: every earlier setting in the trace fell short
+    assert all(r < target for _, r in out["trace"][:-1]), out["trace"]
+
+
+def test_ivf_autotune_hits_recall_target(ann_fixture):
+    from zoom_etl_spark.dedup.tune import tune_ivf_probes
+    corpus, queries, _ = ann_fixture
+    out = tune_ivf_probes(corpus, queries, "vec_id", "embedding", DIM,
+                          k=K, n_cells=16, target_recall=0.9)
+    assert out["met"] and out["recall"] >= 0.9, out
+    assert all(r < 0.9 for _, r in out["trace"][:-1]), out["trace"]
+    # sf0.001 measured: n_probe=2 → 0.792, 4 → 1.0; doubling lands on 4
+    assert out["n_probe"] <= 4
+
+
+def test_recall_at_k_agrees_with_python_reference(ann_fixture):
+    """The distributed recall metric must equal the collect-and-set
+    arithmetic the earlier gates use."""
+    from zoom_etl_spark.dedup.tune import brute_force_topk, recall_at_k
+    corpus, queries, tsets = ann_fixture
+    approx = ann_topk_lsh(corpus, queries, "vec_id", "embedding", DIM,
+                          k=K, n_planes=4, n_flip=2)
+    truth = brute_force_topk(corpus, queries, "vec_id", "embedding", k=K)
+    assert abs(recall_at_k(approx, truth) - _recall(approx, tsets)) < 1e-9
+
+
 def test_ivf_probe_recall(ann_fixture):
     corpus, queries, tsets = ann_fixture
     r2 = _recall(ann_topk_ivf(corpus, queries, "vec_id", "embedding", DIM,

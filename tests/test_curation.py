@@ -1,0 +1,70 @@
+"""Curation operator behavior on planted inputs (the synthetic corpus has
+no PII and no transitive dup chains, so plant our own)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zoom_etl_spark.dedup.cluster import connected_components
+
+
+def test_pii_redaction_plants(spark, sf_dir, monkeypatch):
+    from zoom_etl_spark.suite import curation
+    planted = spark.createDataFrame(
+        [(1, "contact bob.smith+x@corp.example.org or 10.0.0.1 now", "en"),
+         (2, "call 555-867-5309 twice: 555-867-5309", "en"),
+         (3, "nothing sensitive here", "en")],
+        "doc_id long, text string, lang string")
+    monkeypatch.setattr(curation, "table", lambda s, d, n: planted)
+    out = {r.doc_id: (r.clean, r.n_pii)
+           for r in curation.pii_redact(spark, sf_dir).collect()}
+    assert out[1] == ("contact <EMAIL> or <IP> now", 2)
+    assert out[2] == ("call <PHONE> twice: <PHONE>", 2)
+    assert out[3] == ("nothing sensitive here", 0)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D in one chain plus a separate pair: components are
+    {A..D} and the pair, labeled by their min ids — found even though
+    A and D never share an edge."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r.node: r.cluster for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Worst-case diameter within max_iter: a 20-node path collapses to
+    one component."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long")
+    got = {r.cluster for r in connected_components(edges).collect()}
+    assert got == {0}
+
+
+def test_stratified_rates_land_near_targets(spark, sf_dir):
+    from zoom_etl_spark.registry import queries
+    out = queries()["sample_stratified"](spark, sf_dir)
+    from zoom_etl_spark.catalog import table
+    tot = {r.lang: r.n for r in
+           table(spark, sf_dir, "documents").groupBy("lang")
+           .agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in
+            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # arithmetic-hash sampling: rates approximate on small strata
+    assert kept["en"] / tot["en"] < 0.45          # en downsampled (30%)
+    assert kept["zh"] / tot["zh"] > 0.6           # zh kept high (80%)
+
+
+def test_token_budget_pack_shards_respect_budget(spark, sf_dir):
+    """Every shard's token sum stays under budget + one doc overshoot
+    (a doc is never split), and shards are contiguous per lang."""
+    from zoom_etl_spark.registry import queries
+    rows = queries()["token_budget_pack"](spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault((r.lang, r.shard), []).append(r)
+    for (lang, shard), docs in by_shard.items():
+        total = sum(d.n_tok for d in docs)
+        # cumulative-before rule: all but the last doc fit under budget
+        assert total - max(d.n_tok for d in docs) < 1000, (lang, shard)

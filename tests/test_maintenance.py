@@ -111,6 +111,44 @@ def test_auto_join_detects_skew_and_matches_plain(spark):
     assert plain.exceptAll(out).count() == 0
 
 
+def test_cms_skew_stats_bounds_and_estimate(spark):
+    """Count-min estimate of the hot key: never an undercount (one-sided
+    error), overcount bounded by the sketch guarantee e·n/width."""
+    import math
+
+    from zoom_etl_spark.operators.joins import skew_stats_cms
+    # hot key 1 owns 3000 rows; 100k distinct cold keys of 1 row each —
+    # the exact histogram would hold 100k counters, the sketch holds 4×4096
+    hot = spark.range(0, 3000).selectExpr("cast(1 AS bigint) AS k")
+    cold = spark.range(0, 100000).selectExpr("id + 10 AS k")
+    stats = skew_stats_cms(hot.unionAll(cold), "k", sample_fraction=1.0,
+                           width=4096, depth=4, support=0.02)
+    assert stats["mode"] == "cms"
+    assert stats["n"] == 103000
+    assert stats["top_count"] >= 3000                      # no undercount
+    assert stats["top_count"] <= 3000 + math.e * stats["n"] / 4096
+    assert stats["hot_share"] >= 0.025
+
+
+def test_auto_join_cms_mode_chooses_salted_on_hot_key(spark):
+    """ROADMAP item 3 done-condition: synthetic hot-key table under the
+    sketch picks the salted path, result identical to the plain join."""
+    from zoom_etl_spark.operators.joins import auto_join
+    hot = spark.range(0, 9000).selectExpr("1 AS k", "id AS v")
+    cold = spark.range(0, 1000).selectExpr("cast(id % 50 + 2 AS bigint) AS k",
+                                           "id + 9000 AS v")
+    left = hot.unionAll(cold)
+    right = spark.range(1, 60).selectExpr("id AS k", "id * 10 AS w")
+    decision: dict = {}
+    out = auto_join(left, right, "k", sample_fraction=0.5,
+                    decision_out=decision, stats_mode="cms")
+    assert decision["mode"] == "cms" and decision["strategy"] == "salted"
+    assert decision["hot_share"] > 0.5
+    plain = left.join(right, "k")
+    assert out.exceptAll(plain).count() == 0
+    assert plain.exceptAll(out).count() == 0
+
+
 def test_auto_join_uniform_stays_plain(spark):
     from zoom_etl_spark.operators.joins import auto_join
     left = spark.range(0, 5000).selectExpr("id % 500 AS k", "id AS v")

@@ -1,0 +1,52 @@
+"""Connected components over near-dup pairs → dedup clusters.
+
+Pairwise dedup (minhash/ngram/embedding) emits EDGES; what a curation
+pipeline acts on is the transitive CLUSTER (doc A ~ B, B ~ C ⇒ one
+keeper among {A,B,C} even if A ≁ C directly). Min-label propagation:
+every node repeatedly adopts the smallest label in its neighborhood;
+at fixpoint each component carries its minimum doc id as the cluster id.
+
+Scale analysis: each iteration is one equi-join (labels ⋈ edges) + one
+groupBy min — linear in |E|, shuffle-partitioned by node id, no driver
+data. Iterations needed = component diameter; near-dup clusters are
+shallow (dozens of docs, diameter a few hops), so the loop converges in
+single digits. The convergence check is a 1-row count. For adversarial
+long-chain graphs, large-star/small-star (Kiveris et al., 2014) drops
+rounds to O(log n) — the join structure below is the same; only the
+neighbor set swaps. Lineage is truncated per iteration
+(localCheckpoint) so the plan doesn't grow with the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(node, cluster) for every node appearing in ``edges``; cluster =
+    min node id of the connected component. Deterministic."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = (und.select(F.col("u").alias("node"))
+              .distinct()
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        # smallest label among self + neighbors
+        nbr_min = (und.join(labels, und.v == labels.node)
+                   .groupBy(F.col("u").alias("node"))
+                   .agg(F.min("lbl").alias("nbr_lbl")))
+        new = (labels.join(nbr_min, "node", "left")
+               .select("node",
+                       F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("cluster"))

@@ -80,10 +80,60 @@ def skew_stats(df: DataFrame, key: str,
             "hot_share": (top / n) if n else 0.0}
 
 
+def skew_stats_cms(df: DataFrame, key: str, sample_fraction: float = 0.01,
+                   width: int = 8192, depth: int = 4,
+                   support: float = 0.02) -> dict:
+    """``skew_stats`` with memory bounded by the SKETCH, not the key
+    cardinality (ROADMAP item 3): the exact variant's groupBy holds one
+    counter per distinct sampled key — at 100 TB an ultra-high-cardinality
+    key column makes even the sampled histogram a memory hazard. Here:
+
+    * a count-min sketch (Cormode & Muthukrishnan '05): ``depth``
+      pairwise-independent hash rows × ``width`` counters, built as a
+      groupBy over (row, bucket) — the shuffle and the driver collect are
+      ≤ depth×width rows REGARDLESS of key cardinality. Estimates
+      overshoot only (min over rows), by ≤ e·n/width w.h.p.
+    * hot-key CANDIDATES from ``freqItems`` (Karp/Misra-Gries style,
+      bounded at ~1/support entries) — a CMS can estimate any key but
+      enumerate none; the two structures are complementary and both
+      single-pass, mergeable, fixed-size.
+
+    Returns the ``skew_stats`` dict + ``{"mode": "cms"}``. top_count is
+    the largest CMS estimate among candidates — an overestimate, which
+    errs toward salting (the safe side for a skew guard).
+    """
+    s = df.select(key).sample(fraction=sample_fraction, seed=7)
+    bucket = [F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(width))
+              .cast("int").alias(f"b{i}") for i in range(depth)]
+    pairs = (s.select(*bucket)
+             .select(F.explode(F.array(*[
+                 F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("b"))
+                 for i in range(depth)])).alias("ib"))
+             .select("ib.i", "ib.b"))
+    # ≤ depth×width groups after map-side combine — bounded collect
+    sketch = {(r["i"], r["b"]): r["cnt"] for r in
+              pairs.groupBy("i", "b").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(v for (i, _), v in sketch.items() if i == 0)
+    cands = s.stat.freqItems([key], support).first()[0]
+    top = 0
+    if n and cands:
+        spark = df.sparkSession
+        cdf = spark.createDataFrame([(c,) for c in cands],
+                                    s.schema)
+        # hash candidates through the SAME Spark expressions (estimates
+        # must use identical bucket mapping as the sketch build)
+        crows = cdf.select(F.col(key), *bucket).collect()
+        top = max(min(sketch.get((i, r[f"b{i}"]), 0) for i in range(depth))
+                  for r in crows)
+    return {"n": n, "top_count": int(top),
+            "hot_share": (top / n) if n else 0.0, "mode": "cms"}
+
+
 def auto_join(left: DataFrame, right: DataFrame, key: str,
               how: str = "inner", skew_threshold: float = 0.2,
               n_salts: int = 8, sample_fraction: float = 0.01,
-              decision_out: dict | None = None) -> DataFrame:
+              decision_out: dict | None = None,
+              stats_mode: str = "exact") -> DataFrame:
     """Equi-join that picks its physical strategy from data, not hope:
     sample the left side's key distribution and use ``salted_join`` when
     one key owns ≥ ``skew_threshold`` of the rows, else a plain join.
@@ -93,9 +143,13 @@ def auto_join(left: DataFrame, right: DataFrame, key: str,
     worth of rows) where post-shuffle splitting still leaves one reducer
     reading the whole hot key's shuffle blocks. ``decision_out`` (if
     passed) is populated with the measured stats and the chosen strategy
-    so pipelines can log WHY a plan was picked.
+    so pipelines can log WHY a plan was picked. ``stats_mode="cms"``
+    swaps the exact sampled histogram for the count-min sketch
+    (``skew_stats_cms``) — choose it when the key cardinality is high
+    enough that even the sampled histogram is a memory concern.
     """
-    stats = skew_stats(left, key, sample_fraction=sample_fraction)
+    stats_fn = skew_stats_cms if stats_mode == "cms" else skew_stats
+    stats = stats_fn(left, key, sample_fraction=sample_fraction)
     salted = stats["hot_share"] >= skew_threshold and how in ("inner", "left")
     if decision_out is not None:
         decision_out.update(stats, strategy="salted" if salted else "plain")

@@ -1,0 +1,212 @@
+"""Corpus-curation operators a training-data pipeline runs between dedup
+and shard-writing (SURVEY §2.12 extensions): PII redaction, percentile
+quality filtering, deterministic stratified sampling, token-budget shard
+packing, and transitive dedup clustering. All value-hash-gated against
+DuckDB — including the iterative connected-components operator, whose
+oracle is a recursive-CTE transitive closure.
+
+Generalizes the reference's sanitize/validate projection stage (reference
+src/zoom/transform.py:16-38) from per-row hygiene to corpus-level
+curation. Hot paths are codegen'd column expressions; the only loop
+(connected components) is a bounded label-propagation driver loop whose
+per-iteration work is joins — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..dedup.cluster import connected_components
+from ..dedup.ngram import ngram_jaccard_pairs
+from ..registry import query
+from .northstar import quality_expr
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query("pii_redact", oracle=rf"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL}', '<EMAIL>', 'g'),
+           '{_IPV4}', '<IP>', 'g'),
+           '{_PHONE}', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(text, '{_EMAIL}'))
+          + len(regexp_extract_all(text, '{_IPV4}'))
+          + len(regexp_extract_all(text, '{_PHONE}')) AS INT) AS n_pii
+FROM documents
+""")
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / US-style phones → typed tokens) +
+    per-doc redaction count — the mandatory hygiene pass before a corpus
+    ships to training. Pure regexp_replace/regexp_count codegen; the
+    pattern subset is chosen for engine-portable semantics so the oracle
+    is value-exact. Redaction behavior on planted PII is unit-tested."""
+    d = table(spark, sf_dir, "documents")
+    clean = F.col("text")
+    n_pii = F.lit(0)
+    for pat, tok in ((_EMAIL, "<EMAIL>"), (_IPV4, "<IP>"),
+                     (_PHONE, "<PHONE>")):
+        clean = F.regexp_replace(clean, pat, tok)
+        n_pii = n_pii + F.regexp_count("text", F.lit(pat))
+    return d.select("doc_id", clean.alias("clean"),
+                    n_pii.cast("int").alias("n_pii"))
+
+
+@query("quality_filter_pctl", oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         round(0.5 * least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+               + 0.5 * (1.0 - coalesce(
+                   CAST(len(list_filter(toks,
+                        x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+                   / nullif(len(toks), 0), 1.0)), 4) AS quality
+  FROM tok
+),
+bounds AS (
+  SELECT quantile_cont(quality, 0.05) AS lo,
+         quantile_cont(quality, 0.95) AS hi
+  FROM feats
+)
+SELECT doc_id, quality
+FROM feats, bounds
+WHERE quality >= lo AND quality <= hi
+""")
+def quality_filter_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band quality filter: drop the bottom and top 5% of the
+    corpus by quality score (outlier tails: boilerplate spam and
+    degenerate short docs). The bounds are a 1-row aggregate broadcast
+    into the filter — two passes over a codegen'd projection, no sort.
+    Quality is rounded BEFORE the quantile so boundary membership is
+    engine-exact (adjacent distinct values differ by ≥ 1e-4, far above
+    float error)."""
+    d = table(spark, sf_dir, "documents")
+    feats = d.select("doc_id", F.round(quality_expr(), 4).alias("quality"))
+    bounds = feats.agg(
+        F.percentile("quality", F.lit(0.05)).alias("lo"),
+        F.percentile("quality", F.lit(0.95)).alias("hi"))
+    return (feats.crossJoin(F.broadcast(bounds))
+            .filter((F.col("quality") >= F.col("lo"))
+                    & (F.col("quality") <= F.col("hi")))
+            .select("doc_id", "quality"))
+
+
+@query("sample_stratified", oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * 37 + 11) % 100 <
+      CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 ELSE 50 END
+""")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — rebalance a corpus by
+    language (downsample dominant en, upsample rare zh). The arithmetic
+    hash on the key makes the sample REPRODUCIBLE and engine-portable
+    (the property `df.sampleBy` lacks: its RNG is partition-layout
+    dependent); production swaps in xxhash64(doc_id) with the same
+    structure. Row-local predicate → full scan parallelism, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    rate = (F.when(F.col("lang") == "en", 30)
+            .when(F.col("lang") == "zh", 80).otherwise(50))
+    return (d.filter(F.pmod(F.col("doc_id") * 37 + 11, F.lit(100)) < rate)
+            .select("doc_id", "lang"))
+
+
+@query("token_budget_pack", oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+           AS n_tok
+  FROM documents
+)
+SELECT doc_id, lang, n_tok,
+       CAST(floor(coalesce(sum(n_tok) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 1000.0) AS INT) AS shard
+FROM t
+""")
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign docs to training shards of
+    ~1000 tokens by running token count — the standard pre-tokenization
+    sharding step. Packing is PER LANGUAGE (the window partitions by
+    lang), so shards parallelize across strata instead of serializing
+    the whole corpus through one global cumulative sum; at 100 TB the
+    stratum key is (lang, date-bucket) and each stratum packs
+    independently — same code, finer partitions."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (d.select("doc_id", "lang", n_tok.alias("n_tok"))
+            .select("doc_id", "lang", "n_tok",
+                    F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+                            / 1000.0).cast("int").alias("shard")))
+
+
+_PAIRS_SQL = r"""
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+)"""
+
+
+@query("dedup_clusters", oracle=f"""
+WITH RECURSIVE {_PAIRS_SQL},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster
+FROM reach GROUP BY u
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over near-dup pairs: pairwise dedup says
+    A~B and B~C; the curation decision (one keeper per group) needs the
+    connected component {A,B,C}. Min-label propagation (dedup/cluster.py)
+    — per-iteration joins, converges in diameter hops (near-dup clusters
+    are shallow). The ITERATIVE Spark operator is value-hash-gated
+    against a recursive-CTE transitive closure in DuckDB — both sides
+    label each clustered doc with its component's min doc_id."""
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text",
+                                k=3, threshold=0.2, max_df=50)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(F.col("node").alias("doc_id"), "cluster")

@@ -11,7 +11,7 @@ Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -228,6 +228,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """Heuristic document quality (length saturation + 1−stopword ratio)
+    as a pure column expression — shared by the scoring query and the
+    percentile filter in suite/curation.py."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    stop = F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "in", "to"))
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = F.size(stop).cast("double") / F.nullif(F.size(toks), F.lit(0))
+    return (0.5 * F.least(n_tokens / 20.0, F.lit(1.0))
+            + 0.5 * (1.0 - F.coalesce(stop_ratio, F.lit(1.0))))
+
+
 @query("text_quality_score", oracle=r"""
 WITH tok AS (
   SELECT doc_id,
@@ -250,13 +262,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length saturation + (1 - stopword ratio).
     The shape of fastText-style quality filters, as one codegen'd projection."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    stop = F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "in", "to"))
-    n_tokens = F.size(toks).cast("double")
-    stop_ratio = F.size(stop).cast("double") / F.nullif(F.size(toks), F.lit(0))
-    quality = (0.5 * F.least(n_tokens / 20.0, F.lit(1.0))
-               + 0.5 * (1.0 - F.coalesce(stop_ratio, F.lit(1.0))))
-    return d.select("doc_id", F.round(quality, 4).alias("quality"))
+    return d.select("doc_id", F.round(quality_expr(), 4).alias("quality"))
 
 
 @query("text_fingerprint", oracle=r"""
