@@ -28,8 +28,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     """(node, cluster) for every node appearing in ``edges``; cluster =
     min node id of the connected component. Deterministic."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = fwd.unionByName(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # materialize the (possibly expensive) upstream pair pipeline ONCE —
+    # every iteration joins against `und`, and without this the lineage
+    # would re-run candidate generation per iteration
+    und = (fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct().localCheckpoint())
     labels = (und.select(F.col("u").alias("node"))
               .distinct()
               .withColumn("lbl", F.col("node"))

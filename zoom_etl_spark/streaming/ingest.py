@@ -13,6 +13,8 @@ the `readStream.format(...)` line.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
@@ -52,11 +54,33 @@ def windowed_counts(stream: DataFrame, watermark: str = "1 hour",
             .select(F.col("w.start").alias("day"), "cnt", "total"))
 
 
-def run_available_now(result: DataFrame, query_name: str) -> DataFrame:
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` for a stateful streaming
+    query. The setting fixes the number of STATE STORE instances (one per
+    shuffle partition, pinned at the first micro-batch and persisted in
+    the checkpoint) — a per-workload sizing decision, not cluster width:
+    it must cover the keyspace/throughput of the stateful operator, and
+    every instance carries fixed maintenance cost (snapshots, file
+    handles) even when near-empty. The bounded availableNow replays here
+    need single digits; a 100 TB deployment raises ``n`` to its expected
+    peak parallelism BEFORE first start (it cannot change across
+    restarts without a new checkpoint)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def run_available_now(result: DataFrame, query_name: str,
+                      output_mode: str = "complete") -> DataFrame:
     """Drain all available input into an in-memory sink; return the result
     table. Complete mode: windows re-emit as late batches arrive."""
     spark = result.sparkSession
-    q = (result.writeStream.format("memory").queryName(query_name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (result.writeStream.format("memory").queryName(query_name)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(query_name)
