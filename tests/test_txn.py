@@ -1,6 +1,8 @@
 """Atomic multi-table publish (operators/txn.py): the transactional
 contract of the reference's staging reconciliation (src/db/load.py:230-234)
-on plain parquet — crash injection proves no torn state is ever visible."""
+on plain parquet — crash injection proves no torn state is ever visible,
+and concurrent publishers serialize (disjoint commits rebase, overlapping
+commits conflict loudly like a Postgres serialization failure)."""
 
 from __future__ import annotations
 
@@ -28,8 +30,8 @@ def _group(spark):
     return g
 
 
-def _snapshot(spark, g):
-    return {name: {tuple(r) for r in g.read(spark, name).collect()}
+def _snapshot(spark, g, version=None):
+    return {name: {tuple(r) for r in g.read(spark, name, version).collect()}
             for name in g.tables()}
 
 
@@ -48,8 +50,8 @@ def test_reconcile_publishes_both_tables_atomically(spark):
 
 def test_crash_between_table_writes_leaves_no_torn_state(spark):
     """Kill the publish after the first table's data lands but before the
-    second's: the commit pointer never advances, so readers still see the
-    OLD version of BOTH tables — never merged-target + stale-staging."""
+    second's: no manifest is ever created, so readers still see the OLD
+    version of BOTH tables — never merged-target + stale-staging."""
     g = _group(spark)
     before = _snapshot(spark, g)
     boom = F.udf(lambda x: (_ for _ in ()).throw(RuntimeError("crash")))
@@ -68,27 +70,65 @@ def test_crash_between_table_writes_leaves_no_torn_state(spark):
     assert v >= 2 and g.read(spark, "staging").count() == 1
 
 
-def test_crash_at_pointer_swap_leaves_old_version(spark, monkeypatch):
-    """Kill between the manifest write and the pointer rename: still the
-    old version everywhere (the rename IS the commit point)."""
+def test_crash_at_commit_point_leaves_old_version_and_no_livelock(spark,
+                                                                  monkeypatch):
+    """Kill at the manifest hardlink (THE commit point): still the old
+    version everywhere, and — the round-2 livelock fix — the next publish
+    succeeds at the next version instead of conflicting forever."""
     g = _group(spark)
     before = _snapshot(spark, g)
-    real_replace = os.replace
+    real_link = os.link
 
-    def dying_replace(src, dst):
+    def dying_link(src, dst):
         raise OSError("injected crash at commit point")
 
-    monkeypatch.setattr(os, "replace", dying_replace)
+    monkeypatch.setattr(os, "link", dying_link)
     with pytest.raises(OSError):
         g.publish({"target": g.read(spark, "target").limit(1)})
-    monkeypatch.setattr(os, "replace", real_replace)
+    monkeypatch.setattr(os, "link", real_link)
 
     assert g.current_version() == 1
     assert _snapshot(spark, g) == before
-    # the half-claimed version makes the NEXT publish conflict loudly,
-    # not clobber — the caller reloads and retries at version+1
-    with pytest.raises(CommitConflict):
-        g.publish({"target": g.read(spark, "target").limit(1)})
+    # recovery is immediate: the aborted attempt left only unreferenced
+    # data dirs (vacuumable), never a half-claimed version
+    v = g.publish({"target": g.read(spark, "target").limit(1)})
+    assert v == 2
+    assert g.read(spark, "target").count() == 1
+
+
+def test_concurrent_disjoint_publishers_both_land(spark):
+    """Two writers, different tables: the loser of the version race
+    rebases onto the winner's commit and lands at the next version with
+    the winner's table carried forward — both commits survive."""
+    g = _group(spark)
+    other = TableGroup(g.root)  # second writer handle on the same log
+
+    def racer():
+        other.publish({"parent": other.read(spark, "parent")
+                       .withColumn("parent_id", F.col("parent_id") + 100)})
+
+    v = g.publish({"target": g.read(spark, "target").limit(1)},
+                  _before_claim=racer)
+    assert v == 3  # racer took v2, this publish rebased to v3
+    assert g.read(spark, "target").count() == 1                  # ours
+    assert [r.parent_id for r in g.read(spark, "parent").collect()] == [110]
+
+
+def test_concurrent_overlapping_publishers_conflict(spark):
+    """Two writers, SAME table: the loser must not silently overwrite the
+    winner (lost update) — it gets CommitConflict, and the winner's
+    commit is intact."""
+    g = _group(spark)
+    other = TableGroup(g.root)
+
+    def racer():
+        other.publish({"target": other.read(spark, "target").limit(1)})
+
+    with pytest.raises(CommitConflict, match="changed by a concurrent"):
+        g.publish({"target": g.read(spark, "target")},
+                  _before_claim=racer)
+    assert g.current_version() == 2          # the racer's commit stands
+    assert g.read(spark, "target").count() == 1
 
 
 def test_carry_forward_and_vacuum(spark):
@@ -101,3 +141,34 @@ def test_carry_forward_and_vacuum(spark):
     removed = g.vacuum()                            # v1's target dir only
     assert len(removed) == 1 and "/target/" in removed[0] + "/"
     assert g.read(spark, "staging").count() == 3    # live data untouched
+
+
+def test_vacuum_retention_keeps_pinned_reader_valid(spark):
+    """A reader pinned to an older version inside the retention window
+    survives vacuum; versions beyond the window are reclaimed."""
+    g = _group(spark)                                # v1
+    g.publish({"target": g.read(spark, "target").limit(1)})   # v2
+    g.publish({"target": g.read(spark, "target", version=1)})  # v3
+    pinned = _snapshot(spark, g, version=2)
+    removed = g.vacuum(keep_last=2)                  # keep v2 + v3
+    assert all("/target/" in p + "/" for p in removed)  # only v1's target
+    assert _snapshot(spark, g, version=2) == pinned  # pinned reader intact
+    with pytest.raises(Exception):
+        # v1's target dir is gone — beyond retention, as documented
+        g.read(spark, "target", version=1).collect()
+
+
+def test_vacuum_min_age_protects_inflight_publisher(spark):
+    """vacuum(min_age_s=...) must not delete data a concurrent publisher
+    has written but not yet committed (data lands before the manifest)."""
+    g = _group(spark)
+
+    def vacuum_midway():
+        # runs after the publisher's data is durable, before its commit
+        removed = g.vacuum(keep_last=1, min_age_s=3600)
+        assert removed == []  # fresh uncommitted dirs are protected
+
+    v = g.publish({"target": g.read(spark, "target").limit(1)},
+                  _before_claim=vacuum_midway)
+    assert v == 2
+    assert g.read(spark, "target").count() == 1  # files survived vacuum

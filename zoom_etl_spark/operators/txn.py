@@ -1,4 +1,4 @@
-"""Atomic multi-table publish on plain parquet (version-pointer commit).
+"""Atomic multi-table publish on plain parquet (manifest-log commit).
 
 The reference wraps the staging→final merge and the staging delete in ONE
 database transaction (reference src/db/load.py:230-234, with rollback at
@@ -8,84 +8,140 @@ independent parquet overwrites re-introduces exactly the torn state the
 reference's transaction prevents — a crash between the writes leaves one
 table new and the other old.
 
-This module is the minimal storage-format answer (the idea Delta/Iceberg
-commit logs generalize): data files are immutable and versioned, and the
-ONLY mutable object is a single pointer file advanced with an atomic
-rename. One pointer covers the whole table *group*, so a multi-table
-publish is all-or-nothing by construction:
+This module is the minimal storage-format answer (the idea the
+Delta/Iceberg commit logs generalize): data files are immutable and
+versioned, and a commit IS the atomic creation of a fully-durable
+manifest file at the next version number:
 
 1. every table's new version is written to a fresh directory
-   (``data/<table>/v<N>-<nonce>/``) — crash here leaves unreferenced
+   (``data/<table>/v<N>-<nonce>/``) — a crash here leaves unreferenced
    garbage, never visible state;
-2. a manifest (version → table paths) is created with O_EXCL — a
-   concurrent committer racing to the same version loses and retries
-   rather than silently clobbering (single-writer optimistic check);
-3. the ``current`` pointer file is replaced via write-temp + fsync +
-   ``os.replace`` — POSIX-atomic; readers resolve the pointer, then the
-   manifest, then read immutable paths.
+2. the manifest (version → table paths + meta) is written to a unique
+   temp file and fsync'd, then ``os.link``-ed to ``_versions/vNNN.json``.
+   The hardlink is the commit point: it is atomic, it fails (EEXIST) if
+   another writer claimed the version first, and — because the content
+   was durable BEFORE the link — a manifest file either doesn't exist or
+   is complete. There is no separate pointer to swap, so there is no
+   window in which a claimed-but-unpointed version can wedge the log
+   (the round-2 livelock): the current version is simply the highest
+   manifest present.
+3. a loser of the link race rebases and retries: it re-reads the new
+   current manifest, carries the winner's tables forward, and claims the
+   next version — UNLESS the winner modified one of the tables this
+   publish is also writing, which is a real write-write conflict and
+   raises ``CommitConflict`` (the caller must recompute from a fresh
+   snapshot, exactly like a serialization failure in the reference's
+   Postgres transaction).
 
 Readers are snapshot-isolated for free: a reader that resolved version N
-keeps reading N's immutable files while a writer publishes N+1. On a real
-cluster the pointer lives on a store with atomic rename (HDFS) or
-conditional put (S3); the protocol is unchanged.
+keeps reading N's immutable files while writers commit N+1, N+2, …
+``vacuum`` honors that with a retention window (keep the last
+``keep_last`` versions' files, never delete directories younger than
+``min_age_s`` — which also protects data an in-flight publisher has
+written but not yet committed). On a real cluster the manifest dir lives
+on a store with atomic create-if-absent (HDFS create, S3 conditional
+put); the protocol is unchanged. At very high commit rates the listing
+in ``current_version`` is the scaling limit — the known fix is
+checkpoint summaries every K commits (what Delta does), orthogonal here.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+
 
 class CommitConflict(Exception):
-    """Another writer published this version first — reload and retry."""
+    """A concurrent writer changed a table this publish also writes.
+    The caller's input DataFrames were derived from a stale snapshot —
+    recompute them from the new current version and retry."""
 
 
 class TableGroup:
-    """A set of tables that commit together under one version pointer."""
+    """A set of tables that commit together under one manifest log."""
 
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+        self._vdir = os.path.join(root, "_versions")
+        os.makedirs(self._vdir, exist_ok=True)
 
     # ------------------------------------------------------------- reads
 
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.root, "current")
+    def _versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._vdir):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def current_version(self) -> int | None:
-        try:
-            with open(self._pointer) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return None
+        vs = self._versions()
+        return vs[-1] if vs else None
 
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.root, "_versions", f"v{version:08d}.json")
+        return os.path.join(self._vdir, f"v{version:08d}.json")
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
         if v is None:
-            return {"version": 0, "tables": {}}
+            return {"version": 0, "tables": {}, "meta": {}}
         with open(self._manifest_path(v)) as f:
-            return json.load(f)
+            m = json.load(f)
+        m.setdefault("meta", {})
+        return m
 
     def tables(self) -> list[str]:
         return sorted(self.manifest()["tables"])
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        m = self.manifest()
+    def read(self, spark: SparkSession, name: str,
+             version: int | None = None) -> DataFrame:
+        """Read a table at the current (or a pinned) version. Pinning a
+        version is snapshot isolation: the manifest and data files are
+        immutable, so the snapshot stays readable as long as vacuum
+        retention covers it."""
+        m = self.manifest(version)
         if name not in m["tables"]:
             raise KeyError(f"table {name!r} not in group (version {m['version']})")
         return spark.read.parquet(m["tables"][name])
 
     # ------------------------------------------------------------ commit
 
-    def publish(self, dfs: dict[str, DataFrame],
-                meta: dict | None = None) -> int:
+    def _try_claim(self, version: int, payload: dict) -> bool:
+        """Atomically claim ``version`` with a fully-durable manifest.
+        Content is written + fsync'd to a unique temp file first, then
+        hardlinked into place — the link is the commit point, so a
+        manifest can never exist half-written. Returns False if another
+        writer claimed the version first."""
+        tmp = os.path.join(self._vdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        # durability of the directory entry itself
+        dfd = os.open(self._vdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        return True
+
+    def publish(self, dfs: dict[str, DataFrame], meta: dict | None = None,
+                max_retries: int = 5,
+                _before_claim=None) -> int:
         """Atomically publish new versions of the given tables.
 
         Tables in the group but not in ``dfs`` carry forward unchanged
@@ -93,55 +149,85 @@ class TableGroup:
         (JSON-serializable) commits atomically WITH the data in the same
         manifest — the hook sinks use to fence replayed micro-batches
         (a batch-id ledger that can never be newer or older than the
-        table it describes). Returns the committed version. Raises
-        CommitConflict if another writer claimed the version first; no
-        partial state is visible either way.
+        table it describes). Returns the committed version.
+
+        Concurrency: optimistic with rebase. Data directories are
+        written once; if another writer commits first, this publish
+        re-reads the new current manifest, carries the winner's tables
+        forward, and claims the next version. If the winner changed a
+        table also being written here, the inputs were computed from a
+        stale snapshot — ``CommitConflict`` is raised and no partial
+        state is visible. ``_before_claim`` is a test seam invoked once
+        after data is durable and before the first claim attempt
+        (concurrency/crash injection).
         """
-        prev = self.manifest()
-        v = prev["version"] + 1
-        tables = dict(prev["tables"])  # carried-forward paths
+        base = self.manifest()
+        written: dict[str, str] = {}
+        v_hint = base["version"] + 1
         for name, df in dfs.items():
             path = os.path.join(self.root, "data", name,
-                                f"v{v:08d}-{uuid.uuid4().hex[:8]}")
+                                f"v{v_hint:08d}-{uuid.uuid4().hex[:8]}")
             df.write.mode("error").parquet(path)  # fresh dir: never overwrite
-            tables[name] = path
-        # claim the version: O_EXCL create loses loudly on a race
-        mpath = self._manifest_path(v)
-        try:
-            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {v} already claimed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": v, "tables": tables,
-                       "meta": {**(prev.get("meta") or {}), **(meta or {})}}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        # THE commit point: atomic pointer swap
-        tmp = self._pointer + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer)
-        return v
+            written[name] = path
+        if _before_claim is not None:
+            _before_claim()
+        for _ in range(max_retries + 1):
+            cur = self.manifest()
+            for name in dfs:
+                if cur["tables"].get(name) != base["tables"].get(name):
+                    raise CommitConflict(
+                        f"table {name!r} changed by a concurrent commit "
+                        f"(base v{base['version']} → v{cur['version']}); "
+                        "recompute from the current snapshot and retry")
+            v = cur["version"] + 1
+            payload = {"version": v, "tables": {**cur["tables"], **written},
+                       "meta": {**cur.get("meta", {}), **(meta or {})}}
+            if self._try_claim(v, payload):
+                return v
+            # lost the race on a DISJOINT commit: rebase onto it and retry
+        raise CommitConflict(f"lost the version race {max_retries + 1} times")
 
     # ----------------------------------------------------------- cleanup
 
-    def vacuum(self) -> list[str]:
-        """Delete data directories not referenced by the CURRENT version
-        (aborted publishes, superseded versions). Run only when no reader
-        may still hold an older snapshot."""
+    def vacuum(self, keep_last: int = 1, min_age_s: float = 0.0) -> list[str]:
+        """Delete data directories not referenced by the newest
+        ``keep_last`` versions (aborted publishes, superseded versions),
+        plus stale manifest temp files.
+
+        ``keep_last`` is the snapshot-retention window: readers pinned to
+        any of the last ``keep_last`` versions stay valid. ``min_age_s``
+        additionally protects young directories — including data an
+        in-flight publisher has written but not yet committed (data lands
+        before the manifest), so vacuum is safe to run alongside writers
+        when ``min_age_s`` exceeds the longest plausible publish duration.
+        With the defaults (keep_last=1, min_age_s=0) it reclaims
+        everything but the current version and must not run concurrently
+        with a publisher — the round-2 footgun, now opt-out rather than
+        always-on."""
         import shutil
-        live = set(self.manifest()["tables"].values())
-        removed = []
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (current version is live)")
+        vs = self._versions()
+        live: set[str] = set()
+        for v in vs[-keep_last:]:
+            live.update(self.manifest(v)["tables"].values())
+        now = time.time()
+        removed: list[str] = []
         data_root = os.path.join(self.root, "data")
-        if not os.path.isdir(data_root):
-            return removed
-        for tbl in os.listdir(data_root):
-            tdir = os.path.join(data_root, tbl)
-            for vdir in os.listdir(tdir):
-                path = os.path.join(tdir, vdir)
-                if path not in live:
+        if os.path.isdir(data_root):
+            for tbl in os.listdir(data_root):
+                tdir = os.path.join(data_root, tbl)
+                for vdir in os.listdir(tdir):
+                    path = os.path.join(tdir, vdir)
+                    if path in live:
+                        continue
+                    if now - os.path.getmtime(path) < min_age_s:
+                        continue
                     shutil.rmtree(path)
                     removed.append(path)
+        for name in os.listdir(self._vdir):
+            if name.startswith(".tmp-"):
+                path = os.path.join(self._vdir, name)
+                if now - os.path.getmtime(path) >= min_age_s:
+                    os.unlink(path)
         return removed
