@@ -92,3 +92,32 @@ def dirty_topics(spark: SparkSession):
 
 def bad_timestamps(spark: SparkSession):
     return spark.createDataFrame(BAD_TIMESTAMPS, "id int, ts_str string")
+
+
+def ooo_events_stream(spark: SparkSession, sf_dir: str, n_slices: int = 3):
+    """The events table replayed as an OUT-OF-ORDER multi-batch stream:
+    sliced into event-time thirds written newest-first, streamed with
+    maxFilesPerTrigger=1 — so later micro-batches carry OLDER events.
+    The adversarial source for cross-batch ordering contracts (sink
+    last-wins, SCD2 buffering): availableNow over a single file hides
+    these bugs; this source exposes them."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_ooo_")
+    slices = F.ntile(n_slices).over(Window.orderBy(F.col("ts").desc()))
+    raw = (e.withColumn("g", slices)
+           .withColumn("ts", F.unix_micros("ts") * 1000))  # back to nanos-long
+    for g in range(1, n_slices + 1):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(srcdir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))

@@ -97,3 +97,115 @@ def test_sink_page_writer_runs_executor_side(spark, sf_dir):
     # same rows the ON CONFLICT statement would receive
     n_keys = table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert acc.value == n_keys
+
+
+def test_sink_out_of_order_batches_keep_global_last_wins(spark, sf_dir):
+    """The cross-batch contract (round-2 ADVICE): with a multi-batch
+    source delivering NEWEST events first, a later batch's older event
+    must NOT overwrite the newer target row. The version-aware merge
+    makes the converged table global last-wins, identical to the
+    single-batch run."""
+    from .fixtures import ooo_events_stream
+
+    group, sink = _fresh_sink(spark)
+    stream = ooo_events_stream(spark, sf_dir).select(*COLS)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="zes_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sink.applied >= 3  # genuinely multi-batch
+
+    got = {tuple(r) for r in group.read(spark, "t").collect()}
+    from pyspark.sql.window import Window
+    e = table(spark, sf_dir, "events")
+    w = (e.withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(F.desc("ts"), F.desc("event_id"))))
+         .filter("rn = 1").select(*COLS))
+    assert got == {tuple(r) for r in w.collect()}
+
+
+def _duck_target(tmpdir):
+    import duckdb
+    db = f"{tmpdir}/rds.duckdb"
+    con = duckdb.connect(db)
+    con.execute("""CREATE TABLE events_current (
+        user_id BIGINT PRIMARY KEY, event_id BIGINT, event_type VARCHAR,
+        ts TIMESTAMP, value DOUBLE)""")
+    con.close()
+    return db
+
+
+def test_duckdb_jdbc_seam_paged_upserts_land(spark, sf_dir):
+    """VERDICT item 4: the JDBC transport half against a REAL database —
+    paged INSERT…ON CONFLICT into a file-backed DuckDB table. Converged
+    DB state must equal the TableGroup table AND batch last-wins."""
+    import duckdb
+
+    from zoom_etl_spark.streaming.sink import duckdb_upsert_writer
+
+    tmpdir = tempfile.mkdtemp(prefix="zes_duck_")
+    db = _duck_target(tmpdir)
+    writer = duckdb_upsert_writer(
+        db, "events_current", keys=["user_id"], cols=COLS,
+        version_cols=["ts", "event_id"], page_size=64)
+    group = TableGroup(tempfile.mkdtemp(prefix="zes_sinktest_"))
+    group.publish({"t": spark.createDataFrame(
+        [], "user_id long, event_id long, event_type string, "
+            "ts timestamp, value double")})
+    sink = UpsertSink(group, "t", keys=["user_id"],
+                      version_cols=["ts", "event_id"], page_writer=writer)
+    _run(spark, sf_dir, sink)
+
+    con = duckdb.connect(db)
+    got_db = {tuple(r) for r in
+              con.execute(f"SELECT {', '.join(COLS)} "
+                          "FROM events_current").fetchall()}
+    got_grp = {tuple(r) for r in group.read(spark, "t").collect()}
+    assert got_db == got_grp and len(got_db) > 0
+
+    # redelivered batches are a no-op at the DB too (ledger fences the
+    # whole sink body, page_writer included)
+    batch = table(spark, sf_dir, "events").select(*COLS)
+    for replayed_id in range(sink.last_batch() + 1):
+        sink(batch, replayed_id)
+    after = {tuple(r) for r in
+             con.execute(f"SELECT {', '.join(COLS)} "
+                         "FROM events_current").fetchall()}
+    con.close()
+    assert after == got_db
+
+
+def test_duckdb_jdbc_seam_out_of_order_version_guard(spark, sf_dir):
+    """The DO UPDATE … WHERE version guard: replaying OLDER events into a
+    DB already holding newer rows must change nothing (the SQL-side half
+    of global last-wins)."""
+    import duckdb
+
+    from zoom_etl_spark.streaming.sink import duckdb_upsert_writer
+
+    tmpdir = tempfile.mkdtemp(prefix="zes_duck_")
+    db = _duck_target(tmpdir)
+    writer = duckdb_upsert_writer(
+        db, "events_current", keys=["user_id"], cols=COLS,
+        version_cols=["ts", "event_id"], page_size=32)
+
+    e = table(spark, sf_dir, "events").select(*COLS)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    newest = e.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    oldest = e.withColumn("rn", F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    ).filter("rn = 1").drop("rn")
+
+    writer(newest)                       # DB now holds the newest per key
+    con = duckdb.connect(db)
+    before = {tuple(r) for r in
+              con.execute("SELECT * FROM events_current").fetchall()}
+    con.close()
+    writer(oldest)                       # older replay: must be a no-op
+    con = duckdb.connect(db)
+    after = {tuple(r) for r in
+             con.execute("SELECT * FROM events_current").fetchall()}
+    con.close()
+    assert after == before and len(after) > 0

@@ -6,9 +6,14 @@ pages) re-expressed for Structured Streaming.
 Two halves, each the honest Spark analog of one half of the reference:
 
 * :class:`UpsertSink` — the micro-batch merge. Each batch is last-wins
-  deduped in-batch (webhook redelivery, ref handler.py:60-74), keyed-
-  merge-upserted into the table, and committed ATOMICALLY WITH a batch-id
-  ledger (``TableGroup`` manifest meta). foreachBatch is at-least-once —
+  deduped in-batch (webhook redelivery, ref handler.py:60-74), then
+  VERSION-AWARE merged into the table — the target row and the update
+  row compete on ``version_cols``, so an out-of-order older event in a
+  later micro-batch can never overwrite a newer row (global last-wins,
+  not batch-order-wins; the distinction only shows up with >1 batch,
+  e.g. maxFilesPerTrigger or a multi-file source). The merge is
+  committed ATOMICALLY WITH a batch-id ledger (``TableGroup`` manifest
+  meta). foreachBatch is at-least-once —
   after a sink failure Spark redelivers the same ``batch_id`` — so the
   ledger fences replays: an already-applied batch is a no-op, which is
   what makes the pipeline exactly-once end-to-end. This is the same
@@ -30,7 +35,6 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from ..operators.merge import merge_upsert
 from ..operators.txn import TableGroup
 from ..operators.windows import last_wins
 
@@ -54,12 +58,76 @@ def paged_writes(rows: Iterator[Any], page_size: int,
     return n_pages
 
 
+def duckdb_upsert_writer(db_path: str, table: str, keys: list[str],
+                         cols: list[str], version_cols: list[str],
+                         page_size: int = 500,
+                         max_attempts: int = 5) -> Callable[[DataFrame], None]:
+    """The reference's JDBC upsert transport (src/db/load.py:41-50:
+    ``execute_values`` over ``INSERT … ON CONFLICT (key) DO UPDATE``)
+    against a REAL database — an in-process DuckDB file standing in for
+    RDS, no network needed. Returns a ``page_writer`` for
+    :class:`UpsertSink`.
+
+    Faithful to the production JDBC shape in every part that matters:
+
+    * runs executor-side inside ``foreachPartition`` — one connection per
+      partition (the JDBC connection-per-task pattern), driver never
+      sees rows;
+    * rows applied in bounded pages via :func:`paged_writes` — per-
+      statement memory/locks capped at ``page_size``;
+    * the upsert is VERSION-AWARE: ``DO UPDATE … WHERE (excluded.v…) >
+      (t.v…)`` so an out-of-order older row can never overwrite a newer
+      one — the same global-last-wins contract as the TableGroup merge;
+    * write-write conflicts between concurrent partition transactions
+      (DuckDB's optimistic concurrency; serialization failures in
+      Postgres) are retried with backoff — the reference's transient-
+      error taxonomy (SURVEY §2.10) applied at the statement level.
+    """
+    set_clause = ", ".join(f"{c} = excluded.{c}" for c in cols
+                           if c not in keys)
+    vers_new = ", ".join(f"excluded.{c}" for c in version_cols)
+    vers_old = ", ".join(f"{table}.{c}" for c in version_cols)
+    sql = (f"INSERT INTO {table} ({', '.join(cols)}) "
+           f"VALUES ({', '.join('?' for _ in cols)}) "
+           f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {set_clause} "
+           f"WHERE ({vers_new}) > ({vers_old})")
+
+    def per_partition(rows: Iterator[Any]) -> None:
+        import random
+        import time
+
+        import duckdb
+        con = duckdb.connect(db_path)
+        try:
+            def execute_page(page: list[Any]) -> None:
+                vals = [[r[c] for c in cols] for r in page]
+                for attempt in range(max_attempts):
+                    try:
+                        con.executemany(sql, vals)
+                        return
+                    except duckdb.Error as e:
+                        transient = "conflict" in str(e).lower()
+                        if not transient or attempt == max_attempts - 1:
+                            raise
+                        time.sleep(0.05 * (2 ** attempt)
+                                   * (0.5 + random.random()))
+            paged_writes(rows, page_size, execute_page)
+        finally:
+            con.close()
+
+    def writer(df: DataFrame) -> None:
+        df.foreachPartition(per_partition)
+
+    return writer
+
+
 class UpsertSink:
     """Idempotent keyed-upsert sink over a TableGroup table.
 
     Use as ``stream.writeStream.foreachBatch(sink).start()``. State
     machine per micro-batch: fence (ledger) → dedup (in-batch last-wins)
-    → merge (keyed upsert) → atomic commit (data + ledger together).
+    → merge (version-aware keyed upsert) → atomic commit (data + ledger
+    together).
     """
 
     def __init__(self, group: TableGroup, table: str, keys: list[str],
@@ -87,8 +155,16 @@ class UpsertSink:
         deduped = last_wins(batch, keys=self.keys,
                             version=[F.col(c) for c in self.version_cols])
         target = self.group.read(batch.sparkSession, self.table)
-        merged = merge_upsert(target, deduped.select(*target.columns),
-                              keys=self.keys)
+        # version-aware merge: target rows COMPETE with updates on
+        # version_cols instead of always losing (merge_upsert's Postgres
+        # all-columns-overwrite would make the table batch-order-wins
+        # across micro-batches — wrong under out-of-order redelivery).
+        # One union + one keyed window shuffle; at 100 TB the window
+        # shuffles on the merge key exactly like the join rewrite would.
+        merged = last_wins(
+            target.unionByName(deduped.select(*target.columns)),
+            keys=self.keys,
+            version=[F.col(c) for c in self.version_cols])
         if self.page_writer is not None:
             self.page_writer(deduped)  # mirror to the JDBC-shaped target
         self.group.publish({self.table: merged},
