@@ -68,3 +68,15 @@ def test_token_budget_pack_shards_respect_budget(spark, sf_dir):
         total = sum(d.n_tok for d in docs)
         # cumulative-before rule: all but the last doc fit under budget
         assert total - max(d.n_tok for d in docs) < 1000, (lang, shard)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter must raise, not return silently-split
+    clusters (round-2 ADVICE: partial labels are data corruption)."""
+    import pytest
+
+    from zoom_etl_spark.dedup.cluster import ConvergenceError
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(ConvergenceError, match="label changes"):
+        connected_components(edges, max_iter=3)

@@ -23,10 +23,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Label propagation did not reach a fixpoint within ``max_iter`` —
+    returning the partial labels would silently split components (several
+    'keepers' inside one duplicate group), so this is raised instead."""
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 25) -> DataFrame:
     """(node, cluster) for every node appearing in ``edges``; cluster =
-    min node id of the connected component. Deterministic."""
+    min node id of the connected component. Deterministic. Raises
+    :class:`ConvergenceError` if a component's diameter exceeds
+    ``max_iter`` (round-2 ADVICE: unconverged labels are data corruption,
+    not a best-effort answer — raise, don't return)."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # materialize the (possibly expensive) upstream pair pipeline ONCE —
     # every iteration joins against `und`, and without this the lineage
@@ -38,6 +47,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .distinct()
               .withColumn("lbl", F.col("node"))
               .localCheckpoint())
+    changed = -1
     for _ in range(max_iter):
         # smallest label among self + neighbors
         nbr_min = (und.join(labels, und.v == labels.node)
@@ -53,4 +63,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise ConvergenceError(
+            f"connected_components: still {changed} label changes after "
+            f"{max_iter} iterations (component diameter > max_iter); "
+            "raise max_iter or switch to large-star/small-star rounds")
     return labels.select("node", F.col("lbl").alias("cluster"))

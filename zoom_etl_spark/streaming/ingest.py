@@ -56,7 +56,7 @@ def windowed_counts(stream: DataFrame, watermark: str = "1 hour",
 
 @contextmanager
 def state_partitions(spark: SparkSession, n: int = 8):
-    """Scope ``spark.sql.shuffle.partitions`` for a stateful streaming
+    """Scope ``spark.sql.shuffle.partitions`` for a STATEFUL streaming
     query. The setting fixes the number of STATE STORE instances (one per
     shuffle partition, pinned at the first micro-batch and persisted in
     the checkpoint) — a per-workload sizing decision, not cluster width:
@@ -65,7 +65,13 @@ def state_partitions(spark: SparkSession, n: int = 8):
     handles) even when near-empty. The bounded availableNow replays here
     need single digits; a 100 TB deployment raises ``n`` to its expected
     peak parallelism BEFORE first start (it cannot change across
-    restarts without a new checkpoint)."""
+    restarts without a new checkpoint).
+
+    NOT concurrency-safe: ``spark.sql.shuffle.partitions`` is session-
+    global, so anything else planned on this session while the context is
+    open inherits ``n``. Use single-query-at-a-time (the round-2 ADVICE
+    fix makes the override opt-in per call rather than silently applied
+    to every streaming drain)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -75,12 +81,23 @@ def state_partitions(spark: SparkSession, n: int = 8):
 
 
 def run_available_now(result: DataFrame, query_name: str,
-                      output_mode: str = "complete") -> DataFrame:
+                      output_mode: str = "complete",
+                      n_state_partitions: int | None = None) -> DataFrame:
     """Drain all available input into an in-memory sink; return the result
-    table. Complete mode: windows re-emit as late batches arrive."""
+    table. Complete mode: windows re-emit as late batches arrive.
+
+    ``n_state_partitions``: opt-in state-store sizing for STATEFUL
+    queries (see :func:`state_partitions`, including its concurrency
+    caveat). Default None touches no session config — a plain drain
+    inherits whatever parallelism the session already has."""
     spark = result.sparkSession
-    with state_partitions(spark):
+    if n_state_partitions is None:
         q = (result.writeStream.format("memory").queryName(query_name)
              .outputMode(output_mode).trigger(availableNow=True).start())
         q.awaitTermination()
+    else:
+        with state_partitions(spark, n_state_partitions):
+            q = (result.writeStream.format("memory").queryName(query_name)
+                 .outputMode(output_mode).trigger(availableNow=True).start())
+            q.awaitTermination()
     return spark.table(query_name)

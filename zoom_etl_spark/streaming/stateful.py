@@ -16,8 +16,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
-                               StructField, StructType, TimestampType)
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, LongType,
+                               StringType, StructField, StructType,
+                               TimestampType)
 
 OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType(), True),
@@ -68,39 +69,65 @@ SCD2_OUTPUT_SCHEMA = StructType([
     StructField("is_current", BooleanType(), True),
 ])
 
-# the open version only: (event_id, state, valid_from_us)
+# the NOT-YET-FINAL versions, sorted by (from_us, event_id): every
+# version younger than the watermark, plus the open tail. Parallel
+# arrays because state rows must be flat-encodable.
 SCD2_STATE_SCHEMA = StructType([
-    StructField("event_id", LongType(), True),
-    StructField("state", StringType(), True),
-    StructField("from_us", LongType(), True),
+    StructField("event_ids", ArrayType(LongType()), True),
+    StructField("states", ArrayType(StringType()), True),
+    StructField("from_us", ArrayType(LongType()), True),
 ])
 
 
 def _scd2_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    cur = state.get if state.exists else None
+    """Out-of-order-tolerant SCD2 maintenance. The buffer in state holds
+    every version whose interval could still change — i.e. whose
+    successor's start is NOT yet behind the watermark (a new event could
+    still land inside the interval; anything older is dropped by the
+    watermark before reaching this function). Each batch re-sorts the
+    buffer with the new arrivals and re-emits the affected intervals; a
+    late arrival thus CORRECTS the intervals it splits (valid_to only
+    ever shrinks), and ``scd2_finalize`` keeps the tightest emission.
+    Versions whose successor start <= watermark are final: emitted one
+    last time, then trimmed — so state size is bounded by key churn
+    within the watermark delay, independent of stream length."""
+    if state.exists:
+        ids, sts, frs = state.get
+        buf = list(zip(ids, sts, frs))
+    else:
+        buf = []
+    seen = {e for e, _, _ in buf}
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
-    out: list[tuple] = []
     for r in rows.itertuples():
-        ts_us = int(r.ts.value // 1000)
-        if cur is not None and ts_us < cur[2]:
-            # Cross-batch regression: an already-open version is newer than
-            # this row. Correct SCD2 under out-of-order arrival needs version
-            # buffering + retraction; until then fail loudly rather than emit
-            # a silently-wrong history (e.g. if the source ever switches to
-            # multiple files / maxFilesPerTrigger).
-            raise ValueError(
-                f"scd2_maintain: out-of-order event for key {key[0]!r} "
-                f"(ts {ts_us}us < open-version start {cur[2]}us); "
-                "source must deliver per-key event-time order across batches")
-        if cur is not None:
-            # new version closes the open one: emit its finished interval
-            out.append((key[0], cur[0], cur[1], cur[2], ts_us, False))
-        cur = (int(r.event_id), str(r.event_type), ts_us)
-    if cur is None:
+        eid = int(r.event_id)
+        if eid in seen:
+            continue  # redelivered event: idempotent no-op
+        seen.add(eid)
+        buf.append((eid, str(r.event_type), int(r.ts.value // 1000)))
+    if not buf:
         return
-    state.update(cur)
-    out.append((key[0], cur[0], cur[1], cur[2], None, True))
+    buf.sort(key=lambda v: (v[2], v[0]))
+
+    out: list[tuple] = []
+    for (eid, st, fr), nxt in zip(buf, buf[1:] + [None]):
+        if nxt is None:
+            out.append((key[0], eid, st, fr, None, True))
+        else:
+            out.append((key[0], eid, st, fr, nxt[2], False))
+
+    try:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+    except Exception:
+        wm_us = 0  # no watermark on the input: never trim (still correct)
+    # trim final versions: interval [fr_i, fr_{i+1}) can't change once
+    # fr_{i+1} <= watermark (no admissible event can land inside it)
+    first_live = 0
+    while first_live + 1 < len(buf) and buf[first_live + 1][2] <= wm_us:
+        first_live += 1
+    buf = buf[first_live:]
+    state.update(([v[0] for v in buf], [v[1] for v in buf],
+                  [v[2] for v in buf]))
+
     yield pd.DataFrame(
         {"user_id": [o[0] for o in out],
          "event_id": [o[1] for o in out],
@@ -113,20 +140,18 @@ def _scd2_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
 
 def scd2_maintain(events_stream: DataFrame) -> DataFrame:
     """Continuously-maintained SCD2 history (ROADMAP item 5): the
-    streaming IVM analog of the batch ``scd2_history`` query.
+    streaming IVM analog of the batch ``scd2_history`` query — now
+    OUT-OF-ORDER TOLERANT across micro-batches (round-2 VERDICT item 1):
+    late events split the interval they land in and the corrected closes
+    are re-emitted; ``scd2_finalize`` collapses the update log to the
+    converged history.
 
-    State per key is ONLY the open version (constant per key — not the
-    history), so state size is bounded by key cardinality regardless of
-    stream length. Each micro-batch emits the intervals it closed plus
-    the (re-emitted) open row; a closed emission for an event_id
-    supersedes that event_id's earlier open emission, so the materialized
-    view is ``scd2_finalize`` over everything emitted.
-
-    Assumes per-key event-time order ACROSS micro-batches (within a
-    batch, rows are sorted here); a cross-batch regression raises rather
-    than emitting a silently-wrong history. Out-of-order input needs
-    version buffering in state — see docs/plan_audit notes.
-    """
+    State per key is the watermark-bounded version buffer (versions
+    whose intervals could still change), so state size tracks per-key
+    churn within the watermark delay — bounded for any stream length.
+    Without a watermark on the input (availableNow replays) nothing is
+    ever trimmed, which is still correct, just unbounded; production
+    streams set ``withWatermark`` upstream and get both."""
     return (events_stream
             .groupBy("user_id")
             .applyInPandasWithState(_scd2_update, SCD2_OUTPUT_SCHEMA,
@@ -135,14 +160,19 @@ def scd2_maintain(events_stream: DataFrame) -> DataFrame:
 
 
 def scd2_finalize(emitted: DataFrame) -> DataFrame:
-    """Collapse the emitted update log to the current SCD2 view: for each
-    (user_id, event_id) version, the closed emission (is_current=false)
-    supersedes the open one it re-stated."""
-    from ..operators.windows import topk_per_group
+    """Collapse the emitted update log to the converged SCD2 view. Across
+    emissions of one (user_id, event_id) version: valid_from and state
+    never change, valid_to only SHRINKS (a late event can only split the
+    interval, never extend it), and any closed emission means the version
+    is permanently not-current. So the converged row is one groupBy:
+    min(valid_to) (nulls ignored — all-open stays NULL) + AND(is_current).
+    A single keyed aggregation — cheaper than the former window top-1."""
     from pyspark.sql import functions as F
-    return topk_per_group(
-        emitted, keys=["user_id", "event_id"],
-        order=[F.col("is_current").asc()], k=1)
+    return (emitted.groupBy("user_id", "event_id")
+            .agg(F.any_value("state").alias("state"),
+                 F.min("valid_from").alias("valid_from"),
+                 F.min("valid_to").alias("valid_to"),
+                 F.bool_and("is_current").alias("is_current")))
 
 
 # ----------------------------------------------------------- last-wins IVM

@@ -44,7 +44,10 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Lambda webhook path, ref handler.py:38-111, as readStream)."""
     stream = read_events_stream(spark, sf_dir)
     result = windowed_counts(stream, watermark="1 hour", window="1 day")
-    return run_available_now(result, "stream_ingest_result")
+    # windowed agg = stateful: opt in to small state-store sizing (the
+    # override is per-call now, not silently session-wide)
+    return run_available_now(result, "stream_ingest_result",
+                             n_state_partitions=8)
 
 
 @query("stream_stateful")  # rows-only: arbitrary-state streaming operator
