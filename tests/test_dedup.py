@@ -137,3 +137,79 @@ def test_ann_lsh_finds_planted_near_dups(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     hits = sum((100000 + i, i) in a for i in range(20))
     assert hits >= 16   # ≥80% of planted twins retrieved
+
+
+def _jaccard_pairs_df(spark, set_size=100, replicas=4):
+    """Synthetic shingle-hash set pairs with EXACT known Jaccard across a
+    spectrum. Pair (target J): A and B share s elements out of set_size
+    each, J = s / (2*set_size - s). Disjoint element ranges per replica
+    make the salted hashes effectively independent draws."""
+    rows = []
+    pid = 0
+    for rep in range(replicas):
+        for tgt in (0.1, 0.2, 0.3, 0.5, 0.7, 0.8, 0.9, 1.0):
+            s = round(2 * set_size * tgt / (1 + tgt))
+            base = (pid + 1) * 100_000
+            a = list(range(base, base + set_size))
+            b = a[:s] + list(range(base + 50_000,
+                                   base + 50_000 + set_size - s))
+            jexact = s / (2 * set_size - s)
+            rows.append((pid, a, b, jexact))
+            pid += 1
+    return spark.createDataFrame(
+        rows, "pid long, sh_a array<long>, sh_b array<long>, jexact double")
+
+
+def test_minhash_estimator_within_analytic_bound(spark):
+    """Round-2 VERDICT item 5 gate: |minhash-estimated Jaccard − exact
+    Jaccard| stays within the Binomial analytic bound for each num_perm
+    config — per-pair 4.5·stderr (+ discreteness floor) and, since the
+    estimator is unbiased, a much tighter bound on the MEAN error."""
+    import math
+
+    import pytest
+    from zoom_etl_spark.dedup.minhash import (estimated_jaccard,
+                                              minhash_signature)
+
+    df = _jaccard_pairs_df(spark)
+    for num_perm in (32, 64, 128):
+        est = df.select(
+            "pid", "jexact",
+            estimated_jaccard(
+                minhash_signature(F.col("sh_a"), num_perm),
+                minhash_signature(F.col("sh_b"), num_perm)).alias("jest")
+        ).collect()
+        errs = []
+        for r in est:
+            sigma = math.sqrt(r.jexact * (1 - r.jexact) / num_perm)
+            bound = 4.5 * sigma + 1.5 / num_perm
+            assert abs(r.jest - r.jexact) <= bound, (
+                num_perm, r.pid, r.jexact, r.jest, bound)
+            if r.jexact == 1.0:   # identical sets: estimator must be exact
+                assert r.jest == pytest.approx(1.0)
+            errs.append(r.jest - r.jexact)
+        # unbiased: mean signed error ~ N(0, sigma_avg/sqrt(P))
+        sigma_avg = math.sqrt(0.25 / num_perm)   # worst-case J=0.5
+        assert abs(sum(errs) / len(errs)) <= 4 * sigma_avg / math.sqrt(len(errs))
+
+
+def test_minhash_banding_s_curve(spark):
+    """The band/row config's capture probability must follow the LSH
+    S-curve p(J) = 1 − (1 − J^rows)^bands: high-J pairs share a band key
+    nearly always, low-J pairs nearly never."""
+    from zoom_etl_spark.dedup.minhash import band_keys, minhash_signature
+
+    num_perm, bands, rows_per_band = 32, 8, 4
+    df = _jaccard_pairs_df(spark, replicas=8)
+    cap = df.select(
+        "jexact",
+        F.arrays_overlap(
+            band_keys(minhash_signature(F.col("sh_a"), num_perm),
+                      bands, rows_per_band),
+            band_keys(minhash_signature(F.col("sh_b"), num_perm),
+                      bands, rows_per_band)).alias("hit")
+    ).collect()
+    hi = [r.hit for r in cap if r.jexact >= 0.79]   # p(0.8) ≈ 0.985
+    lo = [r.hit for r in cap if r.jexact <= 0.21]   # p(0.2) ≈ 0.013
+    assert sum(hi) / len(hi) >= 0.8, sum(hi) / len(hi)
+    assert sum(lo) / len(lo) <= 0.2, sum(lo) / len(lo)

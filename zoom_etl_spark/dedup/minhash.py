@@ -50,16 +50,36 @@ def shingle_hashes(col: Column | str, k: int = 3) -> Column:
     return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
 
 
+def _salted_hash(seed: int):
+    # MUST be a one-parameter lambda: pyspark.sql.functions.transform
+    # dispatches on lambda ARITY, so a two-param `lambda h, seed=seed:`
+    # would be called as (element, index) and the array INDEX silently
+    # replaces the captured seed — collapsing every permutation to the
+    # same function (caught by the analytic-bound gate in test_dedup).
+    return lambda h: F.xxhash64(F.lit(seed), h)
+
+
 def minhash_signature(shingle_hash_col: Column, num_perm: int = 32) -> Column:
     """Array of ``num_perm`` min-hashes over pre-hashed shingles. Each
     permutation re-salts the 64-bit shingle hash with the seed index —
     evaluated JVM-side per shingle, no UDF."""
     sigs = [
-        F.array_min(F.transform(shingle_hash_col,
-                                lambda h, seed=seed: F.xxhash64(F.lit(seed), h)))
+        F.array_min(F.transform(shingle_hash_col, _salted_hash(seed)))
         for seed in range(num_perm)
     ]
     return F.array(*sigs)
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of matching signature slots — the unbiased MinHash
+    estimator of Jaccard similarity. Each slot matches with probability
+    exactly J (Broder 1997), so the estimate is Binomial(num_perm, J)/
+    num_perm: stderr sqrt(J(1-J)/num_perm). The analytic-bound property
+    gate in tests/test_dedup.py holds the implementation to this."""
+    eq = F.zip_with(sig_a, sig_b,
+                    lambda x, y: (x == y).cast("int"))
+    return (F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+            / F.size(eq))
 
 
 def band_keys(sig_col: Column, bands: int, rows: int) -> Column:
