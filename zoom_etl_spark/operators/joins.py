@@ -82,7 +82,7 @@ def skew_stats(df: DataFrame, key: str,
 
 def skew_stats_cms(df: DataFrame, key: str, sample_fraction: float = 0.01,
                    width: int = 8192, depth: int = 4,
-                   support: float = 0.02) -> dict:
+                   support: float = 0.02, cache_path: str | None = None) -> dict:
     """``skew_stats`` with memory bounded by the SKETCH, not the key
     cardinality (ROADMAP item 3): the exact variant's groupBy holds one
     counter per distinct sampled key — at 100 TB an ultra-high-cardinality
@@ -98,42 +98,32 @@ def skew_stats_cms(df: DataFrame, key: str, sample_fraction: float = 0.01,
       enumerate none; the two structures are complementary and both
       single-pass, mergeable, fixed-size.
 
+    Sketch construction/merge/persistence lives in ``operators.stats``;
+    ``cache_path`` (optional) reuses a previously-persisted table sketch
+    instead of re-scanning — sketches are linear, so incremental ingest
+    merges per-partition sketches into the cache (see ``stats.CMSketch``).
+
     Returns the ``skew_stats`` dict + ``{"mode": "cms"}``. top_count is
     the largest CMS estimate among candidates — an overestimate, which
     errs toward salting (the safe side for a skew guard).
     """
-    s = df.select(key).sample(fraction=sample_fraction, seed=7)
-    bucket = [F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(width))
-              .cast("int").alias(f"b{i}") for i in range(depth)]
-    pairs = (s.select(*bucket)
-             .select(F.explode(F.array(*[
-                 F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("b"))
-                 for i in range(depth)])).alias("ib"))
-             .select("ib.i", "ib.b"))
-    # ≤ depth×width groups after map-side combine — bounded collect
-    sketch = {(r["i"], r["b"]): r["cnt"] for r in
-              pairs.groupBy("i", "b").agg(F.count("*").alias("cnt")).collect()}
-    n = sum(v for (i, _), v in sketch.items() if i == 0)
-    cands = s.stat.freqItems([key], support).first()[0]
-    top = 0
-    if n and cands:
-        spark = df.sparkSession
-        cdf = spark.createDataFrame([(c,) for c in cands],
-                                    s.schema)
-        # hash candidates through the SAME Spark expressions (estimates
-        # must use identical bucket mapping as the sketch build)
-        crows = cdf.select(F.col(key), *bucket).collect()
-        top = max(min(sketch.get((i, r[f"b{i}"]), 0) for i in range(depth))
-                  for r in crows)
-    return {"n": n, "top_count": int(top),
-            "hot_share": (top / n) if n else 0.0, "mode": "cms"}
+    from .stats import build_cms, cached_cms
+    if cache_path is not None:
+        sk = cached_cms(df, key, cache_path, sample_fraction, width, depth,
+                        support)
+    else:
+        sk = build_cms(df, key, sample_fraction, width, depth, support)
+    top = sk.top_estimate()
+    return {"n": sk.n, "top_count": int(top),
+            "hot_share": (top / sk.n) if sk.n else 0.0, "mode": "cms"}
 
 
 def auto_join(left: DataFrame, right: DataFrame, key: str,
               how: str = "inner", skew_threshold: float = 0.2,
               n_salts: int = 8, sample_fraction: float = 0.01,
               decision_out: dict | None = None,
-              stats_mode: str = "exact") -> DataFrame:
+              stats_mode: str = "exact",
+              stats_cache_path: str | None = None) -> DataFrame:
     """Equi-join that picks its physical strategy from data, not hope:
     sample the left side's key distribution and use ``salted_join`` when
     one key owns ≥ ``skew_threshold`` of the rows, else a plain join.
@@ -146,10 +136,15 @@ def auto_join(left: DataFrame, right: DataFrame, key: str,
     so pipelines can log WHY a plan was picked. ``stats_mode="cms"``
     swaps the exact sampled histogram for the count-min sketch
     (``skew_stats_cms``) — choose it when the key cardinality is high
-    enough that even the sampled histogram is a memory concern.
+    enough that even the sampled histogram is a memory concern; with
+    ``stats_cache_path`` the sketch is read from (or persisted to) the
+    table's stats cache, so repeated plans don't re-scan the table.
     """
-    stats_fn = skew_stats_cms if stats_mode == "cms" else skew_stats
-    stats = stats_fn(left, key, sample_fraction=sample_fraction)
+    if stats_mode == "cms":
+        stats = skew_stats_cms(left, key, sample_fraction=sample_fraction,
+                               cache_path=stats_cache_path)
+    else:
+        stats = skew_stats(left, key, sample_fraction=sample_fraction)
     salted = stats["hot_share"] >= skew_threshold and how in ("inner", "left")
     if decision_out is not None:
         decision_out.update(stats, strategy="salted" if salted else "plain")
