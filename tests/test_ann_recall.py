@@ -109,3 +109,47 @@ def test_ivf_probe_recall(ann_fixture):
     assert r2 >= 0.70, r2
     assert r4 >= 0.95, r4
     assert r2 <= r4
+
+
+def test_ivf_reassignment_rate_falls_as_training_converges(spark, sf_dir):
+    """ROADMAP 4 done-gate: on a stable corpus, the fraction of rows that
+    change cells between successive Lloyd's iterations must fall — the
+    maintenance signal that re-training has stopped paying."""
+    from zoom_etl_spark.dedup.ivf import (reassignment_rate,
+                                          train_centroids_history)
+
+    corpus = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hist = train_centroids_history(corpus, "embedding", DIM, k=8, iters=5,
+                                   seed=42)
+    rates = [reassignment_rate(corpus, "embedding", hist[i], hist[i + 1])
+             for i in range(len(hist) - 1)]
+    assert len(rates) == 4
+    # converging: the late rate is below the early rate and small in
+    # absolute terms (deterministic seed → stable floor with headroom)
+    assert rates[-1] <= rates[0]
+    assert rates[-1] <= 0.10, rates
+    assert all(0.0 <= r <= 1.0 for r in rates)
+
+
+def test_ivf_scaling_trace_records_recall_latency_per_size(spark, sf_dir):
+    """The per-corpus-size trace is reproducible (hash-sliced, not
+    sampled), monotone in rows, and meets the recall target at every
+    size on the seeded corpus."""
+    from zoom_etl_spark.dedup.tune import ivf_scaling_trace
+
+    corpus = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = corpus.limit(20)
+    trace = ivf_scaling_trace(corpus, queries, "vec_id", "embedding", DIM,
+                              k=5, n_cells=8, target_recall=0.8,
+                              fractions=(0.5, 1.0), iters=2)
+    assert [t["fraction"] for t in trace] == [0.5, 1.0]
+    assert trace[0]["rows"] < trace[1]["rows"] == corpus.count()
+    for t in trace:
+        assert t["met"] and t["recall"] >= 0.8
+        assert t["seconds"] > 0 and t["n_probe"] >= 1
+    # determinism: same slice, same numbers
+    again = ivf_scaling_trace(corpus, queries, "vec_id", "embedding", DIM,
+                              k=5, n_cells=8, target_recall=0.8,
+                              fractions=(0.5,), iters=2)
+    assert again[0]["rows"] == trace[0]["rows"]
+    assert again[0]["recall"] == trace[0]["recall"]

@@ -50,17 +50,19 @@ def nearest_cell(emb: Column | str, centroids: np.ndarray) -> Column:
     return _nearest_cells_udf(centroids, 1)(c).getItem(0)
 
 
-def train_centroids(corpus: DataFrame, emb_col: str, dim: int, k: int = 16,
-                    iters: int = 3, seed: int = 42,
-                    sample_rows: int = 4096) -> np.ndarray:
-    """Lloyd's k-means on a bounded sample: deterministic init (seeded
-    normal), each iteration one assignment + one groupBy-mean (single
-    shuffle). Only the k centroids ever reach the driver. Training on a
-    sample is standard IVF practice — cell quality needs distribution
-    coverage, not every row."""
+def train_centroids_history(corpus: DataFrame, emb_col: str, dim: int,
+                            k: int = 16, iters: int = 3, seed: int = 42,
+                            sample_rows: int = 4096) -> list[np.ndarray]:
+    """Lloyd's k-means on a bounded sample, returning the centroid set
+    AFTER EACH iteration (history[-1] is what ``train_centroids``
+    returns). The history is the raw material for the maintenance
+    metrics: ``reassignment_rate`` between successive entries falls as
+    Lloyd's converges — the signal an index-maintenance job watches to
+    decide when re-training has stopped paying."""
     rng = np.random.default_rng(seed)
     centroids = rng.standard_normal((k, dim))
     train = corpus.select(F.col(emb_col).alias("e")).limit(sample_rows)
+    history: list[np.ndarray] = []
     for _ in range(iters):
         assigned = train.select(nearest_cell(F.col("e"), centroids).alias("cell"),
                                 "e")
@@ -77,7 +79,36 @@ def train_centroids(corpus: DataFrame, emb_col: str, dim: int, k: int = 16,
         for cell, vec in acc.items():
             new[cell] = vec / max(cnt[cell], 1)
         centroids = new
-    return centroids
+        history.append(centroids)
+    return history
+
+
+def train_centroids(corpus: DataFrame, emb_col: str, dim: int, k: int = 16,
+                    iters: int = 3, seed: int = 42,
+                    sample_rows: int = 4096) -> np.ndarray:
+    """Lloyd's k-means on a bounded sample: deterministic init (seeded
+    normal), each iteration one assignment + one groupBy-mean (single
+    shuffle). Only the k centroids ever reach the driver. Training on a
+    sample is standard IVF practice — cell quality needs distribution
+    coverage, not every row."""
+    return train_centroids_history(corpus, emb_col, dim, k, iters, seed,
+                                   sample_rows)[-1]
+
+
+def reassignment_rate(corpus: DataFrame, emb_col: str,
+                      old_centroids: np.ndarray,
+                      new_centroids: np.ndarray) -> float:
+    """Fraction of corpus rows whose nearest cell differs between two
+    centroid sets — the IVF maintenance metric (ROADMAP item 4). High
+    rate after a re-train = the index layout shifted and cells must be
+    rewritten; a rate that keeps falling across re-trains on a stable
+    corpus = training has converged and the maintenance job can back
+    off. One distributed pass (two closure-shipped argmins per row, one
+    scalar to the driver) — never collects assignments."""
+    changed = (nearest_cell(emb_col, old_centroids)
+               != nearest_cell(emb_col, new_centroids)).cast("double")
+    row = corpus.agg(F.avg(changed)).first()
+    return float(row[0]) if row[0] is not None else 0.0
 
 
 def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,

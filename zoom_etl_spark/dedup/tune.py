@@ -101,3 +101,40 @@ def tune_ivf_probes(corpus: DataFrame, queries: DataFrame, id_col: str,
     truth.unpersist()
     return {"n_probe": best[0], "recall": best[1],
             "met": best[1] >= target_recall, "trace": trace}
+
+
+def ivf_scaling_trace(corpus: DataFrame, queries: DataFrame, id_col: str,
+                      emb_col: str, dim: int, k: int = 10, n_cells: int = 16,
+                      target_recall: float = 0.9,
+                      fractions: tuple[float, ...] = (0.25, 0.5, 1.0),
+                      iters: int = 2, seed: int = 42) -> list[dict]:
+    """Recall/latency trace per corpus size (ROADMAP item 4): tune the
+    IVF probe count at successive deterministic slices of the corpus and
+    record {rows, n_probe, recall, met, seconds} for each. The trace is
+    what an index-maintenance job plots to answer "is recall drifting as
+    the corpus grows, and what does restoring it cost?" — if n_probe (or
+    latency) must rise superlinearly with corpus size, n_cells needs to
+    scale up at the next re-train (IVF cells should track ~sqrt(n)).
+
+    Slices are hash-deterministic (pmod over the id), not sample():
+    re-running the trace on an unchanged corpus reproduces it exactly,
+    so successive runs are comparable — the point of a maintenance
+    metric."""
+    import time
+
+    out: list[dict] = []
+    for frac in fractions:
+        keep = max(1, round(frac * 100))
+        sub = (corpus if keep >= 100 else
+               corpus.filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                    F.lit(100)) < keep))
+        n_rows = sub.count()
+        t0 = time.monotonic()
+        tuned = tune_ivf_probes(sub, queries, id_col, emb_col, dim, k=k,
+                                n_cells=n_cells, target_recall=target_recall,
+                                iters=iters, seed=seed)
+        out.append({"fraction": frac, "rows": n_rows,
+                    "n_probe": tuned["n_probe"], "recall": tuned["recall"],
+                    "met": tuned["met"],
+                    "seconds": round(time.monotonic() - t0, 3)})
+    return out
