@@ -123,3 +123,34 @@ def test_stream_left_join_converges_to_batch_under_watermark_gate(spark, sf_dir)
     assert must_emit <= nulls <= may_emit, (
         f"missing={must_emit - nulls} extra={nulls - may_emit}")
     assert nulls  # the gate actually drained something
+
+
+def test_stream_dedup_collapses_redelivery(spark, sf_dir):
+    """dropDuplicatesWithinWatermark must emit each event once even when a
+    later micro-batch redelivers the whole source (at-least-once file/Kafka
+    semantics): in-horizon redeliveries hit the seen-id state, older ones
+    fall below the watermark as late data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    raw = e.withColumn("ts", F.unix_micros("ts") * 1000)  # nanos-long layout
+    srcdir = tempfile.mkdtemp(prefix="zes_redeliver_")
+    raw.coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f1")
+    raw.coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f2")  # redelivery
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    deduped = (stream.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (deduped.writeStream.format("memory").queryName("t_dedup_redeliver")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("t_dedup_redeliver")
+    assert out.count() == e.count()
+    assert out.select("event_id").distinct().count() == e.count()

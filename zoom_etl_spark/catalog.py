@@ -24,6 +24,21 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to a session-TZ (UTC) TIMESTAMP whatever the
+    testdata writer produced: TIMESTAMP(NANOS) arrives as a long (via the
+    nanosAsLong conf) and is truncated to µs exactly as DuckDB truncates;
+    TIMESTAMP_NTZ micros is reinterpreted as UTC wall-clock. Downstream
+    operators always see one ts type, so plans don't fork on file layout."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Declarative parquet scan → Catalyst gets predicate
     pushdown, column pruning and (on partitioned layouts) partition pruning
@@ -32,27 +47,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in the file → read as long nanos
-    # (nanosAsLong conf) and truncate to µs timestamps, as DuckDB does.
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 
 def events_since(spark: SparkSession, sf_dir: str, since: str) -> DataFrame:
     """Events at-or-after a UTC timestamp literal, with the comparison
-    pushed onto the RAW nanos long — a filter on the converted timestamp
-    sits above ``timestamp_micros`` and never reaches the scan (caught by
-    tests/test_plans.py). On a production micros-parquet layout a plain
-    ts filter pushes naturally; this is the nanos-testdata equivalent.
-    """
+    pushed onto the RAW stored column — a filter above the normalizing
+    conversion doesn't reach the scan (caught by tests/test_plans.py).
+    For nanos-long files the literal is converted to a nanos long; for
+    native timestamp files the literal compares directly (and constant-
+    folds into the parquet PushedFilters either way)."""
     from datetime import datetime, timezone
+
+    from pyspark.sql.types import LongType
     configure(spark)
     dt = datetime.fromisoformat(since).replace(tzinfo=timezone.utc)
-    since_ns = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (raw.filter(F.col("ts") >= F.lit(since_ns))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        since_ns = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+        raw = raw.filter(F.col("ts") >= F.lit(since_ns))
+    else:
+        lit = F.lit(dt.replace(tzinfo=None)).cast(
+            raw.schema["ts"].dataType.simpleString())
+        raw = raw.filter(F.col("ts") >= lit)
+    return normalize_event_ts(raw)
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

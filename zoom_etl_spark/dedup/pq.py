@@ -1,0 +1,188 @@
+"""IVF-PQ ANN: product-quantized residual codes inside IVF cells
+(Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — the index family behind FAISS `IVFxx,PQyy`).
+
+Why PQ at 100 TB: IVF alone reranks probed cells against FULL vectors —
+the candidate join ships dim×4 bytes per corpus row (256 B at dim=64)
+and the rerank does O(dim) arithmetic per pair. PQ replaces the vector
+with an m-byte code (m=8 here: 32× smaller shuffle payload) and the
+per-pair distance with m table lookups, after a once-per-(query, cell)
+lookup-table build. The scan is asymmetric (ADC): queries stay exact,
+only the corpus side is quantized — recall loss comes from code
+granularity alone, and a final exact rerank of the short list restores
+ordering quality.
+
+Spark mapping:
+* codebook training: driver-side numpy Lloyd's on a bounded sample of
+  cell residuals (sample_rows × dim floats — same bound as IVF's own
+  training; nothing data-sized ever reaches the driver),
+* corpus encoding: Arrow-batched pandas UDF, codebooks in the closure
+  (m × ks × dim/m floats — broadcast-sized),
+* ADC scan: ``applyInPandas`` grouped by (query, probed cell) — the
+  textbook IVF-PQ layout where one LUT serves every code in the cell;
+  group count = |queries| × n_probe, group size = cell occupancy, so
+  parallelism scales with the probe fan-out, and no group outlives one
+  cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from ..functions.vectors import cosine_similarity
+from ..operators.windows import topk_per_group
+from .ivf import _nearest_cells_udf, nearest_cell, train_centroids
+
+
+def train_pq_codebooks(corpus: DataFrame, emb_col: str, dim: int,
+                       centroids: np.ndarray, m: int = 8, ks: int = 16,
+                       iters: int = 8, seed: int = 42,
+                       sample_rows: int = 4096) -> np.ndarray:
+    """Per-subspace k-means codebooks over CELL RESIDUALS (e − centroid):
+    residual magnitudes are far smaller than raw coordinates once the
+    coarse quantizer has soaked up cluster structure, so ks codewords per
+    subspace buy much finer resolution. Returns (m, ks, dim//m).
+
+    The sample is a driver-bounded ``limit(sample_rows)`` pull; Lloyd's
+    runs in numpy on that sample — per subspace the problem is
+    (sample_rows × dim/m), trivially driver-sized, and training on a
+    sample is the standard PQ recipe (FAISS does exactly this)."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    pdf = (corpus.select(F.col(emb_col).alias("e"))
+           .limit(sample_rows).toPandas())
+    E = np.stack(pdf["e"].to_numpy()).astype(np.float64)      # (n, dim)
+    cells = np.argmin(
+        ((E[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2), axis=1)
+    R = E - centroids[cells]                                   # residuals
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        X = R[:, j * sub:(j + 1) * sub]                        # (n, sub)
+        C = X[rng.choice(len(X), size=ks, replace=False)]      # k-means++ lite
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _encode_udf(centroids: np.ndarray, books: np.ndarray):
+    """Arrow UDF: (embedding, cell) → m PQ code ids over the residual."""
+    m, ks, sub = books.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(embs: pd.Series, cells: pd.Series) -> pd.Series:
+        E = np.stack(embs.to_numpy()).astype(np.float64)
+        R = E - centroids[cells.to_numpy()]
+        codes = np.empty((len(E), m), dtype=np.int32)
+        for j in range(m):
+            X = R[:, j * sub:(j + 1) * sub]
+            d = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def encode_corpus(corpus: DataFrame, id_col: str, emb_col: str,
+                  centroids: np.ndarray, books: np.ndarray) -> DataFrame:
+    """(id, cell, codes): the complete PQ index — m small ints per row in
+    place of the dim-float vector. This is the table a 100 TB deployment
+    materializes once and shares across every query."""
+    cell = nearest_cell(emb_col, centroids)
+    enc = _encode_udf(centroids, books)
+    return (corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(emb_col).alias("e"),
+                          cell.alias("cell"))
+            .select("neighbor_id", "cell",
+                    enc(F.col("e"), F.col("cell")).alias("codes")))
+
+
+_ADC_SCHEMA = StructType([
+    StructField("query_id", LongType()),
+    StructField("neighbor_id", LongType()),
+    StructField("adc", DoubleType()),
+])
+
+
+def _adc_scan(centroids: np.ndarray, books: np.ndarray):
+    """Grouped ADC kernel: one (query, cell) group builds the LUT once —
+    m × ks squared half-distances of the query residual to every codeword
+    — then every candidate code in the cell is scored with m gathers.
+    LUT cost amortizes over the cell's occupancy; candidate cost is
+    independent of dim."""
+    m, ks, sub = books.shape
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
+        cell = int(pdf["cell"].iloc[0])
+        r = q - centroids[cell]
+        lut = np.empty((m, ks))
+        for j in range(m):
+            diff = books[j] - r[j * sub:(j + 1) * sub][None, :]
+            lut[j] = (diff * diff).sum(axis=1)
+        codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+        adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        return pd.DataFrame({"query_id": pdf["query_id"],
+                             "neighbor_id": pdf["neighbor_id"],
+                             "adc": adc})
+
+    return scan
+
+
+def ann_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   emb_col: str, dim: int, k: int = 10, n_cells: int = 16,
+                   n_probe: int = 2, m: int = 8, ks: int = 16,
+                   refine: int = 4, iters: int = 3,
+                   seed: int = 42) -> DataFrame:
+    """Approximate top-k cosine neighbors per query, IVF-PQ pipeline:
+    coarse cells prune the corpus (n_probe of n_cells searched), ADC over
+    PQ codes ranks the probed candidates without touching full vectors,
+    and only the top ``k × refine`` shortlist is reranked exactly (the
+    single place full embeddings are joined back). Same output contract
+    as ``ann_topk_ivf``: (query_id, neighbor_id, sim)."""
+    centroids = train_centroids(corpus, emb_col, dim, n_cells, iters, seed)
+    books = train_pq_codebooks(corpus, emb_col, dim, centroids, m, ks,
+                               seed=seed)
+
+    index = encode_corpus(corpus, id_col, emb_col, centroids, books)
+
+    probe = _nearest_cells_udf(centroids, n_probe)
+    qb = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(emb_col).alias("q_emb"),
+                         F.explode(probe(F.col(emb_col))).alias("cell")))
+
+    cand = (qb.join(index, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = (cand.select("query_id", "cell", "q_emb", "neighbor_id", "codes")
+              .groupBy("query_id", "cell")
+              .applyInPandas(_adc_scan(centroids, books), _ADC_SCHEMA))
+    shortlist = topk_per_group(
+        scored.dropDuplicates(["query_id", "neighbor_id"]),
+        keys=["query_id"],
+        order=[F.col("adc").asc(), F.col("neighbor_id").asc()],
+        k=k * refine)
+
+    # exact rerank of the shortlist only
+    full = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(emb_col).alias("c_emb"))
+    qfull = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(emb_col).alias("q_emb"))
+    exact = (shortlist.join(full, "neighbor_id").join(qfull, "query_id")
+             .withColumn("sim", F.round(cosine_similarity("q_emb", "c_emb"), 6)))
+    return topk_per_group(
+        exact.select("query_id", "neighbor_id", "sim"),
+        keys=["query_id"],
+        order=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k)

@@ -2,9 +2,10 @@
 (skew-resistant) join.
 
 As-of join — "for each left row, the latest right row at-or-before its
-timestamp" — composes from an equi-anchored range join + top-1-per-group
-window: the range predicate rides the equi-key hash join as a residual
-(linear), and row_number picks the winner deterministically.
+timestamp" — is the union + forward-fill formulation: tag both sides,
+sort each key's merged timeline once, carry the latest right payload
+forward with last(ignorenulls). One shuffle, no pair materialization
+(see ``asof_join`` for why the range-join alternative degenerates).
 
 Salted join — when one join key is pathologically hot, a plain hash join
 sends the whole hot key to one reducer. Salting splits each left key
@@ -21,8 +22,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .windows import topk_per_group
-
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
@@ -31,31 +30,63 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               how: str = "inner") -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (per equi-key). Deterministic under ties
-    via ``tiebreak`` (default: right_ts then right cols are NOT unique —
-    pass a unique right column). ``how='left'`` keeps unmatched left rows
-    with NULL right columns.
+    via ``tiebreak`` (ordering over the right side aliased ``r``; without
+    it, equal-timestamp right rows pick arbitrarily). ``how='left'``
+    keeps unmatched left rows with NULL right columns.
 
-    Left rows must be DISTINCT: the winner is picked per left-row
-    identity (all left columns), so two fully-identical left rows would
-    collapse to one output row. Include a unique id column on the left.
+    Union + forward-fill formulation: tag both sides, sort each key's
+    timeline once, and carry the latest right payload forward with
+    ``last(ignorenulls)``. ONE shuffle (the key partition) and per-row
+    O(1) state — no intermediate pair blowup. The range-join + top-1
+    alternative materializes every (left row × earlier right row) pair
+    per key before pruning: a key with R right rows and L left rows costs
+    O(L·R) — at 100 TB a hot user with 10k quotes × 1k trades is 10M
+    rows for ONE key. The timeline sort costs O((L+R) log(L+R)) total
+    and is skew-safe for the same reason windowed dedup is.
     """
-    right_cols = list(right_cols or (c for c in right.columns if c not in on))
-    l = left.alias("l")
-    r = right.alias("r")
-    cond = F.lit(True)
-    for k in on:
-        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    cond = cond & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    from pyspark.sql import Window
 
-    joined = l.join(r, cond, "left" if how == "left" else "inner")
-    order = [F.col(f"r.{right_ts}").desc_nulls_last()]
+    right_cols = list(right_cols or (c for c in right.columns if c not in on))
+    on = list(on)
+
+    # one winner per (key, right_ts) so a tie can't poison the fill
+    r = right.alias("r")
     if tiebreak is not None:
-        order += list(tiebreak)
-    # partition by the left row identity: all left columns
-    keys = [F.col(f"l.{c}") for c in left.columns]
-    best = topk_per_group(joined, keys=keys, order=order, k=1)
-    return best.select(*[F.col(f"l.{c}").alias(c) for c in left.columns],
-                       *[F.col(f"r.{c}").alias(f"asof_{c}") for c in right_cols])
+        w_tie = (Window.partitionBy(*[F.col(f"r.{k}") for k in on],
+                                    F.col(f"r.{right_ts}"))
+                 .orderBy(*tiebreak))
+        r1 = (r.withColumn("__rn", F.row_number().over(w_tie))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    else:
+        r1 = r.dropDuplicates([*on, right_ts])
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    rig = r1.select(*on,
+                    F.col(right_ts).alias("__t"),
+                    F.lit(0).alias("__side"),
+                    payload.alias("__payload"))
+    payload_t = rig.schema["__payload"].dataType
+    extra = [c for c in left.columns if c not in on]
+    lef = left.select(*on,
+                      F.col(left_ts).alias("__t"),
+                      F.lit(1).alias("__side"),
+                      F.lit(None).cast(payload_t).alias("__payload"),
+                      *extra)
+    rig = rig.select(*rig.columns,
+                     *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                       for c in extra])
+
+    # right rows sort before left rows at equal timestamps → "<=" semantics
+    w = (Window.partitionBy(*on).orderBy(F.col("__t"), F.col("__side"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (lef.unionByName(rig)
+              .withColumn("__fill", F.last("__payload", ignorenulls=True).over(w))
+              .filter(F.col("__side") == 1))
+    if how != "left":
+        filled = filled.filter(F.col("__fill").isNotNull())
+    return filled.select(*left.columns,
+                         *[F.col(f"__fill.{c}").alias(f"asof_{c}")
+                           for c in right_cols])
 
 
 def skew_stats(df: DataFrame, key: str,

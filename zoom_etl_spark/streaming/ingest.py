@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType, TimestampType)
 
-# events.ts is TIMESTAMP(NANOS) in the parquet → declare long (with the
-# nanosAsLong conf) and convert after read, like the batch catalog.
+# Legacy nanos layout: events.ts is TIMESTAMP(NANOS) in the parquet →
+# declare long (with the nanosAsLong conf) and convert after read, like
+# the batch catalog. Test fixtures that synthesize multi-file stream
+# sources write this shape.
 EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType(), True),
     StructField("ts", LongType(), True),
@@ -32,12 +34,32 @@ EVENTS_SCHEMA = StructType([
 ])
 
 
+def _events_stream_schema(sf_dir: str) -> StructType:
+    """readStream needs a declared schema; derive the ts field from the
+    parquet footer (driver-side, one metadata read) so both the legacy
+    nanos-long layout and native micros layouts stream correctly."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if str(t) == "timestamp[ns]":
+        ts_field = StructField("ts", LongType(), True)
+    elif t.tz is None:
+        ts_field = StructField("ts", TimestampNTZType(), True)
+    else:
+        ts_field = StructField("ts", TimestampType(), True)
+    return StructType([ts_field if f.name == "ts" else f
+                       for f in EVENTS_SCHEMA.fields])
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table file-by-file (stand-in for a Kafka topic)."""
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    from ..catalog import normalize_event_ts
+    raw = (spark.readStream.schema(_events_stream_schema(sf_dir))
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "1 hour",

@@ -155,6 +155,133 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("_cum") / 1000.0).cast("int").alias("shard"))
 
 
+def _toks() -> F.Column:
+    """Whitespace tokens of ``text`` with empties dropped — the shared
+    tokenizer of the curation suite (mirrors the oracle's
+    ``list_filter(string_split(...))``)."""
+    return F.filter(F.split("text", " "), lambda x: x != "")
+
+
+def word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Space-joined word n-grams of a token array as a codegen'd array
+    expression (no explode): transform over the index sequence
+    [1, len - n + 1]."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+
+
+@query("quality_gopher_rules", oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+gr AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS trigrams
+  FROM tok
+),
+big AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS total FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS g FROM gr) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT g.doc_id,
+       round(CAST(b.topc AS DOUBLE) / b.total, 4) AS top_bigram_frac,
+       round(1.0 - CAST(len(list_distinct(g.trigrams)) AS DOUBLE)
+             / len(g.trigrams), 4) AS dup_trigram_frac,
+       round(CAST(len(array_to_string(g.toks, '')) AS DOUBLE)
+             / len(g.toks), 4) AS mean_word_len
+FROM gr g JOIN big b USING (doc_id)
+""")
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher/
+    MassiveText filtering rules: top-bigram fraction (boilerplate
+    headers repeat one phrase), duplicate-trigram fraction (spun/looped
+    text), and mean word length (OCR noise / non-linguistic content).
+    dup-trigram and word-length are pure array expressions (zero
+    shuffle); the bigram mode needs a count-per-(doc, gram) which is one
+    map-side-combined shuffle keyed by (doc_id, gram) — cardinality
+    bounded by total bigrams, skew bounded by the longest document, so
+    the plan is insensitive to corpus-level hot phrases."""
+    d = table(spark, sf_dir, "documents")
+    g = d.select("doc_id", _toks().alias("toks")).select(
+        "doc_id", "toks",
+        word_ngrams(F.col("toks"), 2).alias("bigrams"),
+        word_ngrams(F.col("toks"), 3).alias("trigrams"))
+    big = (g.select("doc_id", F.explode("bigrams").alias("g"))
+           .groupBy("doc_id", "g").count()
+           .groupBy("doc_id").agg(F.max("count").alias("topc"),
+                                  F.sum("count").alias("total")))
+    return (g.join(big, "doc_id")
+            .select(
+                "doc_id",
+                F.round(F.col("topc").cast("double") / F.col("total"), 4)
+                .alias("top_bigram_frac"),
+                F.round(F.lit(1.0)
+                        - F.size(F.array_distinct("trigrams")).cast("double")
+                        / F.size("trigrams"), 4).alias("dup_trigram_frac"),
+                F.round(F.length(F.concat_ws("", F.col("toks"))).cast("double")
+                        / F.size("toks"), 4).alias("mean_word_len")))
+
+
+@query("decontaminate_ngram", oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g
+          FROM sh WHERE doc_id % 20 <> 0),
+ov AS (
+  SELECT t.doc_id, count(*) AS hits
+  FROM train t JOIN bench b USING (g) GROUP BY 1
+)
+SELECT s.doc_id,
+       round(coalesce(CAST(ov.hits AS DOUBLE) / len(s.grams), 0.0), 4)
+         AS overlap_frac,
+       coalesce(CAST(ov.hits AS DOUBLE) / len(s.grams), 0.0) >= 0.5
+         AS contaminated
+FROM sh s LEFT JOIN ov ON s.doc_id = ov.doc_id
+WHERE s.doc_id % 20 <> 0
+""")
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose distinct
+    trigram sets overlap an eval/benchmark set (here: every 20th doc
+    stands in for the benchmark) — the pre-training hygiene step that
+    keeps test data out of the training corpus. Scale posture: benchmark
+    suites are tiny (MBs) next to a 100 TB corpus, so the benchmark gram
+    set is BROADCAST and the corpus side never shuffles for the probe —
+    explode → local hash semi-probe → per-doc count combines map-side.
+    Unmatched docs surface via the left join with overlap 0."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.array_distinct(word_ngrams(_toks(), 3)).alias("grams"))
+    bench = (sh.filter(F.col("doc_id") % 20 == 0)
+             .select(F.explode("grams").alias("g")).distinct())
+    train = sh.filter(F.col("doc_id") % 20 != 0)
+    hits = (train.select("doc_id", F.explode("grams").alias("g"))
+            .join(F.broadcast(bench), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("hits")))
+    frac = F.coalesce(F.col("hits").cast("double") / F.size("grams"),
+                      F.lit(0.0))
+    return (train.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.round(frac, 4).alias("overlap_frac"),
+                    (frac >= 0.5).alias("contaminated")))
+
+
 _PAIRS_SQL = r"""
 tok AS (
   SELECT doc_id,

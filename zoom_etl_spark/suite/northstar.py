@@ -184,6 +184,21 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         dim=64, k=5, n_cells=8, n_probe=2, iters=2)
 
 
+@query("similarity_ann_ivfpq")  # rows-only: PQ codebooks not ANSI-SQL-expressible
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS-style): coarse cells prune, product-quantized
+    residual codes rank candidates via ADC table lookups (32× smaller
+    candidate payload than full vectors), exact rerank only on the
+    shortlist — the memory-bound 100 TB index shape. Recall@10 vs brute
+    force gated in test_ann_recall.py."""
+    from ..dedup.pq import ann_topk_ivfpq
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ann_topk_ivfpq(e, queries, id_col="vec_id", emb_col="embedding",
+                          dim=64, k=5, n_cells=8, n_probe=2, m=16, ks=32,
+                          refine=4, iters=2)
+
+
 @query("similarity_ann_lsh")  # rows-only: hyperplane LSH not ANSI-SQL-expressible
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucketing — the 100 TB scale

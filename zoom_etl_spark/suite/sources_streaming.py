@@ -328,3 +328,30 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_ss_ljoin_log").select(
         "user_id", "signup_id", "signup_ts",
         "error_id", "error_ts", "error_value")
+
+
+@query("stream_dedup_watermark", oracle="""
+SELECT event_id, user_id, event_type, ts, round(value, 3) AS val
+FROM events
+""")
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivery-safe streaming ingest via
+    ``dropDuplicatesWithinWatermark`` on the event id: at-least-once
+    sources (Kafka redelivery, webhook retries — ref
+    lambda/zoom_webhook/handler.py redelivery note) emit each event once.
+    State = one seen-id entry per event inside the watermark horizon,
+    EVICTED as event time advances — bounded by arrival rate × watermark,
+    not stream length (plain ``dropDuplicates`` on a stream grows state
+    forever). Source event_ids are unique, so the drained output equals
+    the table itself — a full value-hash oracle for a STATEFUL streaming
+    query; redelivery collapsing is covered by the fixture-driven test
+    (tests/test_sources_streaming.py) that replays duplicated files."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (stream.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "user_id", "event_type", "ts",
+                       F.round("value", 3).alias("val")))
+    q = (deduped.writeStream.format("memory").queryName("stream_dedup_log")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_dedup_log")
