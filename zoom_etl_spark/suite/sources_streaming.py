@@ -355,3 +355,48 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table("stream_dedup_log")
+
+
+@query("stream_session_ivm", oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 30 MINUTE <
+       (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+""")
+def stream_session_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (30-min inactivity gap) via
+    ``session_window`` + watermark in APPEND mode: state holds only OPEN
+    sessions per user (merged as events arrive, evicted at emission), and
+    a session emits exactly once — when the watermark passes its end
+    (last event + gap), the proof no event can extend it. The oracle is
+    the batch lag/cumsum sessionization gated by the same emission rule:
+    sessions whose end precedes max(ts) − watermark delay. Sessions still
+    open at drain correctly do NOT emit. Full value-hash gate — the
+    streaming operator, its merge logic, and its watermark eviction all
+    have to agree with the batch formulation to pass."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    F.col("user_id"))
+           .agg(F.count("*").alias("n_events")))
+    out = agg.select("user_id", F.col("w.start").alias("session_start"),
+                     "n_events")
+    q = (out.writeStream.format("memory").queryName("stream_session_log")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_session_log")
