@@ -339,3 +339,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 k=3, threshold=0.2, max_df=50)
     cc = connected_components(pairs.select("id_a", "id_b"))
     return cc.select(F.col("node").alias("doc_id"), "cluster")
+
+
+@query("mixture_temperature_sample", oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+dom AS (SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS tot FROM tok GROUP BY 1),
+sh AS (SELECT lang, tot / sum(tot) OVER () AS share FROM dom),
+r AS (SELECT lang, pow(share, 0.3) / share AS rate FROM sh),
+a AS (SELECT lang, round(rate / max(rate) OVER (), 4) AS accept_rate FROM r)
+SELECT t.doc_id, t.lang, a.accept_rate,
+       (t.doc_id * 37 + 11) % 10000 < CAST(round(a.accept_rate * 10000) AS INT)
+         AS keep
+FROM tok t JOIN a USING (lang)
+""")
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the mT5/multilingual-sampling
+    recipe): target share ∝ (token share)^α with α=0.3 flattens the
+    domain distribution — rare languages are upsampled, dominant ones
+    trimmed — without a hand-written target list. Per-domain acceptance
+    rate = (targetshare) normalized so the most-upsampled domain keeps
+    everything; the per-doc keep decision is the same reproducible
+    arithmetic hash as ``sample_stratified``. Plan shape: one
+    map-combined groupBy over (lang) → an n_langs-row frame whose
+    whole-frame windows are trivial → broadcast join back to the corpus.
+    Nothing data-sized shuffles; the corpus side is one scan."""
+    from pyspark.sql import Window
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.size(_toks()).alias("n_tok"))
+    dom = tok.groupBy("lang").agg(F.sum("n_tok").cast("double").alias("tot"))
+    w_all = Window.partitionBy()
+    share = F.col("tot") / F.sum("tot").over(w_all)
+    rate = F.pow(share, F.lit(0.3)) / share
+    a = (dom.select("lang", rate.alias("rate"))
+         .select("lang", F.round(F.col("rate") / F.max("rate").over(w_all), 4)
+                 .alias("accept_rate")))
+    keep = (F.pmod(F.col("doc_id") * 37 + 11, F.lit(10000))
+            < F.round(F.col("accept_rate") * 10000).cast("int"))
+    return (tok.join(F.broadcast(a), "lang")
+            .select("doc_id", "lang", "accept_rate", keep.alias("keep")))
