@@ -125,3 +125,72 @@ def test_bucketed_running_sum_parallel_per_stratum(spark):
         F.floor((F.col("doc_id") - 1) * 16 / 5000).alias("b")
     ).distinct().count()
     assert n_groups == 16 and inner.count() == 5000
+
+
+def test_decontaminate_flags_planted_benchmark_copy(spark, sf_dir):
+    """A training doc that IS a benchmark doc (verbatim copy) must score
+    overlap 1.0 and be flagged; a doc sharing nothing must score 0."""
+    from zoom_etl_spark.suite.curation import word_ngrams, _toks
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, bench_text),                       # doc_id%20==0 → benchmark
+            (1, bench_text),                       # verbatim contamination
+            (2, "one two three four five six seven eight")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = d.select("doc_id",
+                  F.array_distinct(word_ngrams(_toks(), 3)).alias("grams"))
+    bench = (sh.filter(F.col("doc_id") % 20 == 0)
+             .select(F.explode("grams").alias("g")).distinct())
+    train = sh.filter(F.col("doc_id") % 20 != 0)
+    hits = (train.select("doc_id", F.explode("grams").alias("g"))
+            .join(F.broadcast(bench), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("hits")))
+    frac = F.coalesce(F.col("hits").cast("double") / F.size("grams"), F.lit(0.0))
+    out = {r["doc_id"]: r["f"] for r in
+           train.join(hits, "doc_id", "left")
+                .select("doc_id", frac.alias("f")).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.0
+
+
+def test_gopher_rules_separate_repetitive_text(spark, sf_dir):
+    """A looping document must score far higher on both repetition
+    signals than a non-repeating one."""
+    from zoom_etl_spark.suite.curation import word_ngrams, _toks
+
+    loop = " ".join(["buy cheap pills now"] * 10)
+    clean = " ".join(f"w{i}" for i in range(40))
+    d = spark.createDataFrame([(1, loop), (2, clean)], "doc_id long, text string")
+    g = d.select("doc_id",
+                 word_ngrams(_toks(), 3).alias("tri"),
+                 word_ngrams(_toks(), 2).alias("bi"))
+    feats = {r["doc_id"]: (r["dup"], r["top"]) for r in g.select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct("tri")).cast("double")
+         / F.size("tri")).alias("dup"),
+        (F.size(F.filter("bi", lambda x: x == F.lit("cheap pills")))
+         .cast("double") / F.size("bi")).alias("top")).collect()}
+    dup_loop, top_loop = feats[1]
+    dup_clean, _ = feats[2]
+    assert dup_loop > 0.8 and dup_clean == 0.0
+    assert top_loop > 0.2
+
+
+def test_mixture_temperature_flattens_shares(spark, sf_dir):
+    """After temperature sampling, the dominant domain's share of kept
+    tokens must shrink toward the flattened target and every domain's
+    acceptance rate is in (0, 1] with the rarest at exactly 1."""
+    from zoom_etl_spark.registry import all_queries
+
+    out = all_queries()["mixture_temperature_sample"].fn(spark, sf_dir)
+    rates = {r["lang"]: r["accept_rate"]
+             for r in out.select("lang", "accept_rate").distinct().collect()}
+    assert all(0 < v <= 1.0 for v in rates.values()), rates
+    assert max(rates.values()) == 1.0
+    kept = out.filter("keep").groupBy("lang").count()
+    tot = out.groupBy("lang").count().withColumnRenamed("count", "n")
+    joined = {r["lang"]: r["count"] / r["n"]
+              for r in kept.join(tot, "lang").collect()}
+    # realized keep fraction tracks the computed acceptance rate
+    for lang, rate in rates.items():
+        assert abs(joined.get(lang, 0.0) - rate) < 0.2, (lang, rate, joined)
