@@ -381,3 +381,38 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.round(F.col("accept_rate") * 10000).cast("int"))
     return (tok.join(F.broadcast(a), "lang")
             .select("doc_id", "lang", "accept_rate", keep.alias("keep")))
+
+
+@query("chunk_documents", oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+  FROM tok
+)
+SELECT doc_id,
+       CAST(start / 48 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk,
+       CAST(least(len(toks) - start, 64) AS INT) AS n_tok
+FROM ch
+""")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48 → 16-token
+    overlap): how long documents become training/RAG-sized pieces while
+    no boundary sentence is lost to a hard cut. Pure array expressions +
+    one explode — a scan-shaped linear fan-out of ~len/stride rows per
+    doc, no shuffle anywhere; at 100 TB this pipelines inside the same
+    stage as the tokenizer that follows it."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _toks().alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
+    ch = t.select("doc_id", "toks", F.explode(starts).alias("start"))
+    return ch.select(
+        "doc_id",
+        (F.col("start") / 48).cast("int").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("toks", F.col("start") + 1, F.lit(64)))
+        .alias("chunk"),
+        F.least(F.size("toks") - F.col("start"), F.lit(64)).cast("int")
+        .alias("n_tok"))
