@@ -106,9 +106,14 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     rows = num_perm // bands
     # hashed shingles: one expensive text→shingle evaluation (persisted —
     # the banded self-join and the verify step would otherwise re-evaluate
-    # it per use), then only 64-bit longs flow through the joins
-    base = df.select(F.col(id_col).alias("doc"),
-                     shingle_hashes(text_col, k).alias("sh")).persist()
+    # it per use), then only 64-bit longs flow through the joins. The
+    # input is repartitioned first so a small-file corpus doesn't
+    # materialize every shingle set through one task (no-op rebalance at
+    # real corpus widths).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (df.repartition(par)
+            .select(F.col(id_col).alias("doc"),
+                    shingle_hashes(text_col, k).alias("sh")).persist())
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
     banded = (
         sig.select("doc", "sh", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk"))

