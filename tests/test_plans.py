@@ -104,3 +104,67 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_chunk_documents_is_scan_shaped(spark, sf_dir):
+    """Chunking must pipeline in the scan stage: no Exchange anywhere
+    (an accidental shuffle would serialize the fan-out), and no inferred
+    size()>0 filter duplicating the tokenizer into the scan (the
+    InferFiltersFromGenerate exclusion, session.py)."""
+    plan = _physical(_SPECS["chunk_documents"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    assert pushed.startswith("[]"), pushed
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_dir):
+    """The benchmark gram set must reach the corpus as a broadcast hash
+    probe — a sort-merge join here would shuffle the full exploded
+    corpus by gram, the exact failure mode the operator exists to
+    avoid."""
+    plan = _physical(_SPECS["decontaminate_ngram"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_asof_join_has_no_pair_join(spark, sf_dir):
+    """The as-of join must be the union + forward-fill plan: a window
+    over the merged timeline, never a join that materializes
+    (left row x earlier right row) pairs."""
+    plan = _physical(_SPECS["join_asof"].fn(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} in asof plan"
+    assert "Window" in plan and "Union" in plan
+
+
+def test_mixture_stats_frame_broadcasts_back(spark, sf_dir):
+    """The n_langs-row acceptance-rate frame must broadcast back to the
+    corpus — shuffling the corpus by lang to meet a 20-row dim would be
+    the skewed-key anti-pattern."""
+    plan = _physical(_SPECS["mixture_temperature_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_queries_survive_non_utc_driver_session(spark, sf_dir):
+    """The driver owns its session and may hand us any timezone;
+    configure() must coerce to UTC at query-build time so timestamp
+    semantics (and oracle parity) hold regardless (verify-skill probe)."""
+    from tests.oracle_harness import compare, duck_connection
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spec = _SPECS["window_tumbling"]
+        con = duck_connection(sf_dir)
+        try:
+            report = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+        finally:
+            con.close()
+        assert report["ok"], report
+        # and the session is back on UTC for everyone after configure()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
