@@ -168,3 +168,27 @@ def test_queries_survive_non_utc_driver_session(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
+    """On a date/status-partitioned fact layout, a selective dim filter
+    must prune fact PARTITIONS at runtime (DPP) — the mechanism that
+    turns a 100 TB scan into a few-partition scan when the dim side is
+    filtered. Locked in as a plan gate: the fact scan carries a
+    dynamicpruning subquery on the partition column."""
+    import tempfile
+
+    from zoom_etl_spark.catalog import table
+
+    out = tempfile.mkdtemp(prefix="zes_dpp_") + "/orders_part"
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (spark.createDataFrame([("F", "finished")], "st string, label string")
+           .filter(F.col("label") == "finished"))
+    joined = (fact.join(dim.hint("broadcast"), fact.o_orderstatus == dim.st)
+              .select("o_orderkey", "label"))
+    plan = _physical(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result only reads the F partition
+    assert joined.count() == o.filter(F.col("o_orderstatus") == "F").count()
