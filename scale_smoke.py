@@ -32,6 +32,11 @@ QUERIES = [
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "agg_group_stats",
     "join_inner", "join_interval", "merge_upsert", "staging_merge",
     "window_running_sum", "dedup_last_wins",
+    # round-3 additions: the curation/text family and the rewritten as-of
+    # join (replicated doc_ids keep their %20 residues, so the
+    # decontamination benchmark scales proportionally with the corpus)
+    "join_asof", "quality_gopher_rules", "decontaminate_ngram",
+    "chunk_documents", "pipeline_curation_e2e", "stream_session_ivm",
 ]
 
 KEYED = {

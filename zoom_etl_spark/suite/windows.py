@@ -109,3 +109,32 @@ def dedup_last_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     version=[F.col("ts"), F.col("event_id")])
     return out.select("user_id", "event_type", "event_id",
                       F.round("value", 3).alias("val"))
+
+
+@query("window_range_1h", oracle="""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 3) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-bounded running aggregate (trailing 1-hour count/sum per
+    user) — the sliding time-window rollup of time-series engines, as a
+    RANGE frame: peers are selected by event-time distance, not row
+    count, so bursts widen the frame and quiet periods shrink it. Spark
+    needs a numeric range key — microseconds since epoch — with the
+    frame in the same unit; one shuffle on the user key, sorted once,
+    then a two-pointer frame scan per partition. DuckDB's native
+    interval RANGE frame is the oracle, so the unit conversion is
+    value-hash-proven exact (ties at the boundary included: both engines
+    use inclusive bounds over all peers)."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 3).alias("sum_1h"))
