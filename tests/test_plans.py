@@ -192,3 +192,13 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result only reads the F partition
     assert joined.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_band_join_is_hash_not_bnl(spark, sf_dir):
+    """The anchor-free band join must plan as a hash join on the
+    manufactured bin key — never the O(n^2) BroadcastNestedLoopJoin the
+    bare band predicate degenerates to."""
+    plan = _physical(_SPECS["join_band_dates"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -205,3 +205,42 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     salted_right = right.withColumn("__salt", salts)
     out = salted_left.join(salted_right, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def band_join(left: DataFrame, right: DataFrame,
+              left_val: str, right_val: str, band: int,
+              bin_size: int | None = None) -> DataFrame:
+    """Band join WITHOUT an equi anchor: all (left, right) pairs with
+    ``|left_val - right_val| <= band`` (values in any integer unit —
+    epoch days, micros, cents).
+
+    A plain band predicate gives Spark nothing to hash on — the planner
+    falls back to BroadcastNestedLoopJoin: O(|L|·|R|) comparisons, fatal
+    at scale. Binning manufactures the equi key: bucket both sides into
+    ``bin_size``-wide bins (default = band, the optimal width: candidate
+    bins per row is then exactly 2), explode the left side into each bin
+    a match could live in, equi-join on the bin id, and keep the band
+    predicate as a residual filter. Cost: |L| × (band/bin_size + 1)
+    candidate rows through ONE hash join — linear, shuffle-partitioned,
+    AQE-skew-splittable like any equi join. The classic time-series /
+    genomics interval-join technique (also how range joins are binned in
+    warehouse engines).
+
+    Each right row lands in exactly ONE bin and a left row's candidate
+    bins are distinct, so every qualifying pair meets exactly once — no
+    dedup pass needed regardless of bin_size.
+
+    Columns: returns left.* + right.* (caller projects/aliases to avoid
+    collisions before the call)."""
+    bin_size = bin_size or band
+
+    def _bin(c):  # floor division as a Column op (values may be negative)
+        return F.floor(c / F.lit(bin_size)).cast("long")
+
+    l = left.withColumn(
+        "__bin", F.explode(F.sequence(_bin(F.col(left_val) - band),
+                                      _bin(F.col(left_val) + band))))
+    r = right.withColumn("__bin", _bin(F.col(right_val)))
+    return (l.join(r, "__bin")
+            .filter(F.abs(F.col(left_val) - F.col(right_val)) <= band)
+            .drop("__bin"))

@@ -38,12 +38,18 @@ def _events_stream_schema(sf_dir: str) -> StructType:
     """readStream needs a declared schema; derive the ts field from the
     parquet footer (driver-side, one metadata read) so both the legacy
     nanos-long layout and native micros layouts stream correctly."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
     from pyspark.sql.types import TimestampNTZType, TimestampType
-    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    if str(t) == "timestamp[ns]":
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):  # directory-style table (Spark writer output)
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    t = pq.read_schema(path).field("ts").type
+    if str(t) in ("timestamp[ns]", "int64"):
+        # TIMESTAMP(NANOS) reads as long under nanosAsLong; int64 is the
+        # already-long layout (scale-smoke replicas, legacy fixtures)
         ts_field = StructField("ts", LongType(), True)
     elif t.tz is None:
         ts_field = StructField("ts", TimestampNTZType(), True)

@@ -284,3 +284,29 @@ def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_since(spark, sf_dir, "2024-01-20 00:00:00")
     return e.select("event_id", "user_id", "event_type",
                     F.round("value", 3).alias("val"))
+
+
+@query("join_band_dates", oracle="""
+SELECT a.o_orderkey AS order_id, CAST(count(*) AS BIGINT) AS n_near
+FROM orders a JOIN orders b
+  ON abs(date_diff('day', b.o_orderdate, a.o_orderdate)) <= 1
+ AND a.o_orderkey <> b.o_orderkey
+GROUP BY 1
+""")
+def join_band_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join with NO equi anchor: for each order, how many other
+    orders were placed within ±1 day. A bare band predicate plans as
+    BroadcastNestedLoopJoin — O(n²) comparisons, fatal at scale — so
+    ``operators.joins.band_join`` manufactures the equi key by binning
+    (bin width = band): each left row probes its 3 candidate bins
+    through ONE hash join, the band predicate rides as a residual
+    filter. Linear candidates, shuffle-partitioned, AQE-skew-splittable.
+    Plan gate in test_plans.py asserts no BNL node survives."""
+    from ..operators.joins import band_join
+    o = table(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    a = o.select(F.col("o_orderkey").alias("order_id"), day.alias("day_a"))
+    b = o.select(F.col("o_orderkey").alias("okb"), day.alias("day_b"))
+    return (band_join(a, b, "day_a", "day_b", band=1)
+            .filter(F.col("order_id") != F.col("okb"))
+            .groupBy("order_id").agg(F.count("*").alias("n_near")))
