@@ -60,11 +60,24 @@ def _events_stream_schema(sf_dir: str) -> StructType:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events table file-by-file (stand-in for a Kafka topic)."""
+    """Stream the events table file-by-file (stand-in for a Kafka topic).
+
+    Single-file layouts (driver testdata: ``<sf_dir>/events.parquet`` is
+    a file among sibling tables) need the glob filter so only the events
+    file streams; directory-style tables (Spark writer output) are read
+    directly — a glob on the table name would match NO part files and
+    silently stream nothing."""
+    import os
+
     from ..catalog import normalize_event_ts
-    raw = (spark.readStream.schema(_events_stream_schema(sf_dir))
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
+    schema = _events_stream_schema(sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
     return normalize_event_ts(raw)
 
 
