@@ -25,3 +25,15 @@ def test_etl_run_idempotent(spark):
     u = {tuple(r) for r in spark.read.parquet(ut).collect()}
     run_batch_etl(spark, ut, mt, n_keys=12)
     assert {tuple(r) for r in spark.read.parquet(ut).collect()} == u
+
+
+def test_bad_sf_dir_raises_not_wrong_data(spark):
+    """A wrong data path must fail loudly (PATH_NOT_FOUND), never return
+    an empty-but-plausible result (verify-skill probe)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from zoom_etl_spark.catalog import table
+
+    with pytest.raises(AnalysisException):
+        table(spark, "/root/testdata/sf_does_not_exist", "orders").count()

@@ -400,3 +400,34 @@ def stream_session_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table("stream_session_log")
+
+
+@query("join_bucketed_colocated", oracle="""
+SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
+       o.o_orderstatus AS status, round(l.l_extendedprice, 3) AS price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+""")
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over identically-BUCKETED tables: both sides are
+    written bucketed by the join key (one-time layout cost), then every
+    subsequent join on that key is exchange-free — each bucket pairs 1:1
+    and the bucket-sort upgrades it to a merge join with no sort step.
+    At 100 TB this removes the dominant cost of repeated fact-fact
+    joins; partitioning handles pruning, bucketing handles co-location,
+    and they compose. Zero-exchange plan asserted in test_bucketing.py;
+    here the JOIN RESULT itself is value-hash-gated against the plain
+    oracle join — the layout must not change a single row."""
+    from ..operators.bucketing import colocated_join, write_bucketed
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    write_bucketed(o.withColumnRenamed("o_orderkey", "k"), "zes_q_orders_b",
+                   "k", n_buckets=8)
+    write_bucketed(l.withColumnRenamed("l_orderkey", "k"), "zes_q_lineitem_b",
+                   "k", n_buckets=8)
+    j = colocated_join(spark, "zes_q_orders_b", "zes_q_lineitem_b", "k",
+                       force_merge=True)
+    return j.select(F.col("k").alias("order_id"),
+                    F.col("l_linenumber").alias("line_no"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.round("l_extendedprice", 3).alias("price"))
