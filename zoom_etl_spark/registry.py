@@ -73,6 +73,7 @@ def _load_suite() -> None:
         northstar,
         relational,
         scalars_wide,
+        scoring,
         sources_streaming,
         tpch,
         windows,

@@ -1,0 +1,165 @@
+"""Corpus scoring operators — statistical relevance / language-model
+quality signals a training-data pipeline computes corpus-wide (SURVEY
+§2.12 extensions, ROADMAP item 5 "adaptive curation thresholds").
+
+Three operators, all value-hash-gated against DuckDB:
+
+* ``text_tfidf_topk`` — per-document top-k terms by TF-IDF: the classic
+  two-aggregate relevance shape (per-doc term counts + corpus document
+  frequencies) every search/keyword-extraction pipeline runs.
+* ``quality_unigram_logprob`` — per-document mean token log-probability
+  under the corpus's own unigram LM — the CCNet-style "perplexity
+  proxy" quality filter, with the corpus itself as the LM.
+* ``quality_adaptive_threshold`` — the quality cutoff LEARNED from a
+  deterministic calibration sample to hit a target keep-rate, then
+  applied corpus-wide — closing the "thresholds are constants" gap the
+  round-2 roadmap named: production pipelines calibrate cutoffs per
+  corpus, not per hand-tuned magic number.
+
+Generalizes the reference's fixed-constant hygiene rules (reference
+lambda/zoom_webhook/handler.py:46-52 validates against a hard-coded
+field list; src/zoom/extract.py:25 hard-codes page sizes) to
+corpus-derived statistics. All hot paths are built-in column
+expressions; the only shuffles are term-keyed map-combined aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .curation import _toks
+from .northstar import quality_expr
+
+_TOK_SQL = """
+tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY 1, 2
+)"""
+
+
+@query("text_tfidf_topk", oracle=f"""
+WITH {_TOK_SQL},
+df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / dfreq), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS INT) AS rk
+  FROM s
+)
+SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3
+""")
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF (idf = ln(N/df)) — keyword
+    extraction / relevance scoring over the whole corpus. Plan shape:
+    one (doc, term) count (map-side combined — the explode never leaves
+    its stage unaggregated), document frequencies as a second term-keyed
+    map-combined aggregate, the 1-row corpus count broadcast, and a
+    per-doc top-3 window. The tf⋈df join is term-keyed: at 100 TB the
+    vocabulary is orders of magnitude smaller than the corpus and both
+    sides are already aggregates, so nothing corpus-sized shuffles
+    twice. Ranking is computed on the ROUNDED score with a term
+    tiebreak, so rank boundaries are engine-exact."""
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
+    tf = (d.select("doc_id", F.explode(_toks()).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    s = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+         .select("doc_id", "term",
+                 F.round(F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                             / F.col("dfreq")), 4)
+                 .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term"))
+    return (s.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 3))
+
+
+@query("quality_unigram_logprob", oracle=f"""
+WITH {_TOK_SQL},
+p AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+SELECT doc_id,
+       round(sum(tf * ln(CAST(c AS DOUBLE) / total)) / sum(tf), 4)
+         AS logprob
+FROM tf JOIN p USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token log-probability per document under the corpus's own
+    unigram LM — the perplexity-proxy quality score (CCNet-style): docs
+    full of globally-rare junk tokens score low, fluent docs score high.
+    Plan: per-(doc, term) counts once, global term counts as a second
+    term-keyed rollup of that SAME aggregate (no second corpus scan),
+    the 1-row total broadcast, then one term-keyed probe join and a
+    per-doc weighted mean. At 100 TB the LM side is vocabulary-sized —
+    production variants keep the top-V vocabulary as a broadcast dim
+    with an OOV floor, same structure."""
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
+    tf = (d.select("doc_id", F.explode(_toks()).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    p = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = tf.agg(F.sum("tf").cast("double").alias("total"))
+    scored = (tf.join(p, "term").crossJoin(F.broadcast(tot))
+              .withColumn("lp", F.col("tf")
+                          * F.log(F.col("c").cast("double") / F.col("total"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("lp") / F.sum("tf"), 4).alias("logprob")))
+
+
+@query("quality_adaptive_threshold", oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         round(0.5 * least(CAST(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS DOUBLE) / 20.0, 1.0)
+               + 0.5 * (1.0 - coalesce(
+                   CAST(len(list_filter(list_filter(string_split(text, ' '),
+                                                    x -> x <> ''),
+                        x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+                   / nullif(len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')), 0), 1.0)), 4) AS quality
+  FROM documents
+),
+cut AS (
+  SELECT round(quantile_cont(quality, 0.2), 4) AS cutoff
+  FROM feats WHERE doc_id % 7 = 0
+)
+SELECT doc_id, quality, cutoff, quality >= cutoff AS keep
+FROM feats, cut
+""")
+def quality_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality cutoff (ROADMAP item 5): instead of a hand-tuned
+    constant, the threshold is the 20th-percentile quality of a
+    DETERMINISTIC calibration sample (doc_id % 7 — reproducible, like
+    ``sample_stratified``'s arithmetic hash), targeting an 80% keep-rate
+    on sample-representative corpora. The learned 1-row cutoff is
+    broadcast back and every document gets a keep decision — the same
+    calibrate-then-apply loop ``dedup/tune.py`` runs for ANN recall,
+    here for curation. Quality is pre-rounded (1e-4 grid) so the
+    percentile interpolation and the >= boundary are engine-exact; at
+    100 TB the calibration sample is the only input to the (tiny) exact
+    percentile, and the corpus side is one scan + broadcast filter."""
+    d = table(spark, sf_dir, "documents")
+    feats = d.select("doc_id", F.round(quality_expr(), 4).alias("quality"))
+    cut = (feats.filter(F.col("doc_id") % 7 == 0)
+           .agg(F.round(F.percentile("quality", F.lit(0.2)), 4)
+                .alias("cutoff")))
+    return (feats.crossJoin(F.broadcast(cut))
+            .select("doc_id", "quality", "cutoff",
+                    (F.col("quality") >= F.col("cutoff")).alias("keep")))
