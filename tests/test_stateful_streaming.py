@@ -281,3 +281,79 @@ def test_lastwins_ivm_out_of_order_multibatch(spark, sf_dir):
             for r in last_wins(e, keys=["user_id"],
                                version=[F.col("ts"), F.col("event_id")]).collect()}
     assert got == want
+
+
+def _retract_replay(spark, sf_dir, qname):
+    """Replay events as 3 out-of-event-time-order micro-batches (newest
+    first) through retract_maintain; return the drained changelog."""
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+    from zoom_etl_spark.streaming.stateful import retract_maintain
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_retract_")
+    thirds = F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
+    raw = (e.withColumn("g", thirds)
+           .withColumn("ts", F.unix_micros("ts") * 1000))
+    for g in (1, 2, 3):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    out = retract_maintain(stream)
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def test_retract_ivm_changelog_algebra(spark, sf_dir):
+    """Every retraction must carry EXACTLY a previously-emitted addition
+    (same key, version, count, sum), ops must net to one live row per
+    key, and the fold must equal the batch aggregate."""
+    from zoom_etl_spark.streaming.stateful import changelog_fold
+
+    log = _retract_replay(spark, sf_dir, "t_retract_alg").collect()
+    adds = {(r.user_id, r.version): (r.n_events, round(r.value_sum, 6))
+            for r in log if r.op in ("+I", "+U")}
+    retracts = [(r.user_id, r.version, r.n_events, round(r.value_sum, 6))
+                for r in log if r.op == "-U"]
+    assert len(retracts) > 0  # multi-batch replay must actually retract
+    for uid, ver, n, s in retracts:
+        assert adds[(uid, ver)] == (n, s)  # retracts what was emitted
+    # net live rows: one per key (adds minus retracts)
+    per_key: dict[int, int] = {}
+    for r in log:
+        per_key[r.user_id] = per_key.get(r.user_id, 0) + (
+            1 if r.op in ("+I", "+U") else -1)
+    assert set(per_key.values()) == {1}
+
+    got = {(r.user_id, r.n_events, round(r.value_sum, 6))
+           for r in changelog_fold(
+               spark.table("t_retract_alg")).collect()}
+    e = table(spark, sf_dir, "events")
+    want = {(r.user_id, r.n, round(r.s, 6)) for r in
+            e.groupBy("user_id").agg(F.count("*").alias("n"),
+                                     F.sum("value").alias("s")).collect()}
+    assert got == want
+
+
+def test_retract_ivm_downstream_consumer(spark, sf_dir):
+    """The changelog's raison d'être: a downstream consumer maintaining a
+    GLOBAL total by adding '+' rows and subtracting '-' rows converges to
+    the batch total — impossible with last-wins re-emission alone (it
+    would double-count every updated key)."""
+    log = _retract_replay(spark, sf_dir, "t_retract_sum")
+    signed = log.select(
+        F.when(F.col("op") == "-U", -F.col("n_events"))
+        .otherwise(F.col("n_events")).alias("n"),
+        F.when(F.col("op") == "-U", -F.col("value_sum"))
+        .otherwise(F.col("value_sum")).alias("s"))
+    got = signed.agg(F.sum("n").alias("n"), F.sum("s").alias("s")).collect()[0]
+    e = table(spark, sf_dir, "events")
+    want = e.agg(F.count("*").alias("n"), F.sum("value").alias("s")).collect()[0]
+    assert got.n == want.n
+    assert abs(got.s - want.s) < 1e-6

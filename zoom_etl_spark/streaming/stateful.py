@@ -228,6 +228,75 @@ def lastwins_maintain(events_stream: DataFrame) -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+RETRACT_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("op", StringType(), True),  # '+I' | '-U' | '+U'
+    StructField("n_events", LongType(), True),
+    StructField("value_sum", DoubleType(), True),
+    StructField("version", LongType(), True),
+])
+
+RETRACT_STATE_SCHEMA = StructType([
+    StructField("n_events", LongType(), True),
+    StructField("value_sum", DoubleType(), True),
+    StructField("version", LongType(), True),
+])
+
+
+def _retract_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if not len(rows):
+        return
+    n0, v0, ver = state.get if state.exists else (0, 0.0, 0)
+    n1 = n0 + len(rows)
+    v1 = v0 + float(rows["value"].sum())
+    out = []
+    if ver > 0:
+        out.append((key[0], "-U", n0, v0, ver))
+        out.append((key[0], "+U", n1, v1, ver + 1))
+    else:
+        out.append((key[0], "+I", n1, v1, 1))
+    state.update((n1, v1, ver + 1))
+    yield pd.DataFrame({
+        "user_id": [o[0] for o in out], "op": [o[1] for o in out],
+        "n_events": [o[2] for o in out], "value_sum": [o[3] for o in out],
+        "version": [o[4] for o in out]})
+
+
+def retract_maintain(events_stream: DataFrame) -> DataFrame:
+    """Retraction-emitting maintained aggregate (ROADMAP item 4): per-key
+    count + sum as a FORMAL CHANGELOG in the Flink style. When a batch
+    changes a key's aggregate, the operator emits the retraction of the
+    previous value (``-U``, the exact row previously emitted) and the
+    new value (``+U``, version+1); the first value for a key emits as
+    ``+I``. Downstream consumers that AGGREGATE the changelog (e.g. a
+    global total maintained from per-key subtotals) stay correct by
+    adding ``+`` rows and subtracting ``-`` rows — last-wins re-emission
+    alone cannot give them that (they'd double-count updated keys).
+
+    State is one fixed-width (count, sum, version) row per key — bounded
+    by key cardinality, independent of stream length. Versions make the
+    log order-free: every emission carries the version it installs (or
+    retracts), so consumers never depend on sink arrival order."""
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(_retract_update, RETRACT_OUTPUT_SCHEMA,
+                                    RETRACT_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def changelog_fold(emitted: DataFrame) -> DataFrame:
+    """Materialize the current state from a retraction changelog: per key
+    the highest-version addition ('+I'/'+U'); its paired retraction (if
+    any) carries a LOWER version by construction, so a plain version-max
+    top-1 suffices and the fold never needs the op column ordering."""
+    from ..operators.windows import topk_per_group
+    from pyspark.sql import functions as F
+    adds = emitted.filter(F.col("op") != "-U")
+    return topk_per_group(adds, keys=["user_id"],
+                          order=[F.col("version").desc()], k=1)
+
+
 def lastwins_finalize(emitted: DataFrame) -> DataFrame:
     """Collapse the update log to the converged view: per-key emissions
     are monotone in (ts, event_id), so the latest emission is the max."""

@@ -330,6 +330,32 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id", "error_ts", "error_value")
 
 
+@query("stream_retract_ivm", oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 3) AS value_sum
+FROM events
+GROUP BY user_id
+""")
+def stream_retract_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-emitting maintained aggregate (ROADMAP item 4): the
+    per-user count/sum view is maintained as a formal Flink-style
+    changelog (+I / -U / +U with versions — streaming/stateful.py
+    ``retract_maintain``), and this query materializes the view by
+    FOLDING the changelog (highest-version addition per key). The folded
+    state is value-hash-gated against the batch aggregate; the
+    retraction algebra itself (every -U matches a prior emission, and a
+    downstream changelog-summing consumer converges to the batch total
+    across out-of-order multi-batch replays) is covered by
+    tests/test_stateful_streaming.py."""
+    from ..streaming.stateful import changelog_fold, retract_maintain
+    stream = read_events_stream(spark, sf_dir)
+    log = retract_maintain(stream)
+    q = (log.writeStream.format("memory").queryName("stream_retract_log")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return changelog_fold(spark.table("stream_retract_log")).select(
+        "user_id", "n_events", F.round("value_sum", 3).alias("value_sum"))
+
+
 @query("stream_dedup_watermark", oracle="""
 SELECT event_id, user_id, event_type, ts, round(value, 3) AS val
 FROM events
