@@ -452,3 +452,92 @@ def gapfill_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gapfill_linear(agg, "user_id", "h", "v", "1 hour")
     trunc6 = ((F.col("v_interp") * 1e6).cast("bigint").cast("double") / 1e6)
     return out.select("user_id", "h", "v", trunc6.alias("v_interp"))
+
+
+@query("funnel_conversion", oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS ts0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ts1
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.ts0 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ts1 GROUP BY 1
+)
+SELECT 1 AS stage, 'signup' AS name, (SELECT count(*) FROM s) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM p)
+""")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → first later click → first later
+    purchase): how many users progress through each stage IN ORDER — the
+    product-analytics query event warehouses exist for, and the analysis
+    intent behind the reference's per-user meeting/participant tracking
+    (reference sql/create_tables.sql:38 "attendance tracking"). Each
+    stage is a keyed min-aggregate SEMI-joined to the previous stage's
+    survivors, so ordering semantics cost one map-combined aggregate per
+    stage and the per-stage frontier (one row per surviving user) is all
+    that flows forward — no per-user event sequence is ever materialized
+    driver-side, and event-time skew stays in the (user_id)-keyed
+    shuffles AQE already handles."""
+    e = table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("ts0")))
+    c = (e.join(s, "user_id").filter((F.col("event_type") == "click")
+                                     & (F.col("ts") > F.col("ts0")))
+         .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    p = (e.join(c, "user_id").filter((F.col("event_type") == "purchase")
+                                     & (F.col("ts") > F.col("ts1")))
+         .groupBy("user_id").agg(F.min("ts").alias("ts2")))
+    rows = [s.agg(F.lit(1).alias("stage"), F.lit("signup").alias("name"),
+                  F.count("*").alias("n_users")),
+            c.agg(F.lit(2).alias("stage"), F.lit("click").alias("name"),
+                  F.count("*").alias("n_users")),
+            p.agg(F.lit(3).alias("stage"), F.lit("purchase").alias("name"),
+                  F.count("*").alias("n_users"))]
+    return rows[0].unionByName(rows[1]).unionByName(rows[2])
+
+
+@query("rollup_multilevel", oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+         sum(value) AS sv
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, sum(n) AS n, sum(sv) AS sv
+  FROM hourly GROUP BY 1
+)
+SELECT 'hour' AS level, bucket, n, round(sv, 3) AS total FROM hourly
+UNION ALL
+SELECT 'day', bucket, n, round(sv, 3) FROM daily
+""")
+def rollup_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable/continuous-aggregate
+    pattern): the DAILY level is computed FROM THE HOURLY AGGREGATES —
+    count and sum are associative, so each coarser level re-aggregates
+    ~24× fewer rows instead of rescanning the events table. At 100 TB
+    this is the difference between one fact scan + tiny cascades and N
+    full scans; the hourly frame is the materialization point a real
+    deployment persists (and maintains incrementally — see
+    stream_windowed_agg_ivm for the streaming twin of exactly this
+    hourly level). Both levels are value-hash-gated; sums are rounded
+    only at OUTPUT so the day level aggregates unrounded hourly sums
+    exactly like the oracle."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.count("*").alias("n"), F.sum("value").alias("sv")))
+    daily = (hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+             .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv")))
+    out_h = hourly.select(F.lit("hour").alias("level"), "bucket", "n",
+                          F.round("sv", 3).alias("total"))
+    out_d = daily.select(F.lit("day").alias("level"), "bucket", "n",
+                         F.round("sv", 3).alias("total"))
+    return out_h.unionByName(out_d)
