@@ -541,3 +541,41 @@ def rollup_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_d = daily.select(F.lit("day").alias("level"), "bucket", "n",
                          F.round("sv", 3).alias("total"))
     return out_h.unionByName(out_d)
+
+
+@query("retention_cohorts", oracle="""
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(date_diff('day', f.cohort, CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7 AS INT)
+           AS week_offset
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT cohort, week_offset, count(*) AS n_users
+FROM act GROUP BY 1, 2
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each later week they were active — THE product-analytics
+    rollup behind every retention curve (and the reference schema's
+    "attendance tracking" intent, sql/create_tables.sql:38, matured to
+    cohorts). Plan: first-touch is one keyed min-aggregate; the activity
+    join is user-keyed (broadcast-eligible when the cohort frame is
+    small); the distinct collapses to (user, week) BEFORE the final
+    count so the matrix aggregate sees bounded rows. Week offsets are
+    computed between week-TRUNCATED dates (both engines truncate to
+    Monday), so /7 is exact integer arithmetic — no boundary drift."""
+    e = table(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    act = (e.join(first, "user_id")
+           .select("user_id", "cohort",
+                   (F.datediff(F.date_trunc("week", F.col("ts")),
+                               F.col("cohort")) / 7).cast("int")
+                   .alias("week_offset"))
+           .distinct())
+    return act.groupBy("cohort", "week_offset").agg(
+        F.count("*").alias("n_users"))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..dedup.cluster import connected_components
-from ..dedup.ngram import ngram_jaccard_pairs
+from ..dedup.ngram import ngram_candidates, ngram_jaccard_pairs, shingled
 from ..operators.packing import bucketed_running_sum
 from ..registry import query
 from .northstar import quality_expr
@@ -580,3 +580,64 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk"),
         F.least(F.size("toks") - F.col("start"), F.lit(64)).cast("int")
         .alias("n_tok"))
+
+
+@query("dedup_levenshtein", oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+keep AS (
+  SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY 1)
+  WHERE df BETWEEN 2 AND 50
+),
+exk AS (SELECT doc_id, g FROM ex JOIN keep USING (g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(da.text, db.text) AS INT) AS dist,
+       round(1.0 - levenshtein(da.text, db.text)
+             / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE), 4) AS edit_sim
+FROM cand
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+WHERE levenshtein(da.text, db.text)
+      <= 0.2 * greatest(len(da.text), len(db.text))
+""")
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: edit distance ≤ 20% of the longer
+    text — catches OCR noise, typo-level mutation, and small insertions
+    that token-set Jaccard under-weights (and vice versa: this is the
+    character-granularity member of the dedup family, complementing
+    ngram/minhash/simhash/embedding). Same two-phase scale shape as
+    dedup_ngram_jaccard: candidates ONLY from df∈[2,50] shingles (linear
+    in corpus size — no all-pairs anywhere), then the exact Levenshtein
+    verification runs per candidate pair. Levenshtein is O(len²) per
+    pair, so the df cap is what keeps the verify stage's total cost
+    candidates-bounded at 100 TB; the blocking/verify split is the Lee
+    et al. "Deduplicating Training Data" recipe with an edit-distance
+    verifier."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = shingled(d.repartition(par), "doc_id", "text", k=3)
+    cand = ngram_candidates(sh, max_df=50)
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    j = cand.join(ta, "id_a").join(tb, "id_b")
+    dist = F.levenshtein("ta", "tb")
+    longest = F.greatest(F.length("ta"), F.length("tb"))
+    return (j.filter(dist <= 0.2 * longest)
+            .select("id_a", "id_b", dist.cast("int").alias("dist"),
+                    F.round(1.0 - dist / longest.cast("double"), 4)
+                    .alias("edit_sim")))

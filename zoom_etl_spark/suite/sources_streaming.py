@@ -457,3 +457,61 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_linenumber").alias("line_no"),
                     F.col("o_orderstatus").alias("status"),
                     F.round("l_extendedprice", 3).alias("price"))
+
+
+@query("stream_temporal_join", oracle="""
+WITH dim AS (
+  SELECT user_id, event_id AS version_id, event_type AS status,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events WHERE event_type IN ('signup', 'error')
+),
+fact AS (
+  SELECT user_id, event_id AS purchase_id, ts, round(value, 3) AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.purchase_id, f.amount, d.version_id, d.status
+FROM fact f JOIN dim d ON d.user_id = f.user_id
+  AND f.ts >= d.valid_from
+  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""")
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal table join (the Flink 'FOR SYSTEM_TIME AS OF' analog,
+    and the feature store's POINT-IN-TIME-correct join): each streaming
+    purchase is enriched with the dimension version that was valid AT
+    THE EVENT'S TIME — never a later one, which is exactly the label-
+    leakage bug point-in-time joins exist to prevent in training-data
+    generation. The versioned dim is built batch-side (scd2 intervals
+    via lead); because the intervals PARTITION each key's timeline, every
+    fact matches exactly one version, so the stream-static join is
+    STATELESS (no watermark, no state store) and append-mode — the dim
+    broadcasts at 100 TB dim-vs-fact ratios. Value-hash-gated against
+    the identical batch interval join."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (e.filter(F.col("event_type").isin("signup", "error"))
+           .select(F.col("user_id").alias("d_user_id"),
+                   F.col("event_id").alias("version_id"),
+                   F.col("event_type").alias("status"),
+                   F.col("ts").alias("valid_from"))
+           .withColumn("valid_to", F.lead("valid_from").over(
+               Window.partitionBy("d_user_id").orderBy("valid_from",
+                                                       "version_id"))))
+    fact = (read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    "ts", F.round("value", 3).alias("amount")))
+    joined = fact.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "inner")
+    out = joined.select("user_id", "purchase_id", "amount",
+                        "version_id", "status")
+    q = (out.writeStream.format("memory").queryName("stream_temporal_log")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_temporal_log")
