@@ -174,3 +174,81 @@ def test_ivfpq_recall_and_refine_monotone(ann_fixture):
     # plain IVF at n_probe=4 measured 1.0 on sf0.001; PQ at m=16/ks=32
     # measured 0.910 (numpy replica agrees exactly) — floor with headroom
     assert r_big >= 0.85, r_big
+
+
+def test_opq_rotation_structure(spark, sf_dir):
+    """The OPQ rotation must be orthonormal (cosine/L2 preserved exactly
+    — the property that lets it prepend ANY distance-based index
+    unchanged) and its greedy eigenvalue allocation must balance
+    per-subspace variance AT LEAST as well as naive sequential PCA
+    ordering (the provable claim; whether PCA beats the RAW axes depends
+    on the spectrum — near-isotropic corpora gain nothing, which is why
+    quantization_mse, not spread-vs-raw, is the end gate)."""
+    import numpy as np
+
+    from zoom_etl_spark.dedup.pq import rotate_embeddings, train_opq_rotation
+
+    corpus = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    M = 8
+    R = train_opq_rotation(corpus, "embedding", DIM, m=M)
+    assert np.abs(R.T @ R - np.eye(DIM)).max() < 1e-8
+
+    pdf = corpus.limit(512).toPandas()
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ER = E @ R
+    # pairwise L2 preserved (spot-check the first 50×50 block)
+    d0 = ((E[:50, None, :] - E[None, :50, :]) ** 2).sum(axis=2)
+    d1 = ((ER[:50, None, :] - ER[None, :50, :]) ** 2).sum(axis=2)
+    assert np.abs(d0 - d1).max() < 1e-7
+
+    def spread(X):
+        v = X.var(axis=0)
+        per = [np.log(np.maximum(v[j * (DIM // M):(j + 1) * (DIM // M)],
+                                 1e-12)).sum() for j in range(M)]
+        return max(per) - min(per)
+
+    # sequential PCA baseline: same basis, eigenvalue-DESC chunk order
+    C = np.cov(np.stack(corpus.limit(4096).toPandas()["embedding"]
+                        .to_numpy()).astype(np.float64), rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1]
+    E_seq = E @ vecs[:, order]
+    assert spread(ER) <= spread(E_seq) + 1e-9
+
+    # the distributed rotation UDF agrees with the driver-side matmul
+    rot = rotate_embeddings(corpus.limit(8), "embedding", R)
+    got = np.stack(rot.toPandas()["embedding"].to_numpy())
+    want = np.stack(corpus.limit(8).toPandas()["embedding"].to_numpy()) @ R
+    assert np.abs(got - want).max() < 1e-9
+
+
+def test_opq_improves_quantization_and_keeps_recall(ann_fixture):
+    """OPQ's point: PQ reconstruction MSE must not degrade under the
+    rotation (it balances what each subspace's fixed codeword budget has
+    to encode), and end-to-end recall with opq=True must hold the same
+    floor as the unrotated pipeline."""
+    from zoom_etl_spark.dedup.ivf import train_centroids
+    from zoom_etl_spark.dedup.pq import (ann_topk_ivfpq, quantization_mse,
+                                         rotate_embeddings,
+                                         train_opq_rotation,
+                                         train_pq_codebooks)
+
+    corpus, queries, tsets = ann_fixture
+    M, KS = 16, 32
+    cen = train_centroids(corpus, "embedding", DIM, 16, 3, 42)
+    books = train_pq_codebooks(corpus, "embedding", DIM, cen, M, KS, seed=42)
+    mse_raw = quantization_mse(corpus, "embedding", cen, books)
+
+    R = train_opq_rotation(corpus, "embedding", DIM, m=M)
+    rcorp = rotate_embeddings(corpus, "embedding", R)
+    cen_r = train_centroids(rcorp, "embedding", DIM, 16, 3, 42)
+    books_r = train_pq_codebooks(rcorp, "embedding", DIM, cen_r, M, KS,
+                                 seed=42)
+    mse_rot = quantization_mse(rcorp, "embedding", cen_r, books_r)
+    assert mse_rot <= mse_raw * 1.05, (mse_rot, mse_raw)
+
+    r_opq = _recall(
+        ann_topk_ivfpq(corpus, queries, "vec_id", "embedding", DIM, k=K,
+                       n_cells=16, n_probe=4, m=M, ks=KS, refine=4,
+                       opq=True), tsets)
+    assert r_opq >= 0.85, r_opq

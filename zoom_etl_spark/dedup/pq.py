@@ -77,6 +77,79 @@ def train_pq_codebooks(corpus: DataFrame, emb_col: str, dim: int,
     return books
 
 
+def train_opq_rotation(corpus: DataFrame, emb_col: str, dim: int, m: int = 8,
+                       sample_rows: int = 4096) -> np.ndarray:
+    """OPQ rotation, parametric/PCA initialization (Ge, He, Ke & Sun,
+    "Optimized Product Quantization", CVPR 2013 — the OPQ_P variant):
+    rotate into the PCA basis, then assign principal components to the m
+    subspaces so each subspace's variance PRODUCT is balanced (greedy on
+    log-eigenvalues, largest first). PQ quantizes each subspace with the
+    same budget (ks codewords); unrotated, one subspace can carry most of
+    the corpus variance and dominate quantization error — the rotation
+    spreads variance so every codeword bit works equally hard.
+
+    Driver cost: a bounded sample → dim×dim covariance → one eigh — all
+    index-metadata-sized, same bound as centroid training. Returns R
+    (dim×dim, orthonormal, applied as x @ R): columns are permuted
+    eigenvectors, so rotation preserves L2/cosine exactly — ADC and the
+    exact rerank are unchanged in meaning, only error balance shifts."""
+    assert dim % m == 0
+    sub = dim // m
+    pdf = corpus.select(F.col(emb_col).alias("e")).limit(sample_rows).toPandas()
+    E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    C = np.cov(E, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)            # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    # greedy balanced assignment: next-largest eigenvalue goes to the
+    # non-full subspace with the smallest accumulated log-variance
+    logs = np.log(np.maximum(vals, 1e-12))
+    load = np.zeros(m)
+    fill = np.zeros(m, dtype=int)
+    slots: list[list[int]] = [[] for _ in range(m)]
+    for i in range(dim):
+        j = min((jj for jj in range(m) if fill[jj] < sub),
+                key=lambda jj: load[jj])
+        slots[j].append(i)
+        load[j] += logs[i]
+        fill[j] += 1
+    perm = [i for s in slots for i in s]
+    return vecs[:, perm]
+
+
+def rotate_embeddings(df: DataFrame, emb_col: str, R: np.ndarray,
+                      out_col: str | None = None) -> DataFrame:
+    """Apply x @ R to an embedding column (Arrow-batched matmul; R rides
+    in the closure — dim×dim, broadcast-sized)."""
+    Rm = R.astype(np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def rot(embs: pd.Series) -> pd.Series:
+        E = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(list(E @ Rm))
+
+    return df.withColumn(out_col or emb_col, rot(F.col(emb_col)))
+
+
+def quantization_mse(corpus: DataFrame, emb_col: str, centroids: np.ndarray,
+                     books: np.ndarray, sample_rows: int = 2048) -> float:
+    """Mean squared PQ reconstruction error on a bounded sample — the
+    index-quality metric OPQ optimizes; used by the OPQ gates and by
+    maintenance jobs deciding whether a re-train paid off."""
+    m, ks, sub = books.shape
+    pdf = corpus.select(F.col(emb_col).alias("e")).limit(sample_rows).toPandas()
+    E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    cells = np.argmin(
+        ((E[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2), axis=1)
+    R = E - centroids[cells]
+    err = 0.0
+    for j in range(m):
+        X = R[:, j * sub:(j + 1) * sub]
+        d = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        err += d.min(axis=1).sum()
+    return err / len(E)
+
+
 def _encode_udf(centroids: np.ndarray, books: np.ndarray):
     """Arrow UDF: (embedding, cell) → m PQ code ids over the residual."""
     m, ks, sub = books.shape
@@ -145,13 +218,22 @@ def ann_topk_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
                    emb_col: str, dim: int, k: int = 10, n_cells: int = 16,
                    n_probe: int = 2, m: int = 8, ks: int = 16,
                    refine: int = 4, iters: int = 3,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, opq: bool = False) -> DataFrame:
     """Approximate top-k cosine neighbors per query, IVF-PQ pipeline:
     coarse cells prune the corpus (n_probe of n_cells searched), ADC over
     PQ codes ranks the probed candidates without touching full vectors,
     and only the top ``k × refine`` shortlist is reranked exactly (the
     single place full embeddings are joined back). Same output contract
-    as ``ann_topk_ivf``: (query_id, neighbor_id, sim)."""
+    as ``ann_topk_ivf``: (query_id, neighbor_id, sim).
+
+    ``opq=True`` prepends the OPQ rotation (``train_opq_rotation``):
+    both sides rotate once up front; rotation is orthonormal so every
+    distance/cosine downstream is IDENTICAL in meaning — only the PQ
+    error distribution changes (balanced across subspaces)."""
+    if opq:
+        R = train_opq_rotation(corpus, emb_col, dim, m)
+        corpus = rotate_embeddings(corpus, emb_col, R)
+        queries = rotate_embeddings(queries, emb_col, R)
     centroids = train_centroids(corpus, emb_col, dim, n_cells, iters, seed)
     books = train_pq_codebooks(corpus, emb_col, dim, centroids, m, ks,
                                seed=seed)
