@@ -121,6 +121,78 @@ def duckdb_upsert_writer(db_path: str, table: str, keys: list[str],
     return writer
 
 
+def duckdb_changelog_writer(db_path: str, table: str, keys: list[str],
+                            cols: list[str], version_col: str,
+                            page_size: int = 500,
+                            max_attempts: int = 8) -> Callable[[DataFrame], None]:
+    """Apply a FORMAL CHANGELOG (op ∈ +I/+U/-U/-D with versions — the
+    output contract of ``stateful.retract_maintain``) to a real keyed
+    database table, out-of-order- and redelivery-safe (ROADMAP
+    "changelog consumers" item):
+
+    * ``+I``/``+U`` — version-gated upsert (an older row can never
+      overwrite a newer one; equal version = idempotent no-op);
+    * ``-D`` — a TOMBSTONE upsert (``_deleted=true``) rather than a SQL
+      DELETE: a physical delete would resurrect if an out-of-order
+      older ``+U`` arrived after it, the classic CDC-apply bug; the
+      tombstone competes on version like any row (the Kafka-compaction /
+      Debezium sink recipe). Readers filter ``_deleted``.
+    * ``-U`` (update-before) — skipped: a keyed table needs only the
+      after-image; the before-image exists for aggregating consumers
+      (see test_stateful_streaming's changelog-summing test).
+
+    Same transport shape as :func:`duckdb_upsert_writer`: executor-side
+    connection per partition, bounded pages, driver never sees rows."""
+    data_cols = [c for c in cols if c not in keys and c != version_col]
+    all_cols = [*keys, *data_cols, version_col, "_deleted"]
+    set_clause = ", ".join(f"{c} = excluded.{c}"
+                           for c in [*data_cols, version_col, "_deleted"])
+    sql = (f"INSERT INTO {table} ({', '.join(all_cols)}) "
+           f"VALUES ({', '.join('?' for _ in all_cols)}) "
+           f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {set_clause} "
+           f"WHERE excluded.{version_col} > {table}.{version_col}")
+
+    def per_partition(rows: Iterator[Any]) -> None:
+        import random
+        import time
+
+        import duckdb
+
+        # file-lock and write-write conflicts between concurrent
+        # partition workers are transient — same retry taxonomy as
+        # duckdb_upsert_writer (a real JDBC target serializes in the
+        # server instead)
+        def attempt(fn):
+            for a in range(max_attempts):
+                try:
+                    return fn()
+                except duckdb.Error as e:
+                    if "conflict" not in str(e).lower() or a == max_attempts - 1:
+                        raise
+                    time.sleep(0.05 * (2 ** a) * (0.5 + random.random()))
+
+        con = attempt(lambda: duckdb.connect(db_path))
+        try:
+            def execute_page(page: list[Any]) -> None:
+                vals = []
+                for r in page:
+                    if r["op"] == "-U":
+                        continue
+                    vals.append([*(r[c] for c in keys),
+                                 *(r[c] for c in data_cols),
+                                 r[version_col], r["op"] == "-D"])
+                if vals:
+                    attempt(lambda: con.executemany(sql, vals))
+            paged_writes(rows, page_size, execute_page)
+        finally:
+            con.close()
+
+    def writer(df: DataFrame) -> None:
+        df.foreachPartition(per_partition)
+
+    return writer
+
+
 class UpsertSink:
     """Idempotent keyed-upsert sink over a TableGroup table.
 
