@@ -58,9 +58,8 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import user_lifetime_stats
     stream = read_events_stream(spark, sf_dir)
     out = user_lifetime_stats(stream)
-    q = (out.writeStream.format("memory").queryName("stream_stateful_result")
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(out, "stream_stateful_result", output_mode="update",
+                        n_state_partitions=16)
     return spark.table("stream_stateful_result")
 
 
@@ -104,9 +103,8 @@ def stream_scd2_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import scd2_finalize, scd2_maintain
     stream = read_events_stream(spark, sf_dir)
     out = scd2_maintain(stream)
-    q = (out.writeStream.format("memory").queryName("stream_scd2_log")
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(out, "stream_scd2_log", output_mode="update",
+                        n_state_partitions=16)
     return scd2_finalize(spark.table("stream_scd2_log")).select(
         "user_id", "event_id", "state", "valid_from", "valid_to", "is_current")
 
@@ -176,9 +174,8 @@ def stream_lastwins_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import lastwins_finalize, lastwins_maintain
     stream = read_events_stream(spark, sf_dir)
     out = lastwins_maintain(stream)
-    q = (out.writeStream.format("memory").queryName("stream_lastwins_log")
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(out, "stream_lastwins_log", output_mode="update",
+                        n_state_partitions=16)
     return lastwins_finalize(spark.table("stream_lastwins_log")).select(
         "user_id", "event_id", "event_type", "ts", "value")
 
@@ -204,9 +201,8 @@ def stream_windowed_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3)
                 .cast("double").alias("total")))
     out = agg.select("user_id", F.col("w.start").alias("h"), "cnt", "total")
-    q = (out.writeStream.format("memory").queryName("stream_winagg_log")
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(out, "stream_winagg_log", output_mode="update",
+                        n_state_partitions=16)
     log = spark.table("stream_winagg_log")
     return (log.groupBy("user_id", "h")
             .agg(F.max("cnt").alias("cnt"),
@@ -247,9 +243,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("user_id = e_user_id AND error_ts >= signup_ts "
                "AND error_ts < signup_ts + INTERVAL 1 HOUR"),
         "inner")
-    q = (joined.writeStream.format("memory").queryName("stream_ss_join_log")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(joined, "stream_ss_join_log", output_mode="append",
+                        n_state_partitions=16)
     return spark.table("stream_ss_join_log").select(
         "user_id", "signup_id", "signup_ts",
         "error_id", "error_ts", "error_value")
@@ -322,9 +317,8 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_sources_streaming.py checks the emitted set equals the batch
     left join under exactly that gate."""
     joined = _ss_left_join_streams(spark, sf_dir)
-    q = (joined.writeStream.format("memory").queryName("stream_ss_ljoin_log")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(joined, "stream_ss_ljoin_log", output_mode="append",
+                        n_state_partitions=16)
     return spark.table("stream_ss_ljoin_log").select(
         "user_id", "signup_id", "signup_ts",
         "error_id", "error_ts", "error_value")
@@ -349,9 +343,8 @@ def stream_retract_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import changelog_fold, retract_maintain
     stream = read_events_stream(spark, sf_dir)
     log = retract_maintain(stream)
-    q = (log.writeStream.format("memory").queryName("stream_retract_log")
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(log, "stream_retract_log", output_mode="update",
+                        n_state_partitions=16)
     return changelog_fold(spark.table("stream_retract_log")).select(
         "user_id", "n_events", F.round("value_sum", 3).alias("value_sum"))
 
@@ -377,9 +370,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicatesWithinWatermark(["event_id"])
                .select("event_id", "user_id", "event_type", "ts",
                        F.round("value", 3).alias("val")))
-    q = (deduped.writeStream.format("memory").queryName("stream_dedup_log")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(deduped, "stream_dedup_log", output_mode="append",
+                        n_state_partitions=16)
     return spark.table("stream_dedup_log")
 
 
@@ -422,9 +414,8 @@ def stream_session_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("n_events")))
     out = agg.select("user_id", F.col("w.start").alias("session_start"),
                      "n_events")
-    q = (out.writeStream.format("memory").queryName("stream_session_log")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    run_available_now(out, "stream_session_log", output_mode="append",
+                        n_state_partitions=16)
     return spark.table("stream_session_log")
 
 
