@@ -57,6 +57,45 @@ def ngram_candidates(sh: DataFrame, max_df: int = 50) -> DataFrame:
             .dropDuplicates(["id_a", "id_b"]))
 
 
+def ngram_jaccard_incremental(new_df: DataFrame, old_df: DataFrame,
+                              id_col: str, text_col: str, k: int = 3,
+                              threshold: float = 0.2,
+                              max_df: int = 50) -> DataFrame:
+    """INCREMENTAL near-dup detection: (new_id, old_id, jaccard) pairs
+    between a new batch and the existing corpus — the production shape
+    (today's crawl vs the historical index) where old×old pairs were
+    already decided and must not be recomputed. Candidates come only
+    from new-side × old-side postings of df-capped shingles (df counted
+    over the UNION so a gram boilerplate-hot in the old corpus is capped
+    even if rare in the batch); verification is exact Jaccard on the
+    full sets, same two-phase contract as :func:`ngram_jaccard_pairs`.
+    Cost scales with |new| × avg-df, NOT |old|² — the property that
+    makes daily dedup against a 100 TB index payable."""
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    sh_new = shingled(new_df.repartition(par), id_col, text_col, k).persist()
+    sh_old = shingled(old_df.repartition(par), id_col, text_col, k).persist()
+    ex_new = sh_new.select("doc", F.explode("grams").alias("g"))
+    ex_old = sh_old.select("doc", F.explode("grams").alias("g"))
+    df_all = (ex_new.unionByName(ex_old)
+              .groupBy("g").agg(F.count("*").alias("df"))
+              .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+              .select("g"))
+    cand = (ex_new.join(df_all, "g").alias("a")
+            .join(ex_old.join(df_all, "g").alias("b"), "g")
+            .select(F.col("a.doc").alias("new_id"),
+                    F.col("b.doc").alias("old_id"))
+            .dropDuplicates(["new_id", "old_id"]))
+    pa = sh_new.select(F.col("doc").alias("new_id"),
+                       F.col("grams").alias("ga"), F.col("n").alias("na"))
+    pb = sh_old.select(F.col("doc").alias("old_id"),
+                       F.col("grams").alias("gb"), F.col("n").alias("nb"))
+    j = (cand.join(pa, "new_id").join(pb, "old_id")
+         .withColumn("i", F.size(F.array_intersect("ga", "gb")).cast("double")))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (j.filter(jac >= threshold)
+            .select("new_id", "old_id", F.round(jac, 4).alias("jaccard")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.2,
                         max_df: int = 50) -> DataFrame:

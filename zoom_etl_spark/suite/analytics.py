@@ -579,3 +579,56 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            .distinct())
     return act.groupBy("cohort", "week_offset").agg(
         F.count("*").alias("n_users"))
+
+
+@query("anomaly_zscore", oracle="""
+WITH s AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, round(e.value, 3) AS val,
+       round((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN s USING (user_id)
+WHERE abs(round((e.value - s.mu) / s.sd, 4)) > 3
+""")
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly flagging: events more than 3 standard
+    deviations from their user's own mean — the monitoring/outlier
+    sweep every event warehouse runs (per-host z-scores are exactly the
+    analysis the reference's duration columns exist for, DDL comments
+    sql/create_tables.sql:24). Plan: one map-combined (user) aggregate
+    joined back to the fact — the stats frame is key-cardinality-sized,
+    broadcast-eligible; nothing shuffles twice. The boundary predicate
+    uses the ROUNDED z (1e-4 grid) so membership is engine-exact despite
+    float summation-order drift in avg/stddev."""
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(F.avg("value").alias("mu"),
+                                 F.stddev_samp("value").alias("sd"))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (e.join(s, "user_id")
+            .withColumn("z", z).filter(F.abs(F.col("z")) > 3)
+            .select("event_id", "user_id",
+                    F.round("value", 3).alias("val"), "z"))
+
+
+@query("agg_approx_quantile")  # rows-only: sketch output is
+# accuracy-parameterized, not ANSI-reproducible; rank-error gated in
+# tests/test_operators_unit.py::test_approx_quantile_rank_error
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna): p50/p95/p99 of value
+    per event type via ``approx_percentile`` — the 100 TB path where
+    exact percentile's per-group value buffer is unpayable (contrast
+    quality_filter_pctl, which is exact only because its values are
+    pre-rounded to a bounded grid). Mergeable partials: each partition
+    sketches locally and the sketches combine map-side, so the shuffle
+    is sketch-sized, not data-sized. Caveat pinned by the rank-error
+    test: the nominal 1/accuracy rank bound does NOT survive the
+    partition merge (measured ~0.9% rank error at a 32-way merge with
+    accuracy=10000) — size ``accuracy`` for the merged error you need,
+    not the single-sketch bound."""
+    e = table(spark, sf_dir, "events")
+    qs = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return (e.groupBy("event_type")
+            .agg(F.round(qs[0], 3).alias("p50"),
+                 F.round(qs[1], 3).alias("p95"),
+                 F.round(qs[2], 3).alias("p99")))

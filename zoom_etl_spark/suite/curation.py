@@ -641,3 +641,59 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", dist.cast("int").alias("dist"),
                     F.round(1.0 - dist / longest.cast("double"), 4)
                     .alias("edit_sim")))
+
+
+@query("dedup_incremental", oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM tok
+),
+exn AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0),
+exo AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+  FROM exn a JOIN exo b ON a.g = b.g GROUP BY 1, 2
+),
+pairs AS (
+  SELECT new_id, old_id,
+         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = new_id
+  JOIN sizes sb ON sb.doc_id = old_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+)
+SELECT new_id, old_id, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY new_id
+                               ORDER BY jaccard DESC, old_id) AS rk
+  FROM pairs
+) WHERE rk = 1
+""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: each document of the NEW batch (doc_id % 10 =
+    0 stands in for today's crawl) is checked against the EXISTING
+    corpus only, and reports its best near-dup there (top-1 by exact
+    Jaccard, id tiebreak, on the ROUNDED score). The already-deduped
+    old corpus is never self-joined again — candidate cost is
+    |batch| × avg-df, independent of |corpus|² (see
+    dedup/ngram.py::ngram_jaccard_incremental). This is the shape a
+    daily pipeline actually runs; the one-shot corpus-wide variant is
+    ``dedup_ngram_jaccard``/``dedup_clusters``."""
+    from ..dedup.ngram import ngram_jaccard_incremental
+    from ..operators.windows import topk_per_group
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    pairs = ngram_jaccard_incremental(new, old, "doc_id", "text",
+                                      k=3, threshold=0.2, max_df=50)
+    return topk_per_group(pairs, keys=["new_id"],
+                          order=[F.col("jaccard").desc(),
+                                 F.col("old_id").asc()], k=1)
