@@ -154,3 +154,36 @@ def test_stream_dedup_collapses_redelivery(spark, sf_dir):
     out = spark.table("t_dedup_redeliver")
     assert out.count() == e.count()
     assert out.select("event_id").distinct().count() == e.count()
+
+
+def test_resize_media_fixed_raster(spark, sf_dir):
+    """resize_media: every output blob is exactly width×height bytes
+    (fixed memory per row — the property batching depends on), dims
+    recorded, deterministic across runs."""
+    from zoom_etl_spark.sources.multimodal import (attach_fake_media,
+                                                   resize_media)
+    d = table(spark, sf_dir, "documents").limit(50)
+    r = resize_media(attach_fake_media(d, "doc_id", "text"), 8, 8)
+    rows = r.collect()
+    assert len(rows) == 50
+    assert all(len(x.media) == 64 and x.width == 8 and x.height == 8
+               for x in rows)
+    again = {x.doc_id: bytes(x.media) for x in r.collect()}
+    assert {x.doc_id: bytes(x.media) for x in rows} == again
+
+
+def test_media_embedding_normalized_and_deterministic(spark, sf_dir):
+    """media_embedding: unit-norm vectors of the declared dim; identical
+    blobs embed identically (the contract ANN stages rely on)."""
+    import math
+
+    from zoom_etl_spark.sources.multimodal import (attach_fake_media,
+                                                   media_embedding)
+    d = table(spark, sf_dir, "documents").limit(20)
+    e = media_embedding(attach_fake_media(d, "doc_id", "text"), dim=16)
+    rows = e.collect()
+    assert all(len(x.embedding) == 16 for x in rows)
+    assert all(abs(math.fsum(v * v for v in x.embedding) - 1.0) < 1e-9
+               for x in rows)
+    dup = {x.doc_id: tuple(x.embedding) for x in e.collect()}
+    assert {x.doc_id: tuple(x.embedding) for x in rows} == dup

@@ -71,6 +71,89 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("media", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def resize_media(df: DataFrame, width: int = 16, height: int = 16,
+                 fake: bool = True) -> DataFrame:
+    """Resize media blobs to a fixed raster (image preprocessing before
+    feature extraction / vision-model batching) via mapInPandas — binary
+    in, binary out, so resize stages CHAIN with decode/embed stages
+    without leaving Arrow.
+
+    Real resize (PIL/opencv) is unavailable in this container —
+    ``fake=False`` raises NotImplementedError by design; the fake path
+    deterministically strides the source bytes down to width×height
+    'pixels'. The plumbing that matters at scale is real: fixed-size
+    output rows (predictable memory per batch), no per-row Python UDF
+    calls, schema carries the new dimensions."""
+    if not fake:
+        raise NotImplementedError(
+            "real media resize requires image libs not in this container; "
+            "run with fake=True for the deterministic stand-in")
+    n_out = width * height
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["media"]:
+                if len(blob) >= n_out:
+                    step = len(blob) // n_out
+                    out.append(bytes(blob[i * step] for i in range(n_out)))
+                else:  # upscale: repeat to fill
+                    reps = (n_out + len(blob) - 1) // max(len(blob), 1)
+                    out.append((blob * reps)[:n_out])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "media": out,
+                "width": pd.array([width] * len(pdf), dtype="int32"),
+                "height": pd.array([height] * len(pdf), dtype="int32")})
+
+    return df.mapInPandas(rz, RESIZE_SCHEMA)
+
+
+def media_embedding(df: DataFrame, dim: int = 16,
+                    fake: bool = True) -> DataFrame:
+    """Embed media blobs into fixed-dim float vectors — the bridge from
+    multimodal columns into the similarity/dedup family (the embedding
+    column an image or CLIP-style encoder would produce feeds straight
+    into similarity_topk / dedup_embedding_lsh / the IVF index).
+
+    Real encoders are unavailable in this container — ``fake=False``
+    raises NotImplementedError; the fake is a deterministic byte-bucket
+    histogram, L2-normalized, so near-identical blobs land near each
+    other (the property the downstream tests exercise). Arrow-batched
+    numpy throughout — the real encoder swap-in changes one function."""
+    if not fake:
+        raise NotImplementedError(
+            "real media embedding requires model runtimes not in this "
+            "container; run with fake=True for the deterministic stand-in")
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("embedding", ArrayType(DoubleType()), True),
+    ])
+
+    def emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for blob in pdf["media"]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                vecs.append(hist / norm if norm > 0 else hist)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "embedding": vecs})
+
+    return df.mapInPandas(emb, schema)
+
+
 FRAME_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("frame_no", IntegerType(), False),

@@ -506,3 +506,50 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table("stream_temporal_log")
+
+
+@query("multimodal_framesample")  # rows-only: mapInPandas 1→many expansion
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary media columns: each blob
+    yields up to 8 frame rows (Arrow-batched 1→many mapInPandas — the
+    shape real pyav/ffmpeg extraction plugs into; decode honestly faked,
+    container has no media libs). Summarized per doc so the rows-only
+    check is stable."""
+    from ..sources.multimodal import attach_fake_media, sample_frames
+    d = table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_media(d, "doc_id", "text"),
+                           every_n_bytes=32, max_frames=8, fake=True)
+    return (frames.groupBy("doc_id")
+            .agg(F.count("*").alias("n_frames"),
+                 F.sum("frame_checksum").alias("checksum_sum")))
+
+
+@query("multimodal_embed_ann")  # rows-only: fake encoder + ANN composition
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal retrieval pipeline COMPOSED: binary media →
+    resize (fixed raster) → embedding (deterministic fake encoder,
+    L2-normalized) → brute-force cosine top-3 neighbors for a 10-doc
+    query slice. Proves the multimodal columns feed the similarity
+    family end to end — swap the fake encoder for CLIP and the plan is
+    unchanged (Arrow batches throughout, broadcast-sized query side,
+    TakeOrderedAndProject per query)."""
+    from ..functions.vectors import cosine_similarity
+    from ..operators.windows import topk_per_group
+    from ..sources.multimodal import (attach_fake_media, media_embedding,
+                                      resize_media)
+    d = table(spark, sf_dir, "documents")
+    emb = media_embedding(
+        resize_media(attach_fake_media(d, "doc_id", "text"), 16, 16),
+        dim=16)
+    corpus = emb.select(F.col("doc_id").alias("neighbor_id"),
+                        F.col("embedding").alias("c_emb"))
+    queries = (emb.filter(F.col("doc_id") < 10)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")))
+    cand = (F.broadcast(queries).crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.round(cosine_similarity("q_emb", "c_emb"), 6)))
+    return topk_per_group(cand.select("query_id", "neighbor_id", "sim"),
+                          keys=["query_id"],
+                          order=[F.col("sim").desc(),
+                                 F.col("neighbor_id").asc()], k=3)
