@@ -37,6 +37,11 @@ QUERIES = [
     # decontamination benchmark scales proportionally with the corpus)
     "join_asof", "quality_gopher_rules", "decontaminate_ngram",
     "chunk_documents", "pipeline_curation_e2e", "stream_session_ivm",
+    # round-3 second wave: scoring/funnel/retention + incremental dedup
+    # (replicated doc_ids keep their %10 residues → the new/old split
+    # scales proportionally) + the retraction changelog IVM
+    "text_tfidf_topk", "quality_unigram_logprob", "funnel_conversion",
+    "retention_cohorts", "dedup_incremental", "stream_retract_ivm",
 ]
 
 KEYED = {
