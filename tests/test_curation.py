@@ -194,3 +194,25 @@ def test_mixture_temperature_flattens_shares(spark, sf_dir):
     # realized keep fraction tracks the computed acceptance rate
     for lang, rate in rates.items():
         assert abs(joined.get(lang, 0.0) - rate) < 0.2, (lang, rate, joined)
+
+
+def test_split_leakage_free_no_cluster_straddle(spark, sf_dir):
+    """The property the operator exists for: every near-dup pair lands in
+    the SAME split, and the split proportions are sane."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.dedup.ngram import ngram_jaccard_pairs
+    from zoom_etl_spark.registry import all_queries
+
+    out = all_queries()["split_leakage_free"].fn(spark, sf_dir)
+    assign = {r.doc_id: r.split for r in out.collect()}
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text",
+                                k=3, threshold=0.2, max_df=50).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert assign[p.id_a] == assign[p.id_b], (p.id_a, p.id_b)
+    from collections import Counter
+    c = Counter(assign.values())
+    n = sum(c.values())
+    assert 0.6 < c["train"] / n < 0.95
+    assert c["val"] > 0 and c["test"] > 0

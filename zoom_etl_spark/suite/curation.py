@@ -720,3 +720,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(pairs, keys=["new_id"],
                           order=[F.col("jaccard").desc(),
                                  F.col("old_id").asc()], k=1)
+
+
+@query("split_leakage_free", oracle=f"""
+WITH RECURSIVE {_PAIRS_SQL},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster
+  FROM reach GROUP BY u
+),
+rep AS (
+  SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS rep
+  FROM documents d LEFT JOIN cc USING (doc_id)
+)
+SELECT doc_id, rep,
+       CASE WHEN (rep * 37 + 11) % 100 < 80 THEN 'train'
+            WHEN (rep * 37 + 11) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+""")
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split (80/10/10): the split decision
+    hashes each document's near-dup CLUSTER REPRESENTATIVE (connected
+    components over Jaccard pairs; singletons represent themselves), so
+    two near-duplicate documents can NEVER land in different splits —
+    the eval-hygiene property a naive per-doc hash split silently
+    violates (train/test contamination via duplicates is one of the
+    classic benchmark bugs). Deterministic arithmetic hash — the split
+    is reproducible across runs and engines. Plan: the pair/CC machinery
+    is the dedup_clusters plan; the split itself adds one broadcast-
+    sized left join + row-local arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text",
+                                k=3, threshold=0.2, max_df=50)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    rep = (d.select("doc_id")
+           .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster", "doc_id").alias("rep")))
+    h = F.pmod(F.col("rep") * 37 + 11, F.lit(100))
+    split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    return rep.select("doc_id", "rep", split.alias("split"))

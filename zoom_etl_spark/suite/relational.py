@@ -297,3 +297,88 @@ def coalesce_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias("total"),
         F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN")).alias("priority"),
     )
+
+
+@query("dq_checks", oracle="""
+SELECT 'orders_pk_unique' AS rule, CAST(count(*) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'customer_acctbal_range', CAST(count(*) AS BIGINT)
+FROM customer WHERE c_acctbal < -1000 OR c_acctbal > 100000
+UNION ALL
+SELECT 'events_type_domain', CAST(count(*) AS BIGINT)
+FROM events WHERE event_type NOT IN
+  ('click', 'view', 'purchase', 'signup', 'error')
+UNION ALL
+SELECT 'documents_text_nonnull', CAST(count(*) AS BIGINT)
+FROM documents WHERE text IS NULL OR doc_id IS NULL
+""")
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ shape):
+    primary-key uniqueness, referential integrity, numeric range, value
+    domain, non-null — each rule one violation COUNT, so the report is
+    rule-cardinality-sized no matter the table size. This is the engine
+    form of the reference's scattered imperative guards (required-field
+    validation handler.py:46-52, FK-gated merge load.py:203-208) turned
+    into one auditable query. Plan: uniqueness is a map-combined
+    count-HAVING; the FK check is a LEFT-ANTI join (broadcast-eligible
+    dim); everything else is a scan-local conditional count — 5 rules,
+    one pass each, no data-sized shuffle except the keyed dedup check."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+
+    def one(rule: str, cnt) -> DataFrame:
+        return cnt.select(F.lit(rule).alias("rule"),
+                          F.col("n").cast("long").alias("n_violations"))
+
+    pk = one("orders_pk_unique",
+             (o.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+              .agg(F.count("*").alias("n"))))
+    fk = one("lineitem_fk_orders",
+             (l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+              .agg(F.count("*").alias("n"))))
+    rng = one("customer_acctbal_range",
+              c.filter((F.col("c_acctbal") < -1000)
+                       | (F.col("c_acctbal") > 100000))
+              .agg(F.count("*").alias("n")))
+    dom = one("events_type_domain",
+              e.filter(~F.col("event_type").isin(
+                  "click", "view", "purchase", "signup", "error"))
+              .agg(F.count("*").alias("n")))
+    nn = one("documents_text_nonnull",
+             d.filter(F.col("text").isNull() | F.col("doc_id").isNull())
+             .agg(F.count("*").alias("n")))
+    return pk.unionByName(fk).unionByName(rng).unionByName(dom).unionByName(nn)
+
+
+@query("histogram_value", oracle="""
+WITH b AS (
+  -- DuckDB has no width_bucket: spell out the Postgres semantics
+  -- (0 = underflow, 21 = overflow, else floor(v/width)+1; width = 5
+  -- is exactly representable so the arithmetic is engine-identical)
+  SELECT CASE WHEN value < 0 THEN 0
+              WHEN value >= 100 THEN 21
+              ELSE CAST(floor(value / 5) AS INT) + 1 END AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1
+""")
+def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket value histogram (width_bucket, 20 equal bins over
+    [0,100] + under/overflow bins) — the distribution profile every
+    monitoring dashboard draws. One scan-local bucket expression + one
+    map-combined count keyed by a ≤22-value bucket id: the shuffle is
+    bucket-cardinality-sized, so the plan is identical at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    return (e.select(F.width_bucket("value", F.lit(0), F.lit(100), F.lit(20))
+                     .cast("int").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").cast("long").alias("n")))
