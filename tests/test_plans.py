@@ -202,3 +202,43 @@ def test_band_join_is_hash_not_bnl(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Planted hot key (90% of the left side) + production-shaped skew
+    thresholds scaled to test data: AQE must mark the sort-merge join
+    skew=true — the hot partition is split across tasks instead of
+    serializing one straggler — and the result must equal the plain
+    join. This is the built-in half of the skew story (operators/
+    joins.py::auto_join is the explicit-salting half for engines/joins
+    AQE can't reach)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "131072",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16384",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 220000).select(
+            F.when(F.col("id") < 200000, F.lit(1)).otherwise(F.col("id"))
+            .alias("k"), F.col("id").alias("v"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        # execute THIS dataset so its AQE plan finalizes (count() would
+        # plan a separate query and leave j's plan isFinalPlan=false)
+        n = len(j.collect())
+        assert n == 200000  # only the hot key overlaps the right side
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

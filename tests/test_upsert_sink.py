@@ -297,3 +297,63 @@ def test_changelog_writer_streaming_end_to_end(spark, sf_dir, tmp_path):
             e.groupBy("user_id").agg(F.count("*").alias("n"),
                                      F.sum("value").alias("s")).collect()}
     assert got == want
+
+
+def test_sink_crash_restart_exactly_once(spark, sf_dir):
+    """Crash-inject the WORST window: the sink commits a batch, then the
+    process dies BEFORE Spark records stream progress. On restart from
+    the same checkpoint Spark redelivers that batch — the ledger must
+    fence it (no double-apply) and the remaining files must still flow:
+    exactly-once end to end through a real failure/restart cycle."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+
+    e = table(spark, sf_dir, "events").select(*COLS)
+    srcdir = tempfile.mkdtemp(prefix="zes_restart_src_")
+    thirds = F.ntile(3).over(Window.orderBy("ts"))
+    raw = (e.withColumn("g", thirds)
+           .withColumn("ts", F.unix_micros("ts") * 1000))
+    for g in (1, 2, 3):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+
+    def stream():
+        return (spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true").parquet(srcdir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+    group, sink = _fresh_sink(spark)
+    ck = tempfile.mkdtemp(prefix="zes_restart_ck_")
+    crashes = {"n": 0}
+
+    def crashing(batch, bid):
+        sink(batch, bid)          # commit lands (data + ledger, atomic)
+        crashes["n"] += 1
+        if crashes["n"] == 1:     # ...then the process "dies"
+            raise RuntimeError("injected crash after commit")
+
+    q = (stream().writeStream.foreachBatch(crashing)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    applied_before = sink.applied
+    assert applied_before >= 1
+
+    # restart from the SAME checkpoint, no crash this time
+    q2 = (stream().writeStream.foreachBatch(sink)
+          .option("checkpointLocation", ck)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+
+    assert sink.skipped >= 1      # the redelivered batch was fenced
+    got = {(r.user_id, r.event_id) for r in group.read(spark, "t").collect()}
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {(r.user_id, r.event_id) for r in
+            e.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").collect()}
+    assert got == want
