@@ -61,3 +61,64 @@ def test_merge_replay_idempotent(spark, rows):
     deduped = last_wins(df, keys=["k"], version=[F.col("ver"), F.col("payload")])
     once = merge_upsert(deduped, deduped, keys=["k"])
     assert {tuple(r) for r in once.collect()} == {tuple(r) for r in deduped.collect()}
+
+
+# (key, ts) event rows for join-operator properties; tiny key space and
+# tight ts range force every edge: ties, empty sides, multi-match
+LEFT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30)),
+    min_size=0, max_size=25)
+RIGHT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 99)),
+    min_size=0, max_size=25)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=LEFT_ROWS, right=RIGHT_ROWS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join (union + forward-fill formulation) must agree with the
+    obvious O(n·m) reference for ANY key/timestamp distribution: per
+    left row, the right row with max right_ts <= ts; ties broken by max
+    payload; how='left' keeps unmatched rows with NULL."""
+    from zoom_etl_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts long, payload long")
+    out = asof_join(ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+                    right_cols=["payload"],
+                    tiebreak=[F.col("r.payload").desc()], how="left")
+    got = {(r.lid, r.asof_payload) for r in out.collect()}
+
+    want = set()
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, p) for (rk, rt, p) in right if rk == k and rt <= t]
+        best = max(cands, key=lambda x: (x[0], x[1]))[1] if cands else None
+        want.add((i, best))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=LEFT_ROWS, right=RIGHT_ROWS)
+def test_band_join_matches_bruteforce(spark, left, right):
+    """band_join (bin equi-key + residual filter) must emit EXACTLY the
+    pairs with |l.ts - r.rts| <= width for ANY distribution — the
+    binning is a pure plan rewrite, never a semantics change."""
+    from zoom_etl_spark.operators.joins import band_join
+
+    WIDTH = 5
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t, _p) in enumerate(right)],
+        "k long, rts long, rid long")
+    out = band_join(ldf, rdf, left_val="ts", right_val="rts", band=WIDTH)
+    got = {(r.lid, r.rid) for r in out.collect()}
+
+    want = {(i, 1000 + j)
+            for i, (_lk, t) in enumerate(left)
+            for j, (_rk, rt, _p) in enumerate(right)
+            if abs(t - rt) <= WIDTH}
+    assert got == want
