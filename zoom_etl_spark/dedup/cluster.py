@@ -49,18 +49,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .localCheckpoint())
     changed = -1
     for _ in range(max_iter):
-        # smallest label among self + neighbors
+        # smallest label among self + neighbors; the changed flag is
+        # computed IN the same pass (label frames carry both old and new
+        # label), so convergence detection costs a filter-count over the
+        # checkpointed frame instead of a separate labels⋈labels job —
+        # one job per iteration, not two
         nbr_min = (und.join(labels, und.v == labels.node)
                    .groupBy(F.col("u").alias("node"))
                    .agg(F.min("lbl").alias("nbr_lbl")))
         new = (labels.join(nbr_min, "node", "left")
                .select("node",
                        F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                       .alias("lbl"))
-               .localCheckpoint())
-        changed = (new.alias("n").join(labels.alias("o"), "node")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new
+                       .alias("lbl"),
+                       (F.coalesce("nbr_lbl", "lbl") < F.col("lbl"))
+                       .alias("chg"))
+               .localCheckpoint(eager=False))
+        changed = new.filter("chg").count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
     if changed != 0:
