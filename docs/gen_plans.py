@@ -39,6 +39,32 @@ SECTIONS = [
      "Classic selective-dim OLAP shape: the segment filter prunes customer at "
      "the scan, date filters prune both fact scans, joins shuffle on their "
      "keys, and the final top-10 is TakeOrderedAndProject."),
+    ("text_tfidf_topk", specs["text_tfidf_topk"].fn,
+     "Two-aggregate relevance shape: the (doc, term) count combines map-side "
+     "before its exchange, document frequencies are a second rollup OF THAT "
+     "AGGREGATE (no second corpus scan), the 1-row corpus count arrives via "
+     "BroadcastNestedLoopJoin (a 1-row cross join, not a data-sized one), and "
+     "the per-doc top-3 is a WindowGroupLimit - rank truncation happens "
+     "before the window sort's exchange."),
+    ("stream_temporal_join", lambda sp, sf: __import__(
+        "zoom_etl_spark.suite.sources_streaming", fromlist=["x"]
+     )._temporal_join_plan(sp, sf),
+     "Point-in-time enrichment as a STATELESS stream-static join: the "
+     "versioned dim (scd2 intervals via lead) broadcasts, each micro-batch "
+     "probes it with the interval predicate as the join residual - no state "
+     "store, no watermark bookkeeping, append semantics. Shown here is the "
+     "batch-equivalent plan of one micro-batch."),
+    ("funnel_conversion", specs["funnel_conversion"].fn,
+     "Ordered-funnel shape: each stage is a keyed min-aggregate joined to "
+     "the previous stage's survivor frontier; only (user, frontier-ts) rows "
+     "flow between stages, so the per-stage cost is one map-combined "
+     "aggregate + one join regardless of how many events each user has."),
+    ("dedup_incremental", specs["dedup_incremental"].fn,
+     "Incremental near-dup: both sides shingle once, the df filter is "
+     "computed over the union, candidates come ONLY from new x old posting "
+     "joins (no old x old pair ever forms), and the exact-Jaccard verify "
+     "joins the full sets back. Cost scales with the batch, not the corpus "
+     "squared."),
 ]
 
 out = ["""# Plan audits

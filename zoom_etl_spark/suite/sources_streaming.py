@@ -450,6 +450,42 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("l_extendedprice", 3).alias("price"))
 
 
+def _temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned dimension for the temporal join: signup/error status
+    changes as [valid_from, valid_to) scd2 intervals per user."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    return (e.filter(F.col("event_type").isin("signup", "error"))
+            .select(F.col("user_id").alias("d_user_id"),
+                    F.col("event_id").alias("version_id"),
+                    F.col("event_type").alias("status"),
+                    F.col("ts").alias("valid_from"))
+            .withColumn("valid_to", F.lead("valid_from").over(
+                Window.partitionBy("d_user_id").orderBy("valid_from",
+                                                        "version_id"))))
+
+
+def _temporal_join(fact: DataFrame, dim: DataFrame) -> DataFrame:
+    joined = fact.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "inner")
+    return joined.select("user_id", "purchase_id", "amount",
+                         "version_id", "status")
+
+
+def _temporal_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of one micro-batch of stream_temporal_join —
+    used by docs/gen_plans.py to audit the physical plan."""
+    e = table(spark, sf_dir, "events")
+    fact = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    "ts", F.round("value", 3).alias("amount")))
+    return _temporal_join(fact, _temporal_dim(spark, sf_dir))
+
+
 @query("stream_temporal_join", oracle="""
 WITH dim AS (
   SELECT user_id, event_id AS version_id, event_type AS status,
@@ -479,29 +515,11 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     STATELESS (no watermark, no state store) and append-mode — the dim
     broadcasts at 100 TB dim-vs-fact ratios. Value-hash-gated against
     the identical batch interval join."""
-    from pyspark.sql import Window
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (e.filter(F.col("event_type").isin("signup", "error"))
-           .select(F.col("user_id").alias("d_user_id"),
-                   F.col("event_id").alias("version_id"),
-                   F.col("event_type").alias("status"),
-                   F.col("ts").alias("valid_from"))
-           .withColumn("valid_to", F.lead("valid_from").over(
-               Window.partitionBy("d_user_id").orderBy("valid_from",
-                                                       "version_id"))))
     fact = (read_events_stream(spark, sf_dir)
             .filter(F.col("event_type") == "purchase")
             .select("user_id", F.col("event_id").alias("purchase_id"),
                     "ts", F.round("value", 3).alias("amount")))
-    joined = fact.join(
-        F.broadcast(dim),
-        (F.col("user_id") == F.col("d_user_id"))
-        & (F.col("ts") >= F.col("valid_from"))
-        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
-        "inner")
-    out = joined.select("user_id", "purchase_id", "amount",
-                        "version_id", "status")
+    out = _temporal_join(fact, _temporal_dim(spark, sf_dir))
     q = (out.writeStream.format("memory").queryName("stream_temporal_log")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
