@@ -252,3 +252,26 @@ def test_opq_improves_quantization_and_keeps_recall(ann_fixture):
                        n_cells=16, n_probe=4, m=M, ks=KS, refine=4,
                        opq=True), tsets)
     assert r_opq >= 0.85, r_opq
+
+
+def test_opq_iterative_refinement_monotone(spark, sf_dir):
+    """Full OPQ coordinate descent: the quantization-MSE trace must be
+    non-increasing across rounds (warm-started Lloyd's + Procrustes are
+    both descent steps), the final R must stay orthonormal, and the
+    refined MSE must beat or match the one-shot PCA-initialized
+    codebooks."""
+    import numpy as np
+
+    from zoom_etl_spark.dedup.ivf import train_centroids
+    from zoom_etl_spark.dedup.pq import refine_opq_rotation
+
+    corpus = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = train_centroids(corpus, "embedding", DIM, 16, 3, 42)
+    R, books, trace = refine_opq_rotation(corpus, "embedding", DIM, cen,
+                                          m=16, ks=32, n_iter=4, seed=42)
+    assert np.abs(R.T @ R - np.eye(DIM)).max() < 1e-8
+    assert books.shape == (16, 32, DIM // 16)
+    assert len(trace) == 4
+    for a, b in zip(trace, trace[1:]):
+        assert b <= a + 1e-9, trace
+    assert trace[-1] <= trace[0] + 1e-9

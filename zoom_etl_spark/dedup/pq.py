@@ -117,6 +117,65 @@ def train_opq_rotation(corpus: DataFrame, emb_col: str, dim: int, m: int = 8,
     return vecs[:, perm]
 
 
+def refine_opq_rotation(corpus: DataFrame, emb_col: str, dim: int,
+                        centroids: np.ndarray, m: int = 8, ks: int = 16,
+                        n_iter: int = 4, seed: int = 42,
+                        sample_rows: int = 4096
+                        ) -> tuple[np.ndarray, np.ndarray, list[float]]:
+    """Full iterative OPQ (Ge et al. 2013, the non-parametric solution):
+    starting from the PCA-initialized rotation, ALTERNATE
+
+      (1) fix R → train per-subspace codebooks on the rotated residuals,
+      (2) fix the codes → update R by orthogonal Procrustes
+          (R = U·Vᵀ from the SVD of Xᵀ·Y, X raw residuals, Y their
+          quantized reconstructions — the orthonormal matrix minimizing
+          ‖X·R − Y‖²),
+
+    which is coordinate descent on quantization MSE, so the error is
+    non-increasing per round (the property the test gates). All driver
+    math is on the bounded sample (n×dim) and dim×dim matrices — the
+    same index-metadata budget as every other trainer here. Returns
+    (R, codebooks, mse_trace)."""
+    pdf = corpus.select(F.col(emb_col).alias("e")).limit(sample_rows).toPandas()
+    E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    cells = np.argmin(
+        ((E[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2), axis=1)
+    X = E - centroids[cells]                      # raw residuals (fixed)
+    R = train_opq_rotation(corpus, emb_col, dim, m, sample_rows)
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    trace: list[float] = []
+    books = None
+    for _ in range(n_iter):
+        XR = X @ R
+        # (1) codebooks on rotated residuals (numpy Lloyd's per subspace)
+        # warm-start from the previous round's codebooks: Lloyd's then
+        # only ever descends, which is what makes the whole alternation
+        # monotone (a fresh random init could hop to a worse local opt)
+        prev = books
+        books = np.empty((m, ks, sub))
+        Y = np.empty_like(XR)
+        for j in range(m):
+            Z = XR[:, j * sub:(j + 1) * sub]
+            C = (prev[j].copy() if prev is not None
+                 else Z[rng.choice(len(Z), size=ks, replace=False)])
+            for _it in range(8):
+                d = ((Z[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d, axis=1)
+                for c in range(ks):
+                    mask = a == c
+                    if mask.any():
+                        C[c] = Z[mask].mean(axis=0)
+            d = ((Z[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            Y[:, j * sub:(j + 1) * sub] = C[np.argmin(d, axis=1)]
+            books[j] = C
+        trace.append(float(((XR - Y) ** 2).sum(axis=1).mean()))
+        # (2) Procrustes update: argmin_R ||X R - Y||_F, R orthonormal
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    return R, books, trace
+
+
 def rotate_embeddings(df: DataFrame, emb_col: str, R: np.ndarray,
                       out_col: str | None = None) -> DataFrame:
     """Apply x @ R to an embedding column (Arrow-batched matmul; R rides
