@@ -58,3 +58,42 @@ def test_indexed_probe_scan_is_partition_pruned(spark, sf_dir):
     n_parts = pruned.select("cell").distinct().count()
     assert n_parts <= 2
     assert res.count() > 0
+
+
+def test_index_lifecycle_drift_decision(spark, sf_dir):
+    """Versioned index maintenance: an UNCHANGED corpus must measure low
+    drift (no rebuild); a materially shifted corpus must measure higher
+    drift than the unchanged one, and the threshold placed between the
+    two flips the decision. The version log records the evidence."""
+    from zoom_etl_spark.dedup.index import (current_index_version,
+                                            save_index_version,
+                                            should_rebuild)
+
+    corpus = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="zes_ivflc_")
+    build_ivf_index(corpus, "vec_id", "embedding", DIM, path,
+                    n_cells=16, iters=3, seed=42)
+    save_index_version(spark, path, 1, {"built": "initial"})
+    assert current_index_version(spark, path) == 1
+
+    same = should_rebuild(corpus, "embedding", path, drift_threshold=0.2)
+    # identical corpus + identical training recipe → identical centroids
+    # → zero reassignment
+    assert same["reassignment_rate"] <= 0.01, same
+    assert not same["rebuild"]
+
+    # shift a third of the corpus far away: the fresh quantizer moves
+    shifted = corpus.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 3 == 0,
+               F.transform("embedding", lambda x: x + F.lit(5.0)))
+        .otherwise(F.col("embedding")))
+    moved = should_rebuild(shifted, "embedding", path, drift_threshold=0.2)
+    assert moved["reassignment_rate"] > same["reassignment_rate"], (same, moved)
+    if moved["rebuild"]:
+        save_index_version(spark, path, 2, moved)
+        assert current_index_version(spark, path) == 2
+    # threshold placed between the two rates flips the decision
+    mid = (same["reassignment_rate"] + moved["reassignment_rate"]) / 2
+    assert not should_rebuild(corpus, "embedding", path, mid)["rebuild"]
+    assert should_rebuild(shifted, "embedding", path, mid)["rebuild"]

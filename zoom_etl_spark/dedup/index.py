@@ -58,6 +58,46 @@ def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
     return out
 
 
+def save_index_version(spark: SparkSession, path: str, version: int,
+                       meta: dict) -> None:
+    """Append a row to the index's version log (parquet — readable by
+    any session, no side files). ``meta`` carries the drift stats the
+    maintenance job recorded when this version was built."""
+    import json as _json
+    (spark.createDataFrame([(int(version), _json.dumps(meta))],
+                           "version INT, meta STRING")
+     .coalesce(1).write.mode("append").parquet(f"{path}/versions"))
+
+
+def current_index_version(spark: SparkSession, path: str) -> int:
+    rows = spark.read.parquet(f"{path}/versions").agg(
+        F.max("version").alias("v")).collect()
+    return int(rows[0].v) if rows and rows[0].v is not None else 0
+
+
+def should_rebuild(corpus: DataFrame, emb_col: str, path: str,
+                   drift_threshold: float = 0.2, iters: int = 3,
+                   seed: int = 42) -> dict:
+    """Index-lifecycle decision (ROADMAP: codebook versioning tied to
+    reassignment_rate): train FRESH centroids on the corpus as it is
+    NOW, measure the fraction of rows whose nearest cell would change
+    versus the PERSISTED quantizer, and rebuild only when that drift
+    exceeds the threshold — rewriting a 100 TB cell layout is the
+    expensive step, so it must be justified by measured drift, not a
+    timer. One distributed pass (two closure-shipped argmins per row,
+    one scalar out); the decision and its evidence are returned so the
+    maintenance job can log them into the version log on rebuild."""
+    from .ivf import reassignment_rate, train_centroids
+    spark = corpus.sparkSession
+    old = load_centroids(spark, path)
+    k, dim = old.shape
+    fresh = train_centroids(corpus, emb_col, dim, k, iters, seed)
+    rate = reassignment_rate(corpus, emb_col, old, fresh)
+    return {"reassignment_rate": rate,
+            "drift_threshold": drift_threshold,
+            "rebuild": rate > drift_threshold}
+
+
 def ann_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
                      id_col: str, emb_col: str, k: int = 10,
                      n_probe: int = 2) -> DataFrame:
