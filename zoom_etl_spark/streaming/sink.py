@@ -60,8 +60,8 @@ def paged_writes(rows: Iterator[Any], page_size: int,
 
 def duckdb_upsert_writer(db_path: str, table: str, keys: list[str],
                          cols: list[str], version_cols: list[str],
-                         page_size: int = 500,
-                         max_attempts: int = 5) -> Callable[[DataFrame], None]:
+                         page_size: int = 500, max_attempts: int = 5,
+                         n_connections: int = 4) -> Callable[[DataFrame], None]:
     """The reference's JDBC upsert transport (src/db/load.py:41-50:
     ``execute_values`` over ``INSERT … ON CONFLICT (key) DO UPDATE``)
     against a REAL database — an in-process DuckDB file standing in for
@@ -116,15 +116,16 @@ def duckdb_upsert_writer(db_path: str, table: str, keys: list[str],
             con.close()
 
     def writer(df: DataFrame) -> None:
-        df.foreachPartition(per_partition)
+        # bounded connection parallelism — see duckdb_changelog_writer
+        df.coalesce(n_connections).foreachPartition(per_partition)
 
     return writer
 
 
 def duckdb_changelog_writer(db_path: str, table: str, keys: list[str],
                             cols: list[str], version_col: str,
-                            page_size: int = 500,
-                            max_attempts: int = 8) -> Callable[[DataFrame], None]:
+                            page_size: int = 500, max_attempts: int = 8,
+                            n_connections: int = 4) -> Callable[[DataFrame], None]:
     """Apply a FORMAL CHANGELOG (op ∈ +I/+U/-U/-D with versions — the
     output contract of ``stateful.retract_maintain``) to a real keyed
     database table, out-of-order- and redelivery-safe (ROADMAP
@@ -188,7 +189,13 @@ def duckdb_changelog_writer(db_path: str, table: str, keys: list[str],
             con.close()
 
     def writer(df: DataFrame) -> None:
-        df.foreachPartition(per_partition)
+        # cap concurrent connections: a changelog batch is usually far
+        # smaller than the session's partition count, and a single-file
+        # DuckDB target (like a real JDBC pool) serves bounded writers —
+        # uncapped, 32 workers contend on the file lock and can exhaust
+        # the retry budget under machine load (observed as suite-order
+        # flakiness before this cap)
+        df.coalesce(n_connections).foreachPartition(per_partition)
 
     return writer
 
