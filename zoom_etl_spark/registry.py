@@ -70,10 +70,12 @@ def _load_suite() -> None:
         curation,
         joins,
         merge,
+        mining,
         northstar,
         relational,
         scalars_wide,
         scoring,
+        semantic,
         sources_streaming,
         tpch,
         windows,

@@ -1,0 +1,188 @@
+"""Embedding-space / distribution-matching curation operators — the two
+selection stages modern LLM data pipelines run between dedup and mixing:
+
+* ``semantic_dedup`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  prune semantically-redundant documents inside embedding clusters,
+  keeping the LEAST-central member of each duplicate group (diversity
+  is preserved, redundancy dropped). Clusters bound the pairwise work —
+  exactly why the published algorithm clusters first.
+* ``importance_weight_dsir`` — DSIR (Xie et al. 2023, arXiv:2302.03169):
+  per-document importance = average token log-likelihood ratio between
+  a target-domain unigram distribution and the raw-corpus distribution
+  (add-1 smoothed); documents that look like the target domain get
+  positive weight and are selected.
+
+Both extend the reference's fixed-rule data hygiene (reference
+lambda/zoom_webhook/handler.py:46-52, src/zoom/extract.py:25) to
+corpus-statistics-driven selection, the same calibrate-then-apply shape
+as ``quality_adaptive_threshold``.
+
+Scale posture: semantic_dedup's only quadratic work is per-cluster and
+cluster sizes are bounded by construction (at 100 TB the cluster id is
+the IVF cell from ``dedup/index.py`` — same contract, k-means instead
+of the oracle-checkable label attribute; SemDeDup §3 does exactly
+this). DSIR's statistics are vocabulary-sized aggregates; the corpus is
+scanned once, term-keyed map-combined, and the per-term log-ratio joins
+back term-keyed — nothing corpus-sized shuffles twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.vectors import cosine_similarity_arrow
+from ..registry import query
+from .curation import _toks
+
+# Shared pairwise-cosine CTE over intra-cluster (label-blocked) pairs —
+# identical to dedup_embedding's oracle arithmetic (double-widened
+# element products, engine-native sqrt norms).
+_PAIRS_SQL = """
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)"""
+
+
+@query("semantic_dedup", oracle=f"""
+WITH {_PAIRS_SQL},
+sym AS (
+  SELECT id_a AS id, sim FROM pairs
+  UNION ALL
+  SELECT id_b AS id, sim FROM pairs
+),
+scores AS (SELECT id, round(avg(sim), 4) AS score FROM sym GROUP BY 1),
+losers AS (
+  SELECT DISTINCT CASE WHEN sa.score > sb.score THEN p.id_a
+                       WHEN sb.score > sa.score THEN p.id_b
+                       ELSE greatest(p.id_a, p.id_b) END AS id
+  FROM pairs p
+  JOIN scores sa ON sa.id = p.id_a
+  JOIN scores sb ON sb.id = p.id_b
+  WHERE p.sim >= 0.8
+)
+SELECT e.vec_id, e.label, s.score, l.id IS NULL AS keep
+FROM embeddings e
+LEFT JOIN scores s ON s.id = e.vec_id
+LEFT JOIN losers l ON l.id = e.vec_id
+""")
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: inside each embedding cluster, find duplicate pairs
+    (cosine >= 0.8) and drop the MORE central member of each pair —
+    centrality here is the medoid-style mean cosine to the rest of the
+    cluster, so what survives is the diverse tail, which is the point of
+    the algorithm. Cluster id is the oracle-checkable ``label``
+    attribute (DuckDB can't reproduce k-means); the 100 TB twin swaps in
+    the IVF cell id from ``dedup/index.py`` with no other change, which
+    is the published formulation (clusters exist to BOUND the pairwise
+    work). Plan shape: one intra-cluster self-join producing Arrow-
+    batched numpy cosines, a per-vector mean over the symmetric pair
+    view, and a broadcast-sized loser set anti-flagged back — per-
+    cluster quadratic, corpus-linear across clusters. Drop decisions
+    compare ROUNDED scores with a vec_id tiebreak so the kept set is
+    engine-exact."""
+    e = table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_similarity_arrow(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"), sim.alias("sim")))
+    # pairs feed two consumers (scores + losers); keep the Arrow cosine
+    # sweep from running twice
+    pairs = pairs.localCheckpoint(eager=False)
+    sym = (pairs.select(F.col("id_a").alias("id"), "sim")
+           .unionByName(pairs.select(F.col("id_b").alias("id"), "sim")))
+    scores = sym.groupBy("id").agg(F.round(F.avg("sim"), 4).alias("score"))
+    sa = scores.select(F.col("id").alias("id_a"), F.col("score").alias("sc_a"))
+    sb = scores.select(F.col("id").alias("id_b"), F.col("score").alias("sc_b"))
+    losers = (pairs.filter(F.col("sim") >= 0.8)
+              .join(sa, "id_a").join(sb, "id_b")
+              .select(F.when(F.col("sc_a") > F.col("sc_b"), F.col("id_a"))
+                      .when(F.col("sc_b") > F.col("sc_a"), F.col("id_b"))
+                      .otherwise(F.greatest("id_a", "id_b")).alias("id"))
+              .distinct())
+    return (e.join(scores, e.vec_id == scores.id, "left").drop("id")
+            .join(F.broadcast(losers.withColumn("_lost", F.lit(True))),
+                  e.vec_id == losers.id, "left")
+            .select("vec_id", "label", "score",
+                    F.col("_lost").isNull().alias("keep")))
+
+
+@query("importance_weight_dsir", oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, term, count(*) AS tf
+  FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tok)
+  GROUP BY 1, 2, 3
+),
+raw_c AS (SELECT term, sum(tf) AS c_r FROM tf GROUP BY 1),
+tgt_c AS (SELECT term, sum(tf) AS c_t FROM tf WHERE lang = 'en' GROUP BY 1),
+consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v,
+         CAST(sum(c_r) AS DOUBLE) AS n_r,
+         (SELECT CAST(coalesce(sum(c_t), 0) AS DOUBLE) FROM tgt_c) AS n_t
+  FROM raw_c
+),
+ratio AS (
+  SELECT r.term,
+         ln((coalesce(t.c_t, 0) + 1) / (n_t + v))
+           - ln((r.c_r + 1) / (n_r + v)) AS llr
+  FROM raw_c r LEFT JOIN tgt_c t USING (term) CROSS JOIN consts
+)
+SELECT tf.doc_id, any_value(tf.lang) AS lang,
+       round(sum(tf.tf * ratio.llr) / sum(tf.tf), 4) AS logratio,
+       round(sum(tf.tf * ratio.llr) / sum(tf.tf), 4) > 0 AS selected
+FROM tf JOIN ratio USING (term)
+GROUP BY tf.doc_id
+""")
+def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target domain = English documents, raw =
+    the whole corpus; each document's weight is its mean token
+    log-likelihood ratio ln(p_target/p_raw) under add-1-smoothed unigram
+    distributions, and documents whose weight is positive are selected —
+    importance resampling toward the target domain without labels.
+    (DSIR hashes n-grams into a fixed feature space; whitespace unigrams
+    keep the oracle exact — the distribution arithmetic is identical.)
+    Plan: one (doc, term) count (map-combined), term-keyed rollups for
+    the raw and target distributions (the target rollup is a FILTERED
+    re-aggregate of the same tiny term frame, not a second corpus scan),
+    three scalar constants broadcast via a 1-row cross join, then one
+    term-keyed probe join back and a per-doc weighted mean. All sizes
+    after the first aggregate are vocabulary-bounded, so at 100 TB this
+    is one corpus scan plus vocabulary-scale joins."""
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
+    tf = (d.select("doc_id", "lang", F.explode(_toks()).alias("term"))
+          .groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf")))
+    raw_c = tf.groupBy("term").agg(F.sum("tf").alias("c_r"))
+    tgt_c = (tf.filter(F.col("lang") == "en")
+             .groupBy("term").agg(F.sum("tf").alias("c_t")))
+    consts = (raw_c.agg(F.count("*").cast("double").alias("v"),
+                        F.sum("c_r").cast("double").alias("n_r"))
+              .crossJoin(tgt_c.agg(
+                  F.coalesce(F.sum("c_t"), F.lit(0))
+                  .cast("double").alias("n_t"))))
+    ratio = (raw_c.join(tgt_c, "term", "left")
+             .crossJoin(F.broadcast(consts))
+             .select("term",
+                     (F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                            / (F.col("n_t") + F.col("v")))
+                      - F.log((F.col("c_r") + 1)
+                              / (F.col("n_r") + F.col("v")))).alias("llr")))
+    lr = F.round(F.sum(F.col("tf") * F.col("llr")) / F.sum("tf"), 4)
+    return (tf.join(ratio, "term")
+            .groupBy("doc_id")
+            .agg(F.any_value("lang").alias("lang"),
+                 lr.alias("logratio"), (lr > 0).alias("selected")))
