@@ -141,7 +141,8 @@ class TableGroup:
 
     def publish(self, dfs: dict[str, DataFrame], meta: dict | None = None,
                 max_retries: int = 5,
-                _before_claim=None) -> int:
+                _before_claim=None,
+                stats_columns: dict[str, list[str]] | None = None) -> int:
         """Atomically publish new versions of the given tables.
 
         Tables in the group but not in ``dfs`` carry forward unchanged
@@ -160,6 +161,15 @@ class TableGroup:
         state is visible. ``_before_claim`` is a test seam invoked once
         after data is durable and before the first claim attempt
         (concurrency/crash injection).
+
+        ``stats_columns`` ({table: [column, ...]}) opts tables into
+        file-level zone maps (``operators/zonemap.py``): footers of the
+        just-written files are read once and the per-file min/max stats
+        ride THIS manifest commit under ``meta["zonemaps"]`` — stats and
+        data are atomic, so ``zonemap.read_where`` can never prune
+        against a different version than it reads. Republishing a table
+        WITHOUT stats drops its (now stale) zone map; untouched tables
+        carry their zone maps forward with their paths.
         """
         base = self.manifest()
         written: dict[str, str] = {}
@@ -169,6 +179,12 @@ class TableGroup:
                                 f"v{v_hint:08d}-{uuid.uuid4().hex[:8]}")
             df.write.mode("error").parquet(path)  # fresh dir: never overwrite
             written[name] = path
+        zonemaps: dict[str, dict] = {}
+        if stats_columns:
+            from .zonemap import collect_file_stats
+            for name, cols in stats_columns.items():
+                if name in written and cols:
+                    zonemaps[name] = collect_file_stats(written[name], cols)
         if _before_claim is not None:
             _before_claim()
         for _ in range(max_retries + 1):
@@ -180,8 +196,17 @@ class TableGroup:
                         f"(base v{base['version']} → v{cur['version']}); "
                         "recompute from the current snapshot and retry")
             v = cur["version"] + 1
+            merged_meta = {**cur.get("meta", {}), **(meta or {})}
+            zm = {k: v2 for k, v2 in
+                  {**cur.get("meta", {}).get("zonemaps", {}), **zonemaps}
+                  .items()
+                  if k not in written or k in zonemaps}  # drop stale maps
+            if zm:
+                merged_meta["zonemaps"] = zm
+            elif "zonemaps" in merged_meta:
+                del merged_meta["zonemaps"]
             payload = {"version": v, "tables": {**cur["tables"], **written},
-                       "meta": {**cur.get("meta", {}), **(meta or {})}}
+                       "meta": merged_meta}
             if self._try_claim(v, payload):
                 return v
             # lost the race on a DISJOINT commit: rebase onto it and retry

@@ -34,6 +34,11 @@ _RUNTIME_CONFS = {
     # arrays are never empty, so the inferred filter prunes nothing.
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # Spark's default INT96 timestamps carry NO parquet min/max stats, so
+    # every time-range predicate loses both row-group pruning and the
+    # file-level zone maps (operators/zonemap.py). INT64 micros is the
+    # modern standard type with full stats.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
