@@ -73,10 +73,12 @@ def _load_suite() -> None:
         mining,
         northstar,
         relational,
+        retrieval,
         scalars_wide,
         scoring,
         semantic,
         sources_streaming,
+        timeseries,
         tpch,
         windows,
     )

@@ -1,0 +1,349 @@
+"""Retrieval / selection operators over the document corpus: BM25
+keyword search, weight-proportional priority sampling, global
+duplicate-segment removal, and the joint curation-policy calibration
+that closes ROADMAP item 5 (thresholds tuned ACROSS filters as one
+budget, not per-filter constants).
+
+Generalizes the reference's recording-lookup intent (reference
+src/zoom/extract.py:52-64 fetches a meeting's assets by id; the
+engine's corpus-scale analog is ranked retrieval) and its fixed-rule
+hygiene constants to corpus-calibrated policies.
+
+Engine-exactness stance: ranking keys are either exact-integer-derived
+doubles (priority sampling — one IEEE division, no transcendentals) or
+ROUNDED scores with explicit id tiebreaks (BM25 — same ln() precedent
+as text_tfidf_topk); per-cell policy statistics aggregate 1e-4-grid
+integers so cell stats are exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .curation import _toks, word_ngrams
+from .northstar import quality_expr
+
+_TOKSQL = ("list_filter(string_split(text, ' '), x -> x <> '')")
+
+
+@query("bm25_search", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKSQL} AS toks FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(len(toks)) AS BIGINT) AS tottok
+      FROM tok),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('join', 'stream', 'filter')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * len(tok.toks)
+                                   / (tottok / nd)))) AS s
+  FROM tf
+  JOIN tok ON tok.doc_id = tf.doc_id
+  JOIN df USING (term) CROSS JOIN n
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS bm25
+FROM sc ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+""")
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson-Spärck Jones) for a fixed
+    keyword query over the corpus — top-10 documents by the classic
+    tf-saturated, length-normalized score (k1=1.2, b=0.75). The shape
+    every search/RAG lexical-recall stage runs.
+
+    Plan: the per-(doc, query-term) tf aggregate filters to the QUERY
+    TERMS before grouping (query-sized, not vocabulary-sized — at
+    100 TB the posting build is the only corpus-scan shuffle and its
+    key domain is |q| terms × docs containing them); df and avgdl are
+    term-count-sized and 1-row broadcasts; final ranking is
+    TakeOrderedAndProject (top-k heap per partition, no global sort).
+    Ranking is on the ROUNDED score with doc_id tiebreak, the
+    engine-exactness recipe of text_tfidf_topk."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _toks().alias("toks"))
+    n = tok.agg(F.count("*").cast("double").alias("nd"),
+                F.sum(F.size("toks")).cast("bigint").alias("tottok"))
+    tf = (tok.select("doc_id", F.explode("toks").alias("term"))
+          .filter(F.col("term").isin("join", "stream", "filter"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    idf = F.log((F.col("nd") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    score = (idf * F.col("tf") * F.lit(2.2)
+             / (F.col("tf") + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl")
+                   / (F.col("tottok") / F.col("nd")))))
+    sc = (tf.join(dl, "doc_id")
+          .join(F.broadcast(df), "term")
+          .crossJoin(F.broadcast(n))
+          .groupBy("doc_id").agg(F.sum(score).alias("s")))
+    return (sc.select("doc_id", F.round("s", 4).alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id").limit(10))
+
+
+@query("sample_weighted", oracle="""
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         n_chars * 1000003.0
+           / ((doc_id * 2654435761 + 12345) % 1000003 + 1) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, round(priority, 4) AS priority
+FROM pr ORDER BY priority DESC, doc_id LIMIT 100
+""")
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling via PRIORITY SAMPLING (Duffield,
+    Lund & Thorup 2007): each doc gets priority w/u for a uniform u,
+    the top-k priorities form a without-replacement sample whose
+    inclusion probability is proportional to weight (here: n_chars, the
+    'sample long documents more' curation move). The uniform is an
+    arithmetic hash of doc_id — reproducible and engine-portable, the
+    `sample_stratified` recipe — and the score is ONE exact-integer-fed
+    IEEE division: no ln()/pow() in the ranking key, so cross-engine
+    determinism needs no rounding tolerance at all (rounding appears
+    only in the DISPLAYED priority). Row-local scoring + top-k heap
+    (TakeOrderedAndProject): zero shuffles at any scale."""
+    d = table(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(12345),
+               F.lit(1000003)) + 1
+    pr = d.select("doc_id", "n_chars",
+                  (F.col("n_chars") * F.lit(1000003.0) / u)
+                  .alias("priority"))
+    return (pr.orderBy(F.desc("priority"), "doc_id").limit(100)
+            .select("doc_id", "n_chars",
+                    F.round("priority", 4).alias("priority")))
+
+
+_SEG = 10
+
+
+@query("dedup_segments_global", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKSQL} AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, CAST(start / {_SEG} AS INT) AS idx,
+         array_to_string(list_slice(toks, start + 1, start + {_SEG}), ' ') AS s
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), {_SEG})) AS start
+        FROM tok)
+),
+base AS (SELECT doc_id, count(*) AS n_seg FROM ex GROUP BY 1),
+fst AS (
+  SELECT doc_id, idx, s,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, idx) AS rk
+  FROM ex
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(s, ' ' ORDER BY idx) AS text_kept
+  FROM fst WHERE rk = 1 GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.n_seg AS INT) AS n_seg,
+       CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+       coalesce(k.text_kept, '') AS text_kept
+FROM base b LEFT JOIN kept k USING (doc_id)
+""")
+def dedup_segments_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global duplicate-SEGMENT removal (the Lee et al. 2021 /C4
+    sub-document dedup granularity): split every document into
+    {SEG}-token segments, keep only the globally FIRST occurrence of
+    each distinct segment (ordered by doc_id, position), and reassemble
+    each document from its surviving segments — boilerplate shared
+    across documents disappears from all but one, while whole-doc dedup
+    would keep every copy of a page that differs only in its header.
+
+    Plan: segment fan-out is a scan-shaped explode; first-occurrence is
+    ONE segment-keyed window (count-distinct-segments cardinality, hot
+    segments bounded by the window's single pass — at 100 TB this is
+    the same segment-hash shuffle MinHash banding pays); reassembly is
+    one doc-keyed aggregate with an in-memory sort of each doc's ≤
+    len/{SEG} surviving structs. No join back to the corpus: the
+    segment rows carry everything."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _toks().alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_SEG))
+    ex = (tok.select("doc_id", "toks", F.explode(starts).alias("start"))
+          .select("doc_id",
+                  (F.col("start") / _SEG).cast("int").alias("idx"),
+                  F.concat_ws(" ", F.slice("toks", F.col("start") + 1,
+                                           F.lit(_SEG))).alias("s")))
+    base = ex.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_seg"))
+    w = Window.partitionBy("s").orderBy("doc_id", "idx")
+    kept = (ex.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_kept"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                     lambda x: x.s)).alias("text_kept")))
+    return (base.join(kept, "doc_id", "left")
+            .select("doc_id", "n_seg",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_kept", F.lit("")).alias("text_kept")))
+
+
+dedup_segments_global.__doc__ = dedup_segments_global.__doc__.replace(
+    "{SEG}", str(_SEG))
+
+_QUALITY_SQL = """
+  round(0.5 * least(CAST(len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS DOUBLE) / 20.0, 1.0)
+        + 0.5 * (1.0 - coalesce(
+            CAST(len(list_filter(list_filter(string_split(text, ' '),
+                                             x -> x <> ''),
+                 x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+            / nullif(len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')), 0), 1.0)), 4)"""
+
+
+@query("curation_joint_calibrate", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKSQL} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g
+          FROM sh WHERE doc_id % 20 <> 0),
+ov AS (SELECT t.doc_id, count(*) AS hits
+       FROM train t JOIN bench b USING (g) GROUP BY 1),
+q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+docs AS (
+  SELECT s.doc_id, s.n_tok, q.quality,
+         round(coalesce(CAST(ov.hits AS DOUBLE) / len(s.grams), 0.0), 4) AS o
+  FROM sh s JOIN q USING (doc_id)
+  LEFT JOIN ov ON s.doc_id = ov.doc_id
+  WHERE s.doc_id % 20 <> 0
+),
+cuts AS (
+  SELECT 0.1 AS qp, round(quantile_cont(quality, 0.1), 4) AS cutoff
+  FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 0.2, round(quantile_cont(quality, 0.2), 4)
+  FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 0.3, round(quantile_cont(quality, 0.3), 4)
+  FROM docs WHERE doc_id % 7 = 0
+),
+grid AS (
+  SELECT CAST(qp AS DOUBLE) AS qp, cutoff, CAST(ovt AS DOUBLE) AS ovt
+  FROM cuts, (VALUES (0.05), (0.10), (0.50)) h(ovt)
+),
+cells AS (
+  SELECT qp, ovt, cutoff,
+         CAST(sum(CASE WHEN quality >= cutoff AND o < ovt
+                       THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         CAST(sum(CASE WHEN quality >= cutoff AND o < ovt
+                       THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+         CAST(sum(CASE WHEN quality >= cutoff AND o < ovt
+                       THEN CAST(round(o * 10000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ovsum,
+         count(*) AS total
+  FROM docs CROSS JOIN grid GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT qp, ovt, cutoff, kept_docs, kept_tokens,
+         round(ovsum / (10000.0 * kept_docs), 4) AS cont_rate,
+         round(kept_docs / (1.0 * total), 4) AS keep_rate,
+         coalesce(round(ovsum / (10000.0 * kept_docs), 4) <= 0.05
+                  AND round(kept_docs / (1.0 * total), 4) <= 0.75,
+                  FALSE) AS feasible
+  FROM cells
+)
+SELECT qp, ovt, cutoff, kept_docs, kept_tokens, cont_rate, keep_rate,
+       feasible AND row_number() OVER (
+           ORDER BY feasible DESC, kept_tokens DESC, qp, ovt) = 1 AS chosen
+FROM scored
+""")
+def curation_joint_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINT curation-policy calibration (ROADMAP 5 closed): instead of
+    tuning the quality cutoff and the decontamination threshold
+    independently, evaluate the 3×3 policy grid (quality-percentile ∈
+    {{10,20,30}} × overlap-threshold ∈ {{.05,.10,.50}}) on the corpus
+    and pick the cell that MAXIMIZES retained tokens subject to the
+    shared budget: mean residual contamination ≤ 5% AND keep-rate ≤
+    75%. That is how production pipelines actually set filters —
+    retention vs contamination traded as ONE constrained objective, not
+    two magic constants (the filters interact: a tight quality cut
+    removes contaminated docs too, loosening how strict
+    decontamination must be).
+
+    Plan: per-doc (quality, token count, benchmark-overlap) computed
+    ONCE — the quality/decontaminate operators' own plans — then a
+    9-row broadcast grid × conditional aggregation gives every cell's
+    stats in a single map-combined shuffle over the corpus; the argmax
+    is a 9-row window. Cell statistics aggregate 1e-4-grid INTEGERS
+    (overlap pre-rounded then rescaled), so every cell stat is exact in
+    both engines; percentile cutoffs come from the deterministic
+    doc_id%7 calibration sample, pre-rounded like
+    quality_adaptive_threshold."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = (d.repartition(par)
+          .select("doc_id", _toks().alias("toks"))
+          .select("doc_id", F.size("toks").alias("n_tok"),
+                  F.array_distinct(word_ngrams(F.col("toks"), 3))
+                  .alias("grams")))
+    bench = (sh.filter(F.col("doc_id") % 20 == 0)
+             .select(F.explode("grams").alias("g")).distinct()
+             .withColumn("__hit", F.lit(1)))
+    train = (sh.filter(F.col("doc_id") % 20 != 0)
+             .select("doc_id", "n_tok", F.size("grams").alias("n"),
+                     F.explode("grams").alias("g")))
+    per = (train.join(F.broadcast(bench), "g", "left")
+           .groupBy("doc_id", "n_tok", "n")
+           .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits")))
+    quality = d.select("doc_id", F.round(quality_expr(), 4).alias("quality"))
+    docs = (per.join(quality, "doc_id")
+            .select("doc_id", "n_tok", "quality",
+                    F.round(F.col("hits").cast("double") / F.col("n"), 4)
+                    .alias("o")))
+    cal = docs.filter(F.col("doc_id") % 7 == 0)
+    cuts1 = cal.agg(
+        F.round(F.percentile("quality", F.lit(0.1)), 4).alias("c10"),
+        F.round(F.percentile("quality", F.lit(0.2)), 4).alias("c20"),
+        F.round(F.percentile("quality", F.lit(0.3)), 4).alias("c30"))
+    cuts = cuts1.selectExpr(
+        "stack(3, 0.1D, c10, 0.2D, c20, 0.3D, c30) as (qp, cutoff)")
+    ovt = spark.createDataFrame([(0.05,), (0.10,), (0.50,)], ["ovt"])
+    grid = cuts.crossJoin(ovt)
+    keep = (F.col("quality") >= F.col("cutoff")) & (F.col("o") < F.col("ovt"))
+    cells = (docs.crossJoin(F.broadcast(grid))
+             .groupBy("qp", "ovt", "cutoff")
+             .agg(F.sum(F.when(keep, 1).otherwise(0)).alias("kept_docs"),
+                  F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+                  .alias("kept_tokens"),
+                  F.sum(F.when(keep, F.round(F.col("o") * 10000)
+                               .cast("long")).otherwise(0)).alias("ovsum"),
+                  F.count("*").alias("total")))
+    cont = F.round(F.col("ovsum") / (F.lit(10000.0) * F.col("kept_docs")), 4)
+    krate = F.round(F.col("kept_docs") / (F.lit(1.0) * F.col("total")), 4)
+    scored = cells.select(
+        "qp", "ovt", "cutoff", "kept_docs", "kept_tokens",
+        cont.alias("cont_rate"), krate.alias("keep_rate"),
+        F.coalesce((cont <= 0.05) & (krate <= 0.75), F.lit(False))
+        .alias("feasible"))
+    w = Window.orderBy(F.desc("feasible"), F.desc("kept_tokens"),
+                       "qp", "ovt")
+    return (scored
+            .withColumn("chosen",
+                        F.col("feasible") & (F.row_number().over(w) == 1))
+            .select("qp", "ovt", "cutoff", "kept_docs", "kept_tokens",
+                    "cont_rate", "keep_rate", "chosen"))

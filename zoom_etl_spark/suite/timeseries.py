@@ -1,0 +1,284 @@
+"""Time-series analytics over the event log — the rollup family a
+monitoring / metrics warehouse layers on events once plain windowed
+aggregation exists: time-weighted averages over irregular samples,
+visual downsampling, exact-moment trend fits, and mergeable-sketch
+distinct rollups.
+
+Generalizes the reference's per-meeting duration/summary intent
+(reference sql/create_tables.sql:23-26 duration/start_time columns,
+src/zoom/transform.py per-meeting orderings) from fixed per-row fields
+to corpus-level series analytics.
+
+Engine-exactness stance (shared by every oracle here): anything summed
+across rows is quantized to an INTEGER first (micros for time, 1e-3
+grid for values), so the aggregates are exact in both engines and the
+only floating-point steps are single deterministic IEEE expressions on
+the already-exact sums — no accumulation-order drift anywhere. That is
+also the 100 TB story: exact integer moments are mergeable map-side
+combines, so every operator here is one shuffle keyed by its group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query("time_weighted_avg", oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST(floor(value * 1000) AS BIGINT) AS v,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(v * (nt - t)) / (1000.0 * sum(nt - t)), 6) AS twa
+FROM s GROUP BY 1
+""")
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user over irregularly
+    sampled events (TimescaleDB ``time_weight('LOCF')`` shape): each
+    observation is weighted by how long it was current, so a sensor
+    that reports rarely doesn't get drowned out by a chatty one.
+
+    Plan: one user-keyed sort window for the LOCF interval (lead), then
+    one map-combined aggregate — the minimal two-exchange plan for a
+    neighbor-dependent rollup (the window and groupBy share the
+    user_id partitioning, so AQE reuses the exchange). Exactness: time
+    deltas are integer micros and values are floor-quantized to a 1e-3
+    grid, so both sums are EXACT integers in either engine; the single
+    division on the exact sums is the only float op. Magnitudes stay
+    far inside int64 at bench scale; a 100 TB deployment promotes the
+    numerator to decimal(38,0) with the same plan."""
+    e = table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", t.alias("t"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        F.lead(t).over(w).alias("nt"))
+    return (s.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("v") * (F.col("nt") - F.col("t")))
+                         / (F.lit(1000.0)
+                            * F.sum(F.col("nt") - F.col("t"))), 6)
+                 .alias("twa")))
+
+
+@query("trend_linefit", oracle="""
+WITH s AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) - 1577836800000000) // 3600000000 AS x,
+         CAST(floor(value * 1000) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM s GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 1000.0, 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n / 1000.0, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""")
+def trend_linefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (slope per
+    hour, intercept, r²) from EXACT integer moments — the `regr_slope`
+    family recomputed so the answer is engine-portable: x is integer
+    hours since a fixed base epoch, y is 1e-3-quantized, and n/Σx/Σy/
+    Σx²/Σy²/Σxy are exact integer sums (mergeable, map-side combined —
+    the classic one-pass parallel regression). The closed-form slope/
+    intercept/r² are then single deterministic double expressions on
+    those sums, immune to summation order — which `regr_slope` itself
+    is not, across engines or even across partitionings. One shuffle,
+    group-count-sized output."""
+    e = table(spark, sf_dir, "events")
+    # integer division: both engines floor on non-negative operands
+    x = F.expr("CAST((unix_micros(ts) - 1577836800000000) div 3600000000"
+               " AS BIGINT)")
+    y = F.floor(F.col("value") * 1000).cast("long")
+    s = e.select("event_type", x.alias("x"), y.alias("y"))
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(slope / 1000.0, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / 1000.0, 6).alias("intercept"),
+        F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("r2"))
+
+
+_LTTB_N = 10
+
+
+@query("downsample_lttb", oracle=f"""
+WITH p AS (
+  SELECT user_id, ts, value,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+),
+rng AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM p GROUP BY 1),
+pb AS (
+  SELECT p.*,
+         CAST((t - tmin) // ((tmax - tmin) // {_LTTB_N} + 1) AS INT) AS bucket
+  FROM p JOIN rng USING (user_id)
+),
+st AS (
+  SELECT user_id, bucket, sum(t) AS stt, sum(vm) AS sv, count(*) AS n
+  FROM pb GROUP BY 1, 2
+),
+anch AS (
+  SELECT user_id, bucket,
+         CAST(lag(stt) OVER w AS DOUBLE) / (1.0 * lag(n) OVER w) AS pat,
+         CAST(lag(sv) OVER w AS DOUBLE) / (1000.0 * lag(n) OVER w) AS pav,
+         CAST(lead(stt) OVER w AS DOUBLE) / (1.0 * lead(n) OVER w) AS nat,
+         CAST(lead(sv) OVER w AS DOUBLE) / (1000.0 * lead(n) OVER w) AS nav,
+         max(bucket) OVER (PARTITION BY user_id) AS lastb
+  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+),
+sc AS (
+  SELECT pb.user_id, pb.bucket, pb.ts, pb.value, pb.t, anch.lastb,
+         abs((pat - nat) * (pb.vm / 1000.0 - pav)
+             - (pat - CAST(pb.t AS DOUBLE)) * (nav - pav)) AS area
+  FROM pb JOIN anch USING (user_id, bucket)
+)
+SELECT user_id, CAST(bucket AS INT) AS bucket, ts, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, bucket
+    ORDER BY (CASE WHEN bucket = 0 THEN CAST(t AS DOUBLE)
+                   WHEN bucket = lastb THEN CAST(-t AS DOUBLE)
+                   ELSE -area END), t) AS rk
+  FROM sc
+) WHERE rk = 1
+""")
+def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual downsampling of each user's series to ≤{N} points via
+    mean-anchored Largest-Triangle-Three-Buckets (Steinarsson 2013's
+    LTTB with the neighbor-bucket MEAN as both anchors — the
+    parallelizable variant: classic LTTB anchors on the previously
+    SELECTED point, a sequential dependency; mean-anchoring keeps the
+    shape-preserving triangle criterion but lets every bucket pick
+    independently). First/last buckets keep the series endpoints, as in
+    the paper.
+
+    Plan: bucket ids from integer-micros arithmetic (no float boundary
+    drift), per-bucket exact integer sums, anchors via lag/lead over
+    the per-user bucket summary (≤{N} rows per user), then one
+    row_number per (user, bucket). Three user-keyed exchanges total,
+    all map-combined or bucket-summary-sized; at 100 TB the per-point
+    area math is codegen'd scan work and the only data-sized shuffle is
+    the bucket-stat aggregate."""
+    e = table(spark, sf_dir, "events")
+    p = e.select(
+        "user_id", "ts", "value",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"))
+    rng = p.groupBy("user_id").agg(F.min("t").alias("tmin"),
+                                   F.max("t").alias("tmax"))
+    pb = (p.join(rng, "user_id")
+          .withColumn("bucket", F.expr(
+              f"CAST((t - tmin) div ((tmax - tmin) div {_LTTB_N} + 1)"
+              " AS INT)"))
+          .drop("tmin", "tmax"))
+    st = pb.groupBy("user_id", "bucket").agg(
+        F.sum("t").alias("stt"), F.sum("vm").alias("sv"),
+        F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    wu = Window.partitionBy("user_id")
+    anch = st.select(
+        "user_id", "bucket",
+        (F.lag("stt").over(w).cast("double")
+         / (F.lit(1.0) * F.lag("n").over(w))).alias("pat"),
+        (F.lag("sv").over(w).cast("double")
+         / (F.lit(1000.0) * F.lag("n").over(w))).alias("pav"),
+        (F.lead("stt").over(w).cast("double")
+         / (F.lit(1.0) * F.lead("n").over(w))).alias("nat"),
+        (F.lead("sv").over(w).cast("double")
+         / (F.lit(1000.0) * F.lead("n").over(w))).alias("nav"),
+        F.max("bucket").over(wu).alias("lastb"))
+    sc = pb.join(anch, ["user_id", "bucket"])
+    area = F.abs(
+        (F.col("pat") - F.col("nat"))
+        * (F.col("vm") / F.lit(1000.0) - F.col("pav"))
+        - (F.col("pat") - F.col("t").cast("double"))
+        * (F.col("nav") - F.col("pav")))
+    order_key = (F.when(F.col("bucket") == 0, F.col("t").cast("double"))
+                 .when(F.col("bucket") == F.col("lastb"),
+                       (-F.col("t")).cast("double"))
+                 .otherwise(-area))
+    wb = Window.partitionBy("user_id", "bucket").orderBy(order_key, "t")
+    return (sc.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1)
+            .select("user_id", F.col("bucket").cast("int").alias("bucket"),
+                    "ts", "value"))
+
+
+downsample_lttb.__doc__ = downsample_lttb.__doc__.format(N=_LTTB_N)
+
+
+@query("hll_rollup")
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-user rollup on MERGEABLE HLL sketches
+    (Datasketches via Spark's hll_sketch_agg/hll_union_agg builtins):
+    hourly sketches per event type, then day-level estimates by UNIONING
+    the hourly sketches — never rescanning the facts. This is the
+    continuous-aggregate play `rollup_multilevel` runs on sums, now on
+    the one aggregate sums can't cascade: COUNT DISTINCT. Rows-only by
+    design (DuckDB has no compatible sketch); the gates live in
+    tests/test_operators_unit.py: union-of-hourly-partials is
+    REGISTER-EXACT vs sketching the day directly (same hashes, same
+    register maxima), and the estimate lands within the configured
+    relative-error envelope of the exact count.
+
+    100 TB posture: the fact scan happens ONCE (hourly level, map-side
+    combined, sketch state is fixed 2^lgK registers per group); every
+    coarser level aggregates sketch bytes whose total size is
+    group-count × 1.5 KB — the day rollup never touches the raw log.
+    The exact twin (collect_set) riding the same shuffle is BENCH-SCALE
+    instrumentation for the error column — production drops it; the
+    sketch path alone is the scale-safe operator."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                   # exact twin rides the same shuffle for the error col
+                   F.collect_set("user_id").alias("uset")))
+    day = (hourly.groupBy("event_type",
+                          F.date_trunc("day", F.col("h")).alias("day"))
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .alias("approx_users"),
+                F.size(F.array_distinct(F.flatten(F.collect_list("uset"))))
+                .cast("bigint").alias("exact_users"),
+                F.count("*").cast("int").alias("n_hours")))
+    err = (F.abs(F.col("approx_users") - F.col("exact_users"))
+           / F.col("exact_users"))
+    return day.select("event_type", "day", "n_hours", "approx_users",
+                      "exact_users", F.round(err, 4).alias("rel_err"))
