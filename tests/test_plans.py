@@ -242,3 +242,35 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sample_weighted_is_top_k_heap_no_exchange(spark, sf_dir):
+    """Priority sampling must be TakeOrderedAndProject over the scan —
+    per-partition top-k heaps merged on the driver, zero shuffles."""
+    plan = _physical(_SPECS["sample_weighted"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_bm25_no_corpus_join_for_doc_length(spark, sf_dir):
+    """Document length must ride through the tf aggregate as a grouping
+    key, not come from a second corpus-sized join: the only joins in the
+    plan are the broadcast df/avgdl sides, and ranking is a top-k heap."""
+    plan = _physical(_SPECS["bm25_search"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_time_weighted_avg_reuses_user_partitioning(spark, sf_dir):
+    """The lead() window and the final groupBy both key on user_id — the
+    aggregate must reuse the window's exchange, leaving exactly one
+    user-keyed shuffle in the plan."""
+    plan = _physical(_SPECS["time_weighted_avg"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_joint_calibrate_grid_is_broadcast(spark, sf_dir):
+    """The 9-cell policy grid must broadcast into the corpus-side
+    conditional aggregation — the corpus never shuffles for the grid."""
+    plan = _physical(_SPECS["curation_joint_calibrate"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

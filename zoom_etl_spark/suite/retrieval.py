@@ -75,19 +75,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", _toks().alias("toks"))
     n = tok.agg(F.count("*").cast("double").alias("nd"),
                 F.sum(F.size("toks")).cast("bigint").alias("tottok"))
-    tf = (tok.select("doc_id", F.explode("toks").alias("term"))
+    # dl rides through the tf groupBy as a key (functionally dependent on
+    # doc_id) — no corpus-sized join back for document length
+    tf = (tok.select("doc_id", F.size("toks").alias("dl"),
+                     F.explode("toks").alias("term"))
           .filter(F.col("term").isin("join", "stream", "filter"))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+          .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    dl = tok.select("doc_id", F.size("toks").alias("dl"))
     idf = F.log((F.col("nd") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     score = (idf * F.col("tf") * F.lit(2.2)
              / (F.col("tf") + F.lit(1.2)
                 * (F.lit(0.25) + F.lit(0.75) * F.col("dl")
                    / (F.col("tottok") / F.col("nd")))))
-    sc = (tf.join(dl, "doc_id")
-          .join(F.broadcast(df), "term")
+    sc = (tf.join(F.broadcast(df), "term")
           .crossJoin(F.broadcast(n))
           .groupBy("doc_id").agg(F.sum(score).alias("s")))
     return (sc.select("doc_id", F.round("s", 4).alias("bm25"))
