@@ -163,3 +163,107 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.join(frontier, "p_retailprice")
             .select("p_partkey", "p_retailprice", "p_size",
                     (~dominated).alias("on_skyline")))
+
+
+@query("term_pmi", oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS toks
+  FROM documents
+),
+n AS (SELECT count(*) AS nd FROM tok),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+uni AS (SELECT term, count(*) AS c FROM ex GROUP BY 1),
+pair AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS support,
+       round(ln(CAST(c_ab AS DOUBLE) * nd / (ua.c * ub.c)), 4) AS pmi
+FROM pair
+JOIN uni ua ON ua.term = term_a
+JOIN uni ub ON ub.term = term_b
+CROSS JOIN n
+WHERE c_ab >= 25
+""")
+def term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term pairs co-occurring in the
+    same document (Church & Hanks 1990) — the collocation/association
+    miner behind phrase detection and topic seeding: pmi =
+    ln(P(a,b) / P(a)P(b)) over document-level co-occurrence, reported
+    with support ≥ 25 docs.
+
+    Plan: per-doc DISTINCT terms explode once; the pair generation is a
+    doc-keyed self-join whose per-doc cost is (distinct terms)² —
+    bounded by per-document vocabulary, never corpus size — and the
+    pair aggregate's key domain is vocab², naturally tiny relative to
+    the corpus (heavy tails are bounded because both unigram and pair
+    counts cap at n_docs). Unigram counts broadcast back into the
+    vocab²-sized frame; everything after the explode is
+    vocabulary-sized, the map-combined shape a 100 TB corpus needs.
+    Counts are exact integers; the single ln() rides on exact ratios
+    (the text_tfidf_topk precedent)."""
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
+    tok = d.select("doc_id", F.array_distinct(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("toks"))
+    nd = tok.agg(F.count("*").alias("nd"))
+    ex = tok.select("doc_id", F.explode("toks").alias("term"))
+    uni = ex.groupBy("term").agg(F.count("*").alias("c"))
+    ea = ex.select("doc_id", F.col("term").alias("term_a"))
+    eb = ex.select("doc_id", F.col("term").alias("term_b"))
+    pair = (ea.join(eb, "doc_id")
+            .filter(F.col("term_a") < F.col("term_b"))
+            .groupBy("term_a", "term_b").agg(F.count("*").alias("c_ab"))
+            .filter(F.col("c_ab") >= 25))
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("cb"))
+    return (pair.join(F.broadcast(ua), "term_a")
+            .join(F.broadcast(ub), "term_b")
+            .crossJoin(F.broadcast(nd))
+            .select("term_a", "term_b",
+                    F.col("c_ab").cast("bigint").alias("support"),
+                    F.round(F.log(F.col("c_ab").cast("double") * F.col("nd")
+                                  / (F.col("ca") * F.col("cb"))), 4)
+                    .alias("pmi")))
+
+
+@query("seq_pattern_topk", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pat AS (
+  SELECT a, b, c, count(*) AS support
+  FROM seq WHERE c IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT a, b, c, CAST(support AS BIGINT) AS support
+FROM pat ORDER BY support DESC, a, b, c LIMIT 15
+""")
+def seq_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most frequent 3-step event-type sequences across users —
+    the order-2 extension of ``markov_transitions`` and the simplest
+    member of the sequential-pattern-mining family (contiguous
+    episodes, GSP/PrefixSpan's unit case): which behavioral paths
+    dominate the log.
+
+    Plan: one user-keyed sort window materializes each event's next two
+    types (no sequence explosion — the window carries exactly two
+    leads), then a |types|³-bounded map-combined aggregate and a
+    top-k heap. The window and nothing else touches the full log; at
+    100 TB the pattern space stays types³ regardless of corpus size."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"))
+    return (seq.filter(F.col("c").isNotNull())
+            .groupBy("a", "b", "c")
+            .agg(F.count("*").cast("bigint").alias("support"))
+            .orderBy(F.desc("support"), "a", "b", "c").limit(15))

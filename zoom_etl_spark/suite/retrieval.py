@@ -348,3 +348,36 @@ def curation_joint_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("feasible") & (F.row_number().over(w) == 1))
             .select("qp", "ovt", "cutoff", "kept_docs", "kept_tokens",
                     "cont_rate", "keep_rate", "chosen"))
+
+
+@query("inverted_index", oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+post AS (
+  SELECT term, doc_id
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY 1, 2
+)
+SELECT term, CAST(count(*) AS INT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM post GROUP BY term
+""")
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + sorted postings
+    list — the materialized artifact behind ``bm25_search`` (a real
+    deployment writes this partitioned by term-hash and point-reads
+    postings at query time, the disk-resident-index play dedup/index.py
+    makes for ANN). Postings dedup to (term, doc) BEFORE collecting, so
+    the collect_set holds df entries, bounded by docs-containing-term;
+    the sorted-array comparison makes the oracle order-exact, not just
+    set-equal. One term-keyed shuffle; posting-list skew is the term
+    df distribution itself, the thing a production layout shards by."""
+    d = table(spark, sf_dir, "documents")
+    post = (d.select("doc_id", F.explode(_toks()).alias("term"))
+            .groupBy("term", "doc_id").agg(F.lit(1).alias("_"))
+            .drop("_"))
+    return (post.groupBy("term")
+            .agg(F.count("*").cast("int").alias("df"),
+                 F.sort_array(F.collect_list("doc_id")).alias("postings")))
