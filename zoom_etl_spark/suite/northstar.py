@@ -307,7 +307,46 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.lit(0))).alias("n_bpe"))
 
 
-@query("lang_id_ngram")  # rows-only: corpus-trained argmax not ANSI-SQL-practical
+@query("lang_id_ngram", oracle="""
+WITH tri AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                        i -> substring(text, i, 3)) AS tris
+  FROM documents
+),
+cf AS (
+  SELECT lang, tri, count(*) AS cf
+  FROM (SELECT lang, unnest(tris) AS tri FROM tri) GROUP BY 1, 2
+),
+prof AS (
+  SELECT lang, tri FROM (
+    SELECT lang, tri,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cf DESC, tri) AS rk
+    FROM cf
+  ) WHERE rk <= 20
+),
+sc AS (
+  SELECT t.doc_id, p.lang AS cand, count(*) AS score
+  FROM (SELECT doc_id, unnest(tris) AS tri FROM tri) t
+  JOIN prof p ON p.tri = t.tri
+  GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+fl AS (
+  SELECT d.doc_id, d.lang AS true_lang, l.lang AS cand,
+         coalesce(s.score, 0) AS score
+  FROM tri d CROSS JOIN langs l
+  LEFT JOIN sc s ON s.doc_id = d.doc_id AND s.cand = l.lang
+)
+SELECT doc_id, true_lang, cand AS pred_lang, CAST(score AS BIGINT) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand) AS rk
+      FROM fl)
+WHERE rk = 1
+""")  # the train→broadcast→argmax loop is deterministic, so the whole
+# pipeline (profiles from the corpus itself, multiplicity-counted hits,
+# score-then-lang argmax) is SQL-statable — upgraded from rows-only
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID, trained on the corpus itself:
     per-lang top-trigram profiles (small → broadcast) scored against each

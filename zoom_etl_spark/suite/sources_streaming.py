@@ -15,11 +15,19 @@ from ..sources.multimodal import attach_fake_media, decode_media
 from ..streaming.ingest import read_events_stream, run_available_now, windowed_counts
 
 
-@query("paginated_scan")  # rows-only: custom Python DataSource
+@query("paginated_scan", oracle="""
+SELECT range AS key,
+       CAST(300 * (range % 3) + (range % 7 + 1) * 10 AS BIGINT) AS n_rows,
+       CAST(range % 3 + 1 AS INT) AS n_pages
+FROM range(0, 24)
+""")
 def paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-partitioned paginated REST scan (ref extract.py:27-47) via the
     Spark 4 Python Data Source API — each partition walks its own page
-    loop; summarized per key so the check is stable."""
+    loop; summarized per key. The fake transport synthesizes pages by a
+    fixed arithmetic rule (rest.py::_fake_fetch_page), so the oracle
+    states that rule in closed form — the scan, partition-parallel page
+    walk, retry seam and union are all on the Spark side of the check."""
     rest.register(spark)
     df = (spark.read.format("paginated_rest")
           .option("nkeys", "24").option("numpartitions", "8").load())
@@ -28,9 +36,22 @@ def paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.max("page") + 1).alias("n_pages")))
 
 
-@query("url_encode_twice")  # rows-only: Spark/DuckDB URL-encoding dialects differ
+@query("url_encode_twice", oracle="""
+SELECT c_custkey AS id,
+       replace(replace(replace(replace(
+           c_name || ' ' || c_mktsegment,
+           '#', '%23'), ' ', '+'),
+           '%', '%25'), '+', '%2B') AS encoded
+FROM customer
+""")
 def url_encode_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Double URL-encoding of path keys (ref extract.py:141,186)."""
+    """Double URL-encoding of path keys (ref extract.py:141,186). DuckDB
+    has no url_encode, but the input charset here is provably
+    [A-Za-z0-9# ] (TPC-H names + segments), on which
+    x-www-form-urlencoded is exactly two replaces per pass — the oracle
+    states the composition ('#'→%23, ' '→'+', then '%'→%25, '+'→%2B),
+    turning the former rows-only row into a value-exact check scoped to
+    that charset."""
     c = table(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("id"),
@@ -109,7 +130,10 @@ def stream_scd2_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "state", "valid_from", "valid_to", "is_current")
 
 
-@query("sink_partitioned_write")  # rows-only: filesystem side effects
+@query("sink_partitioned_write", oracle="""
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS cnt
+FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+""")
 def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + pruned read-back — the physical design
     replacing the reference's B-tree indexes (ref create_tables.sql:78-81;
@@ -124,12 +148,23 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt")))
 
 
-@query("udtf_tokenize")  # rows-only: Python UDTF
+@query("udtf_tokenize", oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - 1 AS INT) AS last_pos
+FROM tok WHERE len(toks) > 0
+""")
 def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (SURVEY §2.11): one-row→many expansion as a table
     function — the reference's child-collection fetch shape (S7) where
     the expansion logic needs imperative Python. Explode covers the
-    declarative cases; this exercises the UDTF surface."""
+    declarative cases; this exercises the UDTF surface. The corpus has
+    no whitespace runs (verified), so Python str.split() ≡ the oracle's
+    single-space split and the per-doc summary is value-exact — the
+    LATERAL expansion, registration and agg are what the check drives."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id: bigint, pos: int, token: string")
