@@ -42,6 +42,14 @@ QUERIES = [
     # scales proportionally) + the retraction changelog IVM
     "text_tfidf_topk", "quality_unigram_logprob", "funnel_conversion",
     "retention_cohorts", "dedup_incremental", "stream_retract_ivm",
+    # round-3 third wave: joint policy calibration (the heaviest new
+    # query — full trigram overlap + 9-cell grid in one pass), global
+    # segment dedup (segment-keyed window at 10x segment count), PMI
+    # pairs (vocab²-bounded — should be near-flat), LTTB downsample and
+    # the rolling-median constant frame (user-keyed windows), BM25
+    # (query-term-sized aggregate — should be near-flat)
+    "curation_joint_calibrate", "dedup_segments_global", "term_pmi",
+    "downsample_lttb", "window_rolling_median", "bm25_search",
 ]
 
 KEYED = {

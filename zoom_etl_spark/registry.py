@@ -78,6 +78,7 @@ def _load_suite() -> None:
         scoring,
         semantic,
         sources_streaming,
+        stats,
         timeseries,
         tpch,
         windows,

@@ -1,0 +1,131 @@
+"""Statistical analytics over the event log: exact rolling medians,
+contingency-table independence testing, and equal-frequency histograms
+— the hypothesis-testing / distribution-shape layer a warehouse adds
+once plain aggregates exist.
+
+Engine-exactness: the rolling median replicates DuckDB's quantile_cont
+interpolation FORMULA (lower + (upper-lower)*0.5, not (a+b)/2 — the two
+differ in the last ulp); the chi-square statistic is built from exact
+integer cross-products ((o·n − rt·ct)² / (n·rt·ct) per cell) so each
+cell contribution is a single IEEE division on exact integers; the
+equi-depth histogram totals are ntile over a UNIQUE total order
+(rounded value, event_id) so bin membership is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query("window_rolling_median", oracle="""
+SELECT user_id, event_id,
+       round(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS med
+FROM events
+""")
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of ``value`` per user over the trailing
+    11-row frame — the robust-smoothing window the mean-based
+    ``window_running_sum`` family can't express (medians don't
+    decompose, so engines without a median window must materialize the
+    frame). Spark has no median window function: the frame is collected
+    per row (bounded: ≤ 11 values), sorted in-expression, and
+    interpolated with EXACTLY DuckDB's quantile_cont arithmetic
+    (lower + (upper−lower)·0.5) so even-count frames agree bitwise.
+    One user-keyed sort window; frame state is O(11) per row — the
+    constant-frame pattern that scales to any log size."""
+    e = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-10, 0))
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise(lo + (hi - lo) * F.lit(0.5))
+    return e.select("user_id", "event_id", F.round(med, 6).alias("med"))
+
+
+@query("chisq_independence", oracle="""
+WITH cell AS (
+  SELECT event_type, CASE WHEN value < 0.5 THEN 'lo' ELSE 'hi' END AS band,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, band, o,
+         sum(o) OVER (PARTITION BY event_type) AS rt,
+         sum(o) OVER (PARTITION BY band) AS ct,
+         sum(o) OVER () AS n
+  FROM cell
+)
+SELECT event_type, band, CAST(o AS BIGINT) AS o,
+       round(CAST(rt * ct AS DOUBLE) / n, 4) AS expected,
+       round(CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * rt * ct), 4) AS contrib
+FROM tot
+""")
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for event_type × value-band: per
+    cell the observed count, expected count under independence, and the
+    χ² contribution — the contingency-table test every product-analytics
+    stack runs ("does conversion depend on segment?"). The classic
+    formula (o−e)²/e is restated on exact integers —
+    (o·n − rt·ct)² / (n·rt·ct) — so each output is ONE IEEE division of
+    exactly-aggregated integer cross-products: no float accumulation
+    anywhere, engine-exact without tolerance. Plan: one map-combined
+    cell aggregate (|types|×2 cells), marginals via windows over the
+    cell frame (cells-sized, not data-sized)."""
+    e = table(spark, sf_dir, "events")
+    band = F.when(F.col("value") < 0.5, "lo").otherwise("hi")
+    cell = (e.groupBy("event_type", band.alias("band"))
+            .agg(F.count("*").alias("o")))
+    tot = cell.select(
+        "event_type", "band", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("band")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"))
+    dev = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    return tot.select(
+        "event_type", "band", F.col("o").cast("bigint").alias("o"),
+        F.round((F.col("rt") * F.col("ct")).cast("double") / F.col("n"), 4)
+        .alias("expected"),
+        F.round((dev * dev).cast("double")
+                / (F.col("n").cast("double") * F.col("rt") * F.col("ct")), 4)
+        .alias("contrib"))
+
+
+@query("histogram_equidepth", oracle="""
+WITH r AS (
+  SELECT event_type, event_id, round(value, 4) AS v,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY round(value, 4), event_id) AS tile
+  FROM events
+)
+SELECT event_type, CAST(tile AS INT) AS tile,
+       min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS cnt
+FROM r GROUP BY 1, 2
+""")
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (equi-depth) histogram of value per event type —
+    the bin shape optimizers and data-profilers prefer over fixed-width
+    (``histogram_value``) because every bin carries the same evidence.
+    ntile over a UNIQUE total order (rounded value, event_id) makes bin
+    membership engine-exact — ties in raw value are broken
+    deterministically, so both engines cut identical bins. One keyed
+    sort window + a bins-sized aggregate; at 100 TB the same histogram
+    is usually built from a quantile sketch (``agg_approx_quantile``) —
+    this is the exact contract that sketch approximates."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.round("value", 4),
+                                                 "event_id")
+    r = e.select("event_type", "event_id",
+                 F.round("value", 4).alias("v"),
+                 F.ntile(10).over(w).alias("tile"))
+    return (r.groupBy("event_type", F.col("tile").cast("int").alias("tile"))
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                 F.count("*").cast("bigint").alias("cnt")))
