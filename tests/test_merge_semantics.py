@@ -85,3 +85,100 @@ def test_merge_rejects_mismatched_columns(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "column mismatch" in str(e)
+
+
+# ---------------------------------------------------------------- merge_into
+
+def _mi_frames(spark):
+    t = spark.createDataFrame(
+        [(1, "F", 10.0), (2, "O", 20.0), (3, "O", 30.0), (4, "P", 40.0)],
+        "k int, status string, price double")
+    s = spark.createDataFrame(
+        [(1, "F", 11.0), (2, "O", 22.0), (9, "N", 90.0)],
+        "k int, status string, price double")
+    return t, s
+
+
+def test_merge_into_three_clauses(spark):
+    from zoom_etl_spark.operators.merge import merge_into
+    t, s = _mi_frames(spark)
+    out = merge_into(
+        t, s, ["k"],
+        matched=[("delete", F.col("t.status") == "F", None),
+                 ("update", None, {"price": F.col("s.price")})],
+        not_matched_insert=True)
+    rows = _state(out)
+    assert (1, "F", 10.0) not in rows and not any(r[0] == 1 for r in rows)
+    assert (2, "O", 22.0) in rows            # updated (price only)
+    assert (3, "O", 30.0) in rows            # untouched target
+    assert (4, "P", 40.0) in rows
+    assert (9, "N", 90.0) in rows            # inserted
+
+
+def test_merge_into_clause_order_first_wins(spark):
+    from zoom_etl_spark.operators.merge import merge_into
+    t, s = _mi_frames(spark)
+    # same clauses, reversed: the unconditional update now shadows delete
+    out = merge_into(
+        t, s, ["k"],
+        matched=[("update", None, {"price": F.col("s.price")}),
+                 ("delete", F.col("t.status") == "F", None)],
+        not_matched_insert=None)
+    rows = _state(out)
+    assert (1, "F", 11.0) in rows            # updated, NOT deleted
+    assert not any(r[0] == 9 for r in rows)  # no insert clause
+
+
+def test_merge_into_insert_condition_and_null_keys(spark):
+    from zoom_etl_spark.operators.merge import merge_into
+    t, _ = _mi_frames(spark)
+    s = spark.createDataFrame(
+        [(None, "N", 5.0), (9, "N", 90.0), (8, "X", 80.0)],
+        "k int, status string, price double")
+    out = merge_into(t, s, ["k"], matched=(),
+                     not_matched_insert=F.col("s.status") == "N")
+    rows = _state(out)
+    assert (None, "N", 5.0) in rows          # NULL key → insert path
+    assert (9, "N", 90.0) in rows
+    assert not any(r[1] == "X" for r in rows)  # insert condition filtered
+
+
+def test_merge_into_not_matched_by_source_delete(spark):
+    from zoom_etl_spark.operators.merge import merge_into
+    t, s = _mi_frames(spark)
+    out = merge_into(
+        t, s, ["k"],
+        matched=[("update", None, {"price": F.col("s.price")})],
+        not_matched_insert=None,
+        not_matched_by_source=[("delete", F.col("t.status") == "P", None)])
+    rows = _state(out)
+    assert not any(r[0] == 4 for r in rows)  # P row absent from source → deleted
+    assert (3, "O", 30.0) in rows            # absent but not P → kept
+
+
+def test_merge_into_ambiguous_match_raises(spark):
+    import pytest
+    from zoom_etl_spark.operators.merge import merge_into
+    t, _ = _mi_frames(spark)
+    s = spark.createDataFrame(
+        [(2, "O", 21.0), (2, "O", 22.0)], "k int, status string, price double")
+    out = merge_into(t, s, ["k"],
+                     matched=[("update", None, {"price": F.col("s.price")})],
+                     not_matched_insert=True)
+    with pytest.raises(Exception, match="MERGE ambiguity"):
+        out.collect()
+
+
+def test_merge_into_duplicate_source_ok_when_no_clause_fires(spark):
+    """Duplicate source keys are legal when no matched clause's condition
+    holds for that key — only an APPLYING clause makes it ambiguous."""
+    from zoom_etl_spark.operators.merge import merge_into
+    t, _ = _mi_frames(spark)
+    s = spark.createDataFrame(
+        [(2, "O", 21.0), (2, "O", 22.0)], "k int, status string, price double")
+    out = merge_into(t, s, ["k"],
+                     matched=[("update", F.col("t.status") == "F",
+                               {"price": F.col("s.price")})],
+                     not_matched_insert=None)
+    rows = _state(out)
+    assert (2, "O", 20.0) in rows            # kept unchanged, no error

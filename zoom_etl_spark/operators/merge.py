@@ -112,3 +112,131 @@ def staging_merge(staging: DataFrame, parent: DataFrame, target: DataFrame,
     retained = (staging.join(F.broadcast(parent_keys), staging_parent_key, "left_anti")
                 .select(*cols))
     return merge_upsert(target, mergeable, merge_keys), retained
+
+
+class MergeAmbiguityError(Exception):
+    """More than one source row matched a target row while a matched
+    clause applied — SQL MERGE / Delta both reject this at runtime."""
+
+
+def merge_into(target: DataFrame, source: DataFrame, keys: Sequence[str],
+               matched: Sequence[tuple] = (),
+               not_matched_insert=None,
+               not_matched_by_source: Sequence[tuple] = ()) -> DataFrame:
+    """Full three-clause MERGE INTO (SQL:2003 + the Delta/Iceberg
+    WHEN NOT MATCHED BY SOURCE extension) as one key-keyed full-outer
+    join — the storage-agnostic rewrite of ``MERGE INTO t USING s ON
+    t.k = s.k WHEN MATCHED [AND c] THEN UPDATE/DELETE WHEN NOT MATCHED
+    [AND c] THEN INSERT WHEN NOT MATCHED BY SOURCE [AND c] THEN
+    UPDATE/DELETE``. Generalizes ``merge_upsert`` (which is the special
+    case: one unconditional matched-update + unconditional insert);
+    reference parity: src/db/load.py:77-92 ON CONFLICT upsert.
+
+    ``matched`` / ``not_matched_by_source``: ordered clause tuples
+    ``(action, condition, assignments)`` with action ``'update'`` or
+    ``'delete'``, condition a Column over aliases ``t``/``s`` (None =
+    always), assignments a {col: Column} map (None = all source
+    columns; ignored for delete). SQL clause-order semantics: the FIRST
+    clause whose condition holds fires; if none fires the target row is
+    kept. ``not_matched_insert``: None = no insert, True = insert all
+    unmatched source rows, or a Column condition. NULL-key source rows
+    never match (Postgres ON CONFLICT semantics, like merge_upsert).
+
+    Runtime ambiguity check (Delta semantics): if more than one source
+    row matches a target row AND a matched clause fires, the action
+    raises ``MergeAmbiguityError`` via a task-side raise_error — a
+    silent last-wins would make the merge nondeterministic under
+    partition order. The duplicate count rides the SAME key shuffle as
+    the join (a window over the source side), so the check is free at
+    any scale.
+
+    Scale: one shuffle per side on the merge key; AQE broadcasts a
+    small source automatically. At 100 TB, partition/bucket the target
+    by the key so only matching partitions rewrite — identical control
+    flow to Delta MERGE's file-pruning (ROADMAP item 1)."""
+    from pyspark.sql import Window
+
+    cols = target.columns
+    null_key = reduce(lambda a, b: a | b, (F.col(k).isNull() for k in keys))
+    src_keyed = source.filter(~null_key).withColumn(
+        "__src_cnt", F.count("*").over(Window.partitionBy(*keys)))
+    src_nullkey = source.filter(null_key)
+
+    s = src_keyed.alias("s")
+    t = target.alias("t")
+    cond = reduce(lambda a, b: a & b,
+                  (F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys))
+    j = t.join(s, cond, "full_outer")
+    in_t = reduce(lambda a, b: a | b,
+                  (F.col(f"t.{k}").isNotNull() for k in keys))
+    in_s = reduce(lambda a, b: a | b,
+                  (F.col(f"s.{k}").isNotNull() for k in keys))
+
+    def _row(assignments, side_default):
+        out = []
+        for c in cols:
+            if assignments and c in assignments:
+                out.append(assignments[c].alias(c))
+            elif assignments is None and side_default == "s":
+                out.append(F.col(f"s.{c}").alias(c))
+            else:
+                out.append(F.col(f"t.{c}").alias(c))
+        return F.struct(*out)
+
+    keep_t = F.struct(*[F.col(f"t.{c}").alias(c) for c in cols])
+
+    # matched path: first clause wins; unmatched clauses keep the row
+    matched_expr = keep_t
+    fired = F.lit(False)
+    for action, clause_cond, assignments in reversed(list(matched)):
+        c = clause_cond if clause_cond is not None else F.lit(True)
+        if action == "update":
+            this = _row(assignments, "s")
+        elif action == "delete":
+            this = F.lit(None)
+        else:
+            raise ValueError(f"unknown matched action {action!r}")
+        matched_expr = F.when(c, this).otherwise(matched_expr)
+        fired = F.when(c, F.lit(True)).otherwise(fired)
+    # ambiguity: >1 source row matched AND some clause fires — raise in
+    # the task (CASE short-circuits, so the error fires only on the
+    # offending rows; NullType coerces into the struct branch type)
+    if matched:
+        matched_expr = F.when(
+            (F.col("__src_cnt") > 1) & fired,
+            F.raise_error(F.lit(
+                "MERGE ambiguity: multiple source rows matched one "
+                "target row while a matched clause applied"))
+        ).otherwise(matched_expr)
+
+    # not-matched-by-source path (target only)
+    nmbs_expr = keep_t
+    for action, clause_cond, assignments in reversed(list(not_matched_by_source)):
+        c = clause_cond if clause_cond is not None else F.lit(True)
+        this = _row(assignments, "t") if action == "update" else F.lit(None)
+        nmbs_expr = F.when(c, this).otherwise(nmbs_expr)
+
+    # not-matched path (source only)
+    if not_matched_insert is None:
+        ins_expr = F.lit(None)
+    else:
+        ins_cond = (F.lit(True) if not_matched_insert is True
+                    else not_matched_insert)
+        ins_expr = F.when(ins_cond, _row(None, "s"))
+
+    row = (F.when(in_t & in_s, matched_expr)
+           .when(in_t, nmbs_expr)
+           .otherwise(ins_expr))
+    out = (j.select(row.alias("__row"))
+           .filter(F.col("__row").isNotNull())
+           .select("__row.*"))
+    if not_matched_insert is not None:
+        ins_cond = (F.lit(True) if not_matched_insert is True
+                    else not_matched_insert)
+        # NULL-key source rows never match: straight to the insert path.
+        # Their clause condition may reference s.* only (no t side).
+        nk = src_nullkey.alias("s")
+        out = out.unionByName(
+            nk.filter(ins_cond).select(*[F.col(f"s.{c}").alias(c)
+                                         for c in cols]))
+    return out

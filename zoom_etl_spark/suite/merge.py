@@ -146,3 +146,54 @@ def staging_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged_tagged = new_target.select(F.lit("merged").alias("state"), "*")
     retained_tagged = retained.select(F.lit("retained").alias("state"), "*")
     return merged_tagged.unionByName(retained_tagged)
+
+
+@query("merge_three_clause", oracle="""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 < 3
+),
+ins AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+kept AS (
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice,
+         t.o_orderdate, t.o_orderpriority
+  FROM orders t LEFT JOIN upd u USING (o_orderkey)
+  WHERE NOT (u.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F')
+)
+SELECT * FROM kept UNION ALL SELECT * FROM ins
+""")
+def merge_three_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-clause MERGE INTO (operators/merge.py::merge_into):
+    WHEN MATCHED AND status='F' THEN DELETE (first clause wins — a
+    finished order touched by a change feed is retired), WHEN MATCHED
+    THEN UPDATE SET price = s.price (repricing; the delta is an exact
+    float add — a ×1.1-then-round variant tripped the one-ulp
+    HALF_UP-vs-nearest divergence between engines on ~1/10k rows), WHEN NOT MATCHED THEN
+    INSERT (new orders). The oracle restates the clause algebra as
+    left-join CASE logic; the engine plan is ONE key-keyed full-outer
+    join with the clause cascade as a codegen'd CASE over row structs,
+    plus the Delta-style multi-match runtime guard riding the same
+    shuffle. Generalizes the reference's ON CONFLICT upsert
+    (src/db/load.py:77-92) to the standard's full clause set."""
+    from ..operators.merge import merge_into
+    o = table(spark, sf_dir, "orders")
+    upd = (o.filter(F.col("o_orderkey") % 10 < 3)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+    ins = (o.filter(F.col("o_orderkey") % 100 == 0)
+           .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000_000))
+    src = upd.unionByName(ins)
+    return merge_into(
+        o, src, ["o_orderkey"],
+        matched=[
+            ("delete", F.col("t.o_orderstatus") == "F", None),
+            ("update", None, {"o_totalprice": F.col("s.o_totalprice")}),
+        ],
+        not_matched_insert=True)
