@@ -168,3 +168,44 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lit(None).cast("string"),
                    F.col("o_orderstatus")).alias("never_null"),
     )
+
+
+@query("map_funcs_wide", oracle="""
+SELECT event_id,
+       3 AS n_keys,
+       'k,type,uid' AS keys,
+       array_to_string(list_sort([upper(event_type),
+                                  CAST(user_id AS VARCHAR),
+                                  json_extract_string(props, '$.k')]), ',')
+         AS vals_upper,
+       array_to_string(list_sort(['k=' || json_extract_string(props, '$.k'),
+                                  'type=' || event_type,
+                                  'x=1']), ',') AS filtered_plus
+FROM events
+""")
+def map_funcs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed function sweep (completing the scalar surface next to
+    the array/string/date/regexp sweeps): create_map, map_keys,
+    map_values, transform_values, map_filter, map_concat, map_entries —
+    the nested-data ops a props/attributes column needs. Outputs are
+    normalized to sorted joined strings because map iteration order is
+    undefined in BOTH engines — the oracle states the semantic content,
+    the Spark side exercises the real map operators. Row-local
+    expressions only: zero shuffle at any scale."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("k"), F.get_json_object("props", "$.k"))
+    m_upper = F.transform_values(m, lambda k, v: F.upper(v))
+    m_filt = F.map_filter(m, lambda k, v: k != F.lit("uid"))
+    m_plus = F.map_concat(m_filt, F.create_map(F.lit("x"), F.lit("1")))
+    ent = F.transform(F.map_entries(m_plus),
+                      lambda e_: F.concat(e_.key, F.lit("="), e_.value))
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.array_join(F.array_sort(F.map_values(m_upper)), ",")
+        .alias("vals_upper"),
+        F.array_join(F.array_sort(ent), ",").alias("filtered_plus"))

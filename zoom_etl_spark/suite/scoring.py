@@ -163,3 +163,21 @@ def quality_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (feats.crossJoin(F.broadcast(cut))
             .select("doc_id", "quality", "cutoff",
                     (F.col("quality") >= F.col("cutoff")).alias("keep")))
+
+
+@query("bpe_train")  # rows-only: iterative, data-dependent merge loop
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): 10 merge
+    rules learned from the corpus — the tokenizer-training member of
+    the LLM-pipeline family. Corpus scanned ONCE into a (word, freq)
+    vocabulary; each merge is a vocabulary-sized pair-count aggregate +
+    a 1-row argmax collect. Gated by exact equivalence with a
+    pure-Python reference trainer (tests/test_bpe.py) — iterative loops
+    are outside ANSI SQL, so no oracle by design."""
+    from ..functions.bpe import train_bpe
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
+    merges = train_bpe(d, "text", n_merges=10)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "step int, left string, right string, cnt bigint")
