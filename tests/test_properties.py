@@ -122,3 +122,62 @@ def test_band_join_matches_bruteforce(spark, left, right):
             for j, (_rk, rt, _p) in enumerate(right)
             if abs(t - rt) <= WIDTH}
     assert got == want
+
+
+# ------------------------------------------------------- merge_into model
+
+_MI_ROWS = st.lists(
+    st.tuples(st.integers(0, 9),                     # key
+              st.sampled_from(["F", "O", "P"]),      # status
+              st.integers(0, 99)),                   # price (int: exact)
+    min_size=0, max_size=12)
+
+
+def _mi_model(target, source, upd_first):
+    """Pure-Python MERGE model: clauses = [delete if status=='F',
+    update price] in the given order, unconditional insert. Source is
+    pre-deduped on key (ambiguity is its own test)."""
+    smap = {k: (s_, p) for k, s_, p in source}
+    out = []
+    for k, status, price in target:
+        if k in smap:
+            if upd_first:
+                out.append((k, status, smap[k][1]))       # update wins
+            elif status == "F":
+                continue                                   # deleted
+            else:
+                out.append((k, status, smap[k][1]))
+        else:
+            out.append((k, status, price))
+    tkeys = {k for k, _, _ in target}
+    out += [(k, s_, p) for k, (s_, p) in
+            ((k, v) for k, v in smap.items()) if k not in tkeys]
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(target=_MI_ROWS, source=_MI_ROWS, upd_first=st.booleans())
+def test_merge_into_matches_model(spark, target, source, upd_first):
+    """merge_into ≡ the row-by-row SQL-standard model for arbitrary
+    target/source/clause-order combinations (first-clause-wins, delete
+    on F, all-source insert). Source deduped on key: the ambiguity path
+    raises by contract and has its own test."""
+    from zoom_etl_spark.operators.merge import merge_into
+    seen = set()
+    source = [r for r in source
+              if r[0] not in seen and not seen.add(r[0])]
+    # de-dup target keys too: a real target has unique merge keys
+    tseen = set()
+    target = [r for r in target
+              if r[0] not in tseen and not tseen.add(r[0])]
+    schema = "k int, status string, price int"
+    t = spark.createDataFrame(target, schema)
+    s = spark.createDataFrame(source, schema)
+    clauses = [("delete", F.col("t.status") == "F", None),
+               ("update", None, {"price": F.col("s.price")})]
+    if upd_first:
+        clauses = clauses[::-1]
+    out = merge_into(t, s, ["k"], matched=clauses, not_matched_insert=True)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _mi_model(target, source, upd_first)

@@ -129,3 +129,82 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.groupBy("event_type", F.col("tile").cast("int").alias("tile"))
             .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
                  F.count("*").cast("bigint").alias("cnt")))
+
+
+_PROFILE_COLS = [
+    # (name, spark/duck min-max expression is the rounded/cast value)
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_returnflag", "l_linestatus",
+]
+
+
+@query("analyze_table_stats", oracle="""
+SELECT 'l_orderkey' AS col, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+UNION ALL
+SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+       count(DISTINCT l_partkey),
+       CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+       count(DISTINCT l_suppkey),
+       CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+       count(DISTINCT l_linenumber),
+       CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       count(DISTINCT l_quantity),
+       CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+       CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+       count(DISTINCT l_linestatus), min(l_linestatus), max(l_linestatus)
+FROM lineitem
+""")
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column profile of the fact table: per column
+    the row count, null count, EXACT distinct count, and min/max — the
+    statistics a cost-based optimizer (and every data-profiler /
+    dq-monitor) feeds on; the reference has no ANALYZE at all (heuristic
+    indexes only, SURVEY §4.1). All seven columns profile in ONE pass
+    over the scan (a single aggregate computes every stat — Spark plans
+    count(DISTINCT a), count(DISTINCT b), … via one expand + two
+    aggregates, the standard multi-distinct rewrite), then the 1-row
+    frame unpivots to the stats report. At 100 TB the same report runs
+    with approx_count_distinct swapped in per column — the exact
+    contract is what the sketch approximates (the agg_approx_quantile
+    pairing). Doubles are quantized before min/max stringification so
+    both engines print identical literals."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        mm = (F.min(c), F.max(c))
+        if c == "l_quantity":  # double: quantize before stringify
+            mm = (F.min(c).cast("bigint"), F.max(c).cast("bigint"))
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            mm[0].cast("string").alias(f"{c}__min"),
+            mm[1].cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__ndv, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "as (col, n, n_null, ndv, min_s, max_s)")
