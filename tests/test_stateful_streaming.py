@@ -357,3 +357,37 @@ def test_retract_ivm_downstream_consumer(spark, sf_dir):
     want = e.agg(F.count("*").alias("n"), F.sum("value").alias("s")).collect()[0]
     assert got.n == want.n
     assert abs(got.s - want.s) < 1e-6
+
+
+def test_anomaly_ivm_planted_outlier(spark, tmp_path):
+    """A user with 10 flat values then a spike: the spike (and only the
+    spike) is flagged; the warm-up events are not, and a second flat
+    user flags nothing."""
+    import pandas as pd
+    from zoom_etl_spark.streaming.ingest import (read_events_stream,
+                                                 run_available_now)
+    from zoom_etl_spark.streaming.stateful import anomaly_maintain
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    eid = 0
+    for i in range(11):
+        # user 1: 0.50 ± tiny jitter, then a 0.99 spike at the end
+        v = 0.99 if i == 10 else 0.50 + (i % 3) * 0.001
+        rows.append((eid, base + pd.Timedelta(minutes=i), 1, "view", v, "{}"))
+        eid += 1
+        rows.append((eid, base + pd.Timedelta(minutes=i), 2, "view", 0.5, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    src = str(tmp_path / "anom_src")
+    (spark.createDataFrame(pdf).coalesce(1)
+     .write.parquet(f"{src}/events.parquet"))
+    stream = read_events_stream(spark, src)
+    out = anomaly_maintain(stream)
+    run_available_now(out, "anom_planted_log", output_mode="append",
+                      n_state_partitions=4)
+    got = {(r.user_id, r.event_id): r.is_anom
+           for r in spark.table("anom_planted_log").collect()}
+    flagged = {k for k, v in got.items() if v}
+    assert flagged == {(1, 20)}, flagged   # only user 1's spike (11th event)
+    assert len(got) == 22                  # every event got a verdict

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -305,3 +306,59 @@ def lastwins_finalize(emitted: DataFrame) -> DataFrame:
     return topk_per_group(
         emitted, keys=["user_id"],
         order=[F.col("ts").desc(), F.col("event_id").desc()], k=1)
+
+
+# ----------------------------------------------------- prefix-anomaly IVM
+
+ANOM_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("event_id", LongType(), True),
+    StructField("is_anom", BooleanType(), True),
+])
+
+ANOM_STATE_SCHEMA = StructType([
+    StructField("n", LongType(), True),
+    StructField("s", LongType(), True),    # Σ floor(value*1000) — exact
+    StructField("ss", LongType(), True),   # Σ v² in milli² — exact
+])
+
+
+def _anom_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Per-event prefix z-score flag from EXACT integer moments: an
+    event is anomalous iff ≥10 prior events exist and
+    (v·n − s)² > 9·(n·ss − s²) — the |v−μ|>3σ test cleared of every
+    float division, so the streaming path and the batch window twin
+    agree bitwise. State is three BIGINTs per user, O(1) forever."""
+    n, s, ss = state.get if state.exists else (0, 0, 0)
+    batch = pd.concat(list(pdfs))
+    batch = batch.sort_values(["ts", "event_id"])
+    v = np.floor(batch["value"].to_numpy() * 1000).astype(np.int64)
+    flags = np.zeros(len(v), dtype=bool)
+    for i, vm in enumerate(v):
+        if n >= 10:
+            dev = vm * n - s
+            flags[i] = dev * dev > 9 * (n * ss - s * s)
+        n += 1
+        s += int(vm)
+        ss += int(vm) * int(vm)
+    state.update((int(n), int(s), int(ss)))
+    yield pd.DataFrame({
+        "user_id": batch["user_id"].to_numpy(),
+        "event_id": batch["event_id"].to_numpy(),
+        "is_anom": flags,
+    })
+
+
+def anomaly_maintain(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained per-user outlier flags (the streaming twin
+    of the batch ``anomaly_zscore`` shape, but on the PREFIX — each event
+    judged against only the history that preceded it, which is the only
+    thing an online detector can do). Append mode: each event's verdict
+    is final the moment it is scored. Requires per-key event-time order
+    across batches (the single-file availableNow drain guarantees it;
+    an out-of-order source would need the scd2-style watermark buffer)."""
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(_anom_update, ANOM_OUTPUT_SCHEMA,
+                                    ANOM_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.NoTimeout))

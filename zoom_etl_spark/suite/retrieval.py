@@ -334,7 +334,10 @@ def curation_joint_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.when(keep, F.round(F.col("o") * 10000)
                                .cast("long")).otherwise(0)).alias("ovsum"),
                   F.count("*").alias("total")))
-    cont = F.round(F.col("ovsum") / (F.lit(10000.0) * F.col("kept_docs")), 4)
+    # empty cells: DuckDB yields NULL on a zero divisor, ANSI Spark
+    # errors — try_divide restores the NULL contract
+    cont = F.round(F.try_divide(F.col("ovsum"),
+                                F.lit(10000.0) * F.col("kept_docs")), 4)
     krate = F.round(F.col("kept_docs") / (F.lit(1.0) * F.col("total")), 4)
     scored = cells.select(
         "qp", "ovt", "cutoff", "kept_docs", "kept_tokens",
@@ -381,3 +384,86 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (post.groupBy("term")
             .agg(F.count("*").cast("int").alias("df"),
                  F.sort_array(F.collect_list("doc_id")).alias("postings")))
+
+
+@query("pipeline_hybrid_search", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKSQL} AS toks FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(len(toks)) AS BIGINT) AS tottok
+      FROM tok),
+tf AS (
+  SELECT doc_id, len(toks) AS dl, term, count(*) AS tf
+  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM tok)
+  WHERE term IN ('join', 'stream', 'filter')
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl / (tottok / nd)))), 4) AS bm25
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY 1
+),
+lex AS (SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 50),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT l.doc_id, l.bm25,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS cos
+  FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id CROSS JOIN q
+)
+SELECT doc_id, bm25, cos
+FROM rer ORDER BY cos DESC, doc_id LIMIT 10
+""")
+def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval COMPOSED end to end — the standard two-stage
+    search stack: BM25 lexical recall (top-50 candidates from the
+    inverted-posting aggregate) followed by dense reranking (cosine to
+    the query embedding over candidates only), final top-10 by dense
+    score. Candidates without an embedding drop at the rerank join —
+    exactly what a production hybrid stack does when the dense index
+    lags the lexical one.
+
+    Scale shape: stage 1 is the bm25_search plan (query-term-sized
+    aggregate + top-k heap); stage 2 touches ONLY the 50 candidates —
+    the embedding table is probed via an equi-join on the candidate ids
+    (at 100 TB: a point-lookup against the dedup/index.py layout), and
+    the O(dim) cosine runs 50 times, not corpus-times. The expensive
+    side of hybrid search stays bounded by the recall budget, never the
+    corpus."""
+    from ..functions.vectors import cosine_similarity
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    tok = d.select("doc_id", _toks().alias("toks"))
+    n = tok.agg(F.count("*").cast("double").alias("nd"),
+                F.sum(F.size("toks")).cast("bigint").alias("tottok"))
+    tf = (tok.select("doc_id", F.size("toks").alias("dl"),
+                     F.explode("toks").alias("term"))
+          .filter(F.col("term").isin("join", "stream", "filter"))
+          .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("nd") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    score = (idf * F.col("tf") * F.lit(2.2)
+             / (F.col("tf") + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl")
+                   / (F.col("tottok") / F.col("nd")))))
+    lex = (tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n))
+           .groupBy("doc_id").agg(F.round(F.sum(score), 4).alias("bm25"))
+           .orderBy(F.desc("bm25"), "doc_id").limit(50))
+    qv = (emb.filter(F.col("vec_id") == 0)
+          .select(F.col("embedding").alias("qe")))
+    rer = (F.broadcast(lex)
+           .join(emb, lex.doc_id == emb.vec_id)
+           .crossJoin(F.broadcast(qv))
+           .select("doc_id", "bm25",
+                   F.round(cosine_similarity("embedding", "qe"), 4)
+                   .alias("cos")))
+    return rer.orderBy(F.desc("cos"), "doc_id").limit(10)

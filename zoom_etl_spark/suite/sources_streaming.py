@@ -606,3 +606,42 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                           keys=["query_id"],
                           order=[F.col("sim").desc(),
                                  F.col("neighbor_id").asc()], k=3)
+
+
+@query("stream_anomaly_ivm", oracle="""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS BIGINT) AS n,
+         coalesce(sum(CAST(floor(value * 1000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ps,
+         coalesce(sum(CAST(floor(value * 1000) AS BIGINT)
+                      * CAST(floor(value * 1000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pss
+  FROM events
+)
+SELECT user_id, event_id,
+       n >= 10 AND (v * n - ps) * (v * n - ps) > 9 * (n * pss - ps * ps)
+         AS is_anom
+FROM s
+""")
+def stream_anomaly_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-user outlier flags: each event judged
+    against ONLY the history that preceded it (|v−μ|>3σ over the prefix,
+    warm-up 10 events) — the online-detector twin of the batch
+    ``anomaly_zscore``. State = three exact BIGINT moments per user
+    (O(1) forever, no window buffer); the flag test is cleared of every
+    float division — (v·n − s)² > 9·(n·ss − s²) — so the drained stream
+    matches the batch prefix-window oracle BITWISE, and this streaming
+    operator earns a full value-hash gate. Append mode: a verdict is
+    final when scored, which is exactly what prefix semantics mean."""
+    from ..streaming.stateful import anomaly_maintain
+    stream = read_events_stream(spark, sf_dir)
+    out = anomaly_maintain(stream)
+    run_available_now(out, "stream_anom_log", output_mode="append",
+                      n_state_partitions=16)
+    return spark.table("stream_anom_log").select(
+        "user_id", "event_id", "is_anom")
