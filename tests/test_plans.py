@@ -274,3 +274,21 @@ def test_joint_calibrate_grid_is_broadcast(spark, sf_dir):
     conditional aggregation — the corpus never shuffles for the grid."""
     plan = _physical(_SPECS["curation_joint_calibrate"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_analyze_stats_branches_prune_to_single_column(spark, sf_dir):
+    """Every profile branch must read exactly its own column (pruned
+    ReadSchema) and the plan must contain no Expand (the multi-distinct
+    rewrite this query deliberately avoids)."""
+    plan = _physical(_SPECS["analyze_table_stats"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+    assert "ReadSchema: struct<l_returnflag:string>" in plan
+
+
+def test_hybrid_search_rerank_is_broadcast_probe(spark, sf_dir):
+    """The dense rerank must probe the embedding table via a BROADCAST
+    of the 50 lexical candidates — never shuffle the embedding corpus."""
+    plan = _physical(_SPECS["pipeline_hybrid_search"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -382,3 +382,69 @@ def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.select(F.width_bucket("value", F.lit(0), F.lit(100), F.lit(20))
                      .cast("int").alias("bucket"))
             .groupBy("bucket").agg(F.count("*").cast("long").alias("n")))
+
+
+@query("set_except_all", oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag-semantics difference (each occurrence cancels
+    one occurrence, SQL:1999): the multiplicity-preserving sibling of
+    ``set_except``. Spark plans exceptAll as a counted anti-semantics
+    rewrite (generate over per-key count deltas) — one key shuffle, no
+    distinct, matching the bag algebra exactly."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@query("set_intersect_all", oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag-semantics intersection (min of the two
+    multiplicities per value). Same counted rewrite as EXCEPT ALL."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@query("null_semantics_wide", oracle="""
+SELECT event_id,
+       nullif(event_type, 'error') AS type_or_null,
+       CASE WHEN value IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_tag,
+       (value IS NOT DISTINCT FROM 0.5) AS nullsafe_eq_half,
+       (event_type IN ('click', 'view')) AS in_clickview,
+       (NULL IN ('x')) IS NULL AS null_in_is_null,
+       coalesce(CAST(NULL AS VARCHAR), NULL, event_type, '?') AS first_nonnull
+FROM events
+""")
+def null_semantics_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NULL-semantics sweep pinning the traps every engine pair
+    disagrees on somewhere: NULLIF, NVL2-style presence tags, null-safe
+    equality (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM), NULL membership
+    in IN (three-valued: NULL, not false), and coalesce chains through
+    typed NULLs. Pure row-local codegen; the value of the row is the
+    CONTRACT — these exact truth tables are what §2.2's validation
+    operators rely on."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+        F.nvl2("value", F.lit("has"), F.lit("none")).alias("nvl2_tag"),
+        F.col("value").eqNullSafe(F.lit(0.5)).alias("nullsafe_eq_half"),
+        F.col("event_type").isin("click", "view").alias("in_clickview"),
+        F.lit(None).cast("string").isin("x").isNull()
+        .alias("null_in_is_null"),
+        F.coalesce(F.lit(None).cast("string"), F.lit(None),
+                   F.col("event_type"), F.lit("?")).alias("first_nonnull"))
