@@ -1,0 +1,222 @@
+"""Graph analytics over the purchase graph — iterative fixpoint shapes
+(PageRank, BFS frontiers) that complement the transitive closure in
+``dedup/cluster.py``.
+
+The graph: the bipartite customer→supplier network induced by
+orders ⋈ lineitem (who buys from whom) — the reference's relational
+core (reference src/db/load.py's FK graph) read as an actual graph.
+
+Engine portability: PageRank is computed in EXACT INTEGER arithmetic
+(ranks are 1e-12-scaled bigints, every per-edge contribution floored
+with integer division) so the per-node sums are associative and the
+answer is bit-identical regardless of summation order, partitioning, or
+engine — the same trick as ``trend_linefit``'s integer moments. A
+floating-point PageRank would differ between Spark and the oracle in
+the last ulp and diverge further every iteration.
+
+Scale posture: each PageRank iteration is one |E|-sized equi-join +
+groupBy(dst) (map-side combined) plus two rank-table-sized side
+aggregates; no driver data ever (N and the dangling mass travel as
+1-row broadcast crossJoins). Iterations are a fixed constant (3), so
+the plan is statically bounded; edge/degree inputs are localCheckpointed
+once so the loop reuses them instead of re-shuffling the join. BFS is
+the standard frontier expansion: each hop is a frontier ⋈ edges
+semi-join — linear in touched edges, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_S = 1_000_000_000_000  # rank scale: 1.0 == 1e12
+_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (
+  SELECT 'c' AS kind, c_custkey AS id FROM customer
+  UNION ALL
+  SELECT 's' AS kind, s_suppkey AS id FROM supplier
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+  SELECT kind, id, {_S} // (SELECT n FROM nn) AS r FROM nodes
+)"""
+    iters = []
+    for k in range(1, _ITERS + 1):
+        p = k - 1
+        iters.append(f""",
+contrib{k} AS (
+  SELECT e.dst AS id, sum((850 * r.r) // (1000 * d.deg)) AS c
+  FROM edges e
+  JOIN r{p} r ON r.kind = 'c' AND r.id = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+dang{k} AS (
+  SELECT coalesce(sum((850 * r.r) // 1000), 0) AS dm
+  FROM r{p} r LEFT JOIN deg d ON r.kind = 'c' AND d.src = r.id
+  WHERE r.kind = 's' OR d.src IS NULL
+),
+r{k} AS (
+  SELECT r.kind, r.id,
+         (150 * {_S}) // (1000 * (SELECT n FROM nn))
+           + (SELECT dm FROM dang{k}) // (SELECT n FROM nn)
+           + coalesce(c.c, 0) AS r
+  FROM r{p} r LEFT JOIN contrib{k} c ON r.kind = 's' AND r.id = c.id
+)""")
+    tail = f"""
+SELECT kind, id, r AS rank,
+       round(CAST(r AS DOUBLE) / {_S}.0, 8) AS prob
+FROM r{_ITERS}
+"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, {iters} fixed iterations) over the bipartite
+    customer→supplier purchase graph, in exact integer arithmetic.
+
+    Node set = ALL customers and suppliers (isolated nodes included so N
+    is well-defined); edges = distinct (custkey, suppkey) purchase
+    pairs. Suppliers are sinks and inactive customers have no out-edges,
+    so the dangling-mass redistribution term is exercised for real:
+    r'(v) = (1-d)/N + dangling/N + d·Σ r(u)/deg(u), every term floored
+    in 1e-12-scaled integer space.
+
+    Plan: per iteration one edges⋈deg⋈ranks equi-join feeding a
+    map-combined groupBy(dst) — the only |E|-sized shuffle — plus a
+    rank-sized anti-join for the dangling sum; N and the dangling mass
+    ride as 1-row broadcast crossJoins (no driver collect). Edges and
+    degrees are localCheckpointed once and reused across iterations, so
+    the orders⋈lineitem join runs exactly once.
+    """.format(iters=_ITERS)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+              .select(F.col("o_custkey").alias("src"),
+                      F.col("l_suppkey").alias("dst"))
+              .distinct())
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # attach out-degree to edges ONCE — the loop then only joins ranks
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    cust = table(spark, sf_dir, "customer").select(
+        F.lit("c").alias("kind"), F.col("c_custkey").alias("id"))
+    supp = table(spark, sf_dir, "supplier").select(
+        F.lit("s").alias("kind"), F.col("s_suppkey").alias("id"))
+    nodes = cust.unionByName(supp)
+    nn = nodes.agg(F.count("*").alias("n"))
+    # the dangling SET is static (suppliers + edge-less customers); only
+    # its rank mass changes per iteration — flag it once, no anti-join
+    # inside the loop
+    r = (nodes.join(deg, nodes["id"] == deg["src"], "left")
+              .withColumn("dang",
+                          (F.col("kind") == "s") | F.col("src").isNull())
+              .drop("src", "deg")
+              .crossJoin(F.broadcast(nn))
+              .withColumn("r", F.expr(f"{_S} div n")))
+    for _ in range(_ITERS):
+        cr = (r.filter(F.col("kind") == "c")
+               .select(F.col("id").alias("src"), F.col("r").alias("ru")))
+        contrib = (edges_deg.join(cr, "src")
+                            .groupBy("dst")
+                            .agg(F.sum(F.expr("(850 * ru) div (1000 * deg)"))
+                                  .alias("c")))
+        dm = r.filter("dang").agg(
+            F.coalesce(F.sum(F.expr("(850 * r) div 1000")), F.lit(0))
+             .alias("dm"))
+        r = (r.select("kind", "id", "n", "dang")
+              .join(contrib,
+                    (F.col("kind") == "s") & (F.col("id") == F.col("dst")),
+                    "left")
+              .crossJoin(F.broadcast(dm))
+              .select("kind", "id", "n", "dang",
+                      (F.expr(f"(150 * {_S}) div (1000 * n)")
+                       + F.expr("dm div n")
+                       + F.coalesce(F.col("c"), F.lit(0))).alias("r")))
+    return r.select(
+        "kind", "id", F.col("r").alias("rank"),
+        F.round(F.col("r").cast("double") / F.lit(float(_S)), 8)
+         .alias("prob"))
+
+
+@query("graph_bfs_hops", oracle="""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+seed AS (
+  SELECT s_suppkey AS id
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'GERMANY'
+),
+h1 AS (
+  SELECT DISTINCT e.c AS id FROM edges e JOIN seed ON e.s = seed.id
+),
+h2 AS (
+  SELECT DISTINCT e.s AS id FROM edges e JOIN h1 ON e.c = h1.id
+  WHERE e.s NOT IN (SELECT id FROM seed)
+),
+h3 AS (
+  SELECT DISTINCT e.c AS id FROM edges e JOIN h2 ON e.s = h2.id
+  WHERE e.c NOT IN (SELECT id FROM h1)
+)
+SELECT 's' AS kind, id, 0 AS dist FROM seed
+UNION ALL SELECT 'c' AS kind, id, 1 AS dist FROM h1
+UNION ALL SELECT 's' AS kind, id, 2 AS dist FROM h2
+UNION ALL SELECT 'c' AS kind, id, 3 AS dist FROM h3
+""")
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS distance (≤3) from German suppliers through the
+    undirected bipartite purchase graph: hop 1 = their customers, hop 2
+    = other suppliers those customers also use, hop 3 = those suppliers'
+    other customers — the supply-chain blast-radius question.
+
+    The bipartite structure makes the min-distance exact with one
+    exclusion per hop (even hops are suppliers, odd hops customers, so a
+    node can only reappear two hops later): frontier(k+1) =
+    distinct(neighbors(frontier(k))) anti-join frontier(k-1).
+
+    Plan: each hop is a frontier⋈edges equi-join + distinct + a
+    frontier-sized anti-join — linear in touched edges, the standard
+    distributed BFS step. The edge list is localCheckpointed once;
+    hops are a fixed constant so lineage is statically bounded."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+              .select(F.col("o_custkey").alias("c"),
+                      F.col("l_suppkey").alias("s"))
+              .distinct()
+              .localCheckpoint(eager=False))
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier")
+    seed = (supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+                .filter(F.col("n_name") == "GERMANY")
+                .select(F.col("s_suppkey").alias("id")))
+    h1 = (edges.join(F.broadcast(seed), edges["s"] == seed["id"])
+               .select(F.col("c").alias("id")).distinct())
+    h2 = (edges.join(h1, edges["c"] == h1["id"])
+               .select(F.col("s").alias("id")).distinct()
+               .join(F.broadcast(seed), "id", "left_anti"))
+    h3 = (edges.join(h2, edges["s"] == h2["id"])
+               .select(F.col("c").alias("id")).distinct()
+               .join(h1, "id", "left_anti"))
+    lvl = [seed, h1, h2, h3]
+    kinds = ["s", "c", "s", "c"]
+    out = None
+    for dist, (df, kind) in enumerate(zip(lvl, kinds)):
+        part = df.select(F.lit(kind).alias("kind"), "id",
+                         F.lit(dist).alias("dist"))
+        out = part if out is None else out.unionByName(part)
+    return out
