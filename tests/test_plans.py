@@ -292,3 +292,49 @@ def test_hybrid_search_rerank_is_broadcast_probe(spark, sf_dir):
     plan = _physical(_SPECS["pipeline_hybrid_search"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """The 100 TB join posture when the dim side is too big to broadcast:
+    Catalyst's runtime bloom filter (SPARK-32268) must inject a
+    might_contain pre-filter on the fact scan side of a shuffle join,
+    cutting shuffled fact rows to ~the join's selectivity before the
+    exchange. Not enabled engine-wide here — at bench scale the extra
+    filter-creation subquery costs more than the pruned shuffle saves —
+    but a deployment flips exactly these thresholds, so the capability
+    is locked in as a plan gate (+ result equality vs the plain join)."""
+    cfg = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in cfg}
+    try:
+        for k, v in cfg.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+               .groupBy("o_orderpriority")
+               .agg(F.count("*").alias("n")))
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # result equality against the untouched-config plain join
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    plain = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+               .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+               .collect())
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))

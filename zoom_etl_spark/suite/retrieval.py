@@ -467,3 +467,72 @@ def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(cosine_similarity("embedding", "qe"), 4)
                    .alias("cos")))
     return rer.orderBy(F.desc("cos"), "doc_id").limit(10)
+
+
+_HH_NUM, _HH_DEN = 33, 1000   # heavy-hitter threshold θ = 3.3% of tokens
+_HH_K = 64                    # Misra-Gries counters/partition (≥ DEN/NUM ⇒ lossless)
+
+
+@query("heavy_hitters_terms", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKSQL} AS toks FROM documents
+),
+t AS (SELECT unnest(toks) AS term FROM tok),
+n AS (SELECT count(*) AS c FROM t)
+SELECT term, count(*) AS freq,
+       round(CAST(count(*) AS DOUBLE) / (SELECT c FROM n), 6) AS share
+FROM t GROUP BY term
+HAVING count(*) * {_HH_DEN} >= {_HH_NUM} * (SELECT c FROM n)
+""")
+def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (terms with ≥3.3% of all token
+    occurrences) via the two-pass sketch-then-verify plan — the shape
+    that finds frequent terms over a web-scale vocabulary WITHOUT a
+    vocabulary-sized shuffle.
+
+    Pass 1: per-partition Misra-Gries summaries (k=64 counters, Arrow
+    batches through ``mapInPandas``) emit a candidate set. Losslessness:
+    a term with global share ≥ θ has partition share ≥ θ on at least one
+    partition (pigeonhole), and MG with k ≥ 1/θ keeps every such term
+    (undercount ≤ n_p/(k+1) < θ·n_p), so no true heavy hitter can be
+    missed. Pass 2: exact recount of ONLY the candidates (broadcast
+    semi-join pre-filter) with an integer-arithmetic threshold — the
+    final answer is exact, the sketch only bounds what shuffles.
+
+    Scale: shuffle traffic = candidates (≤ k per partition), never the
+    vocabulary; both corpus passes are scan+map only. The threshold
+    compare is freq·1000 ≥ 33·N in integers — no float boundary."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(_toks()).alias("term"))
+
+    def mg_partition(batches):
+        import pandas as pd
+        counters: dict[str, int] = {}
+        seen = 0
+        for pdf in batches:
+            for term in pdf["term"]:
+                seen += 1
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < _HH_K:
+                    counters[term] = 1
+                else:
+                    counters = {t: c - 1 for t, c in counters.items()
+                                if c > 1}
+        if seen:
+            yield pd.DataFrame(
+                {"term": list(counters) + [None],
+                 "cnt": [0] * len(counters) + [seen]})
+
+    sketch = (terms.mapInPandas(mg_partition, "term string, cnt long")
+                   .localCheckpoint(eager=False))
+    cand = sketch.filter(F.col("term").isNotNull()).select("term").distinct()
+    n = sketch.filter(F.col("term").isNull()).agg(
+        F.sum("cnt").alias("c"))
+    return (terms.join(F.broadcast(cand), "term")
+                 .groupBy("term").agg(F.count("*").alias("freq"))
+                 .crossJoin(F.broadcast(n))
+                 .filter(F.col("freq") * _HH_DEN >= _HH_NUM * F.col("c"))
+                 .select("term", "freq",
+                         F.round(F.col("freq").cast("double") / F.col("c"), 6)
+                          .alias("share")))
