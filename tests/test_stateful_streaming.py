@@ -391,3 +391,44 @@ def test_anomaly_ivm_planted_outlier(spark, tmp_path):
     flagged = {k for k, v in got.items() if v}
     assert flagged == {(1, 20)}, flagged   # only user 1's spike (11th event)
     assert len(got) == 22                  # every event got a verdict
+
+
+def test_topk_ivm_out_of_order_multibatch(spark, sf_dir):
+    """Top-k IVM must converge to the batch leaderboard when
+    micro-batches arrive out of event-time order (newest slice first):
+    additive integer sums are commutative, so replay order must not
+    matter, and the final snapshot (max seq per group) must equal the
+    batch groupBy+rank answer."""
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+    from zoom_etl_spark.streaming.stateful import (topk_finalize,
+                                                   topk_maintain)
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_topk_ooo_")
+    thirds = F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
+    parts = e.withColumn("g", thirds)
+    raw = parts.withColumn("ts", F.unix_micros("ts") * 1000)
+    for g in (1, 2, 3):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    out = topk_maintain(stream)
+    q = (out.writeStream.format("memory").queryName("t_topk_ooo")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.event_type, r.rnk, r.user_id, r.total_milli)
+           for r in topk_finalize(spark.table("t_topk_ooo")).collect()}
+    s = (e.groupBy("event_type", "user_id")
+          .agg(F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                .alias("total_milli")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_milli").desc(), F.col("user_id"))
+    want = {(r.event_type, r.rnk, r.user_id, r.total_milli)
+            for r in (s.withColumn("rnk", F.row_number().over(w))
+                        .filter(F.col("rnk") <= 10)).collect()}
+    assert got == want

@@ -645,3 +645,36 @@ def stream_anomaly_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_state_partitions=16)
     return spark.table("stream_anom_log").select(
         "user_id", "event_id", "is_anom")
+
+
+@query("stream_topk_ivm", oracle="""
+WITH s AS (
+  SELECT event_type, user_id,
+         sum(CAST(floor(value * 1000) AS BIGINT)) AS total_milli
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, total_milli,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_milli DESC, user_id) AS rnk
+  FROM s
+)
+SELECT event_type, rnk, user_id, total_milli FROM r WHERE rnk <= 10
+""")
+def stream_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained exact top-10 leaderboard (users by running
+    value sum, per event type) — the `ORDER BY … LIMIT k` view a
+    streaming materializer keeps hot. State = the full per-group
+    user→sum arrangement (exactness over an unbounded stream requires
+    it; a bounded sketch could only approximate), updated additively in
+    exact 1e-3-grid integers, so the operator is out-of-order tolerant
+    and redelivery-commutative and the drained view value-hash-matches
+    the batch groupBy+rank oracle. Each batch re-emits a complete
+    sequenced top-10 snapshot; the converged view is the last snapshot
+    per group."""
+    from ..streaming.stateful import topk_finalize, topk_maintain
+    stream = read_events_stream(spark, sf_dir)
+    out = topk_maintain(stream)
+    run_available_now(out, "stream_topk_log", output_mode="update",
+                      n_state_partitions=16)
+    return topk_finalize(spark.table("stream_topk_log"))
