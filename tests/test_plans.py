@@ -195,10 +195,17 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
 
 
 def test_band_join_is_hash_not_bnl(spark, sf_dir):
-    """The anchor-free band join must plan as a hash join on the
-    manufactured bin key — never the O(n^2) BroadcastNestedLoopJoin the
-    bare band predicate degenerates to."""
-    plan = _physical(_SPECS["join_band_dates"].fn(spark, sf_dir))
+    """The anchor-free payload-carrying band join must plan as a hash
+    join on the manufactured bin key — never the O(n^2)
+    BroadcastNestedLoopJoin the bare band predicate degenerates to.
+    (The registered join_band_dates query is count-only and plans as
+    aggregate pushdown instead — this gate pins the general operator.)"""
+    from zoom_etl_spark.operators.joins import band_join
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    a = o.select(F.col("o_orderkey").alias("order_id"), day.alias("day_a"))
+    b = o.select(F.col("o_orderkey").alias("okb"), day.alias("day_b"))
+    plan = _physical(band_join(a, b, "day_a", "day_b", band=1))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
