@@ -153,3 +153,36 @@ def test_approx_quantile_rank_error(spark, sf_dir):
         dist = 0 if lt <= target <= le else min(abs(lt - target),
                                                 abs(le - target))
         assert dist <= 0.02 * n, (p, a, lt, le, dist)
+
+
+def test_mv_apply_delta_retractions(spark):
+    """CDC retractions must subtract from the MV state and a fully
+    retracted key must leave the view; a mixed insert+delete delta must
+    land on exactly the from-scratch recompute."""
+    from zoom_etl_spark.operators.mv import agg_state, apply_delta
+
+    base_rows = [(1, 10), (1, 20), (2, 5), (3, 7)]
+    base = spark.createDataFrame(base_rows, "k long, v long")
+    mv = agg_state(base, ["k"], "v")
+    # delta: insert (1,30); update (2,5)->(2,9) as delete+insert; delete (3,7)
+    delta = spark.createDataFrame(
+        [(1, 30, "+"), (2, 5, "-"), (2, 9, "+"), (3, 7, "-")],
+        "k long, v long, op string")
+    got = {(r.k): (r.cnt, r.total)
+           for r in apply_delta(mv, agg_state(delta, ["k"], "v",
+                                              signed=True), ["k"]).collect()}
+    assert got == {1: (3, 60), 2: (1, 9)}  # key 3 fully retracted → gone
+
+
+def test_mv_apply_delta_idempotent_shape(spark):
+    """Applying an EMPTY delta must return the MV unchanged (refresh with
+    no new data is a no-op), including keys untouched by any delta."""
+    from zoom_etl_spark.operators.mv import agg_state, apply_delta
+
+    base = spark.createDataFrame([(1, 10), (2, 5)], "k long, v long")
+    mv = agg_state(base, ["k"], "v")
+    empty = spark.createDataFrame([], "k long, v long")
+    got = {r.k: (r.cnt, r.total)
+           for r in apply_delta(mv, agg_state(empty, ["k"], "v"),
+                                ["k"]).collect()}
+    assert got == {1: (1, 10), 2: (1, 5)}

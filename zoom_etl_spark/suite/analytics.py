@@ -632,3 +632,37 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(qs[0], 3).alias("p50"),
                  F.round(qs[1], 3).alias("p95"),
                  F.round(qs[2], 3).alias("p99")))
+
+
+@query("mv_incremental_refresh", oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       sum(CAST(floor(value * 1000) AS BIGINT)) AS total,
+       round(CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000.0, 6) AS avg_value
+FROM events GROUP BY 1
+""")
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch incremental MV maintenance (`operators/mv.py`): a per-user
+    (cnt, Σvalue) materialized view built from the pre-cutoff history is
+    REFRESHED by aggregating only the post-cutoff delta and merging
+    states per key — cost ∝ delta + touched keys, never ∝ base. The
+    refreshed view must equal the from-scratch aggregate over all
+    events (the oracle), which is exactly the IVM correctness contract;
+    measures live on the exact 1e-3 integer grid so merge order can
+    never drift the totals. Retraction handling (CDC deletes shrinking
+    cnt to zero removes the key) is unit-tested separately in
+    test_operators_unit.py."""
+    from ..operators.mv import agg_state, apply_delta
+    e = table(spark, sf_dir, "events").withColumn(
+        "v", F.floor(F.col("value") * 1000).cast("long"))
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = e.filter(F.col("ts") < cutoff)
+    delta = e.filter(F.col("ts") >= cutoff)
+    mv = agg_state(base, ["user_id"], "v")
+    refreshed = apply_delta(mv, agg_state(delta, ["user_id"], "v"),
+                            ["user_id"])
+    return refreshed.select(
+        "user_id", "cnt", "total",
+        F.round(F.col("total").cast("double") / F.col("cnt") / 1000.0, 6)
+         .alias("avg_value"))
