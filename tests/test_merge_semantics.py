@@ -182,3 +182,42 @@ def test_merge_into_duplicate_source_ok_when_no_clause_fires(spark):
                      not_matched_insert=None)
     rows = _state(out)
     assert (2, "O", 20.0) in rows            # kept unchanged, no error
+
+
+def test_merge_evolve_new_source_column(spark):
+    """evolve=True must widen the target with the update side's new
+    column: matched rows take the update value, untouched target rows
+    backfill NULL, and inserts carry the new column through."""
+    from zoom_etl_spark.operators.merge import evolve_schema
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    u = spark.createDataFrame([(2, "B", 9), (3, "c", 7)],
+                              "k long, v string, w long")
+    got = {r.k: (r.v, r.w)
+           for r in merge_upsert(t, u, keys=["k"], evolve=True).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7)}
+    # helper alone: dropped source columns flow back as NULLs too
+    t2, u2 = evolve_schema(u, t)
+    assert t2.columns == u2.columns
+
+
+def test_merge_evolve_missing_source_column_keeps_target(spark):
+    """An update side MISSING a target column must keep the target's
+    values for matched rows (Delta UPDATE SET * with a narrower
+    source), and inserts get NULL for it."""
+    t = spark.createDataFrame([(1, "a", 5)], "k long, v string, w long")
+    u = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    got = {r.k: (r.v, r.w)
+           for r in merge_upsert(t, u, keys=["k"], evolve=True).collect()}
+    assert got == {1: ("A", 5), 2: ("b", None)}
+
+
+def test_merge_evolve_type_conflict_raises(spark):
+    """Same-named columns with different types must raise — an implicit
+    cast would silently corrupt data."""
+    import pytest
+
+    t = spark.createDataFrame([(1, "a")], "k long, v string")
+    u = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="type conflict"):
+        merge_upsert(t, u, keys=["k"], evolve=True)

@@ -172,3 +172,23 @@ def test_vacuum_min_age_protects_inflight_publisher(spark):
                   _before_claim=vacuum_midway)
     assert v == 2
     assert g.read(spark, "target").count() == 1  # files survived vacuum
+
+
+def test_publish_check_constraint_blocks_commit(spark, tmp_path):
+    """A violating row must abort the publish BEFORE any manifest claim:
+    ConstraintViolation raised, current version unchanged, and a
+    subsequent valid publish works normally."""
+    from zoom_etl_spark.operators.txn import ConstraintViolation, TableGroup
+
+    g = TableGroup(str(tmp_path / "grp"))
+    ok = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    v1 = g.publish({"t": ok}, constraints={"t": "v >= 0"})
+    bad = spark.createDataFrame([(3, 30), (4, -1)], "k long, v long")
+    import pytest
+    with pytest.raises(ConstraintViolation, match="CHECK constraint"):
+        g.publish({"t": bad}, constraints={"t": "v >= 0"})
+    assert g.current_version() == v1            # nothing committed
+    rows = {r.k for r in g.read(spark, "t").collect()}
+    assert rows == {1, 2}                       # visible state untouched
+    v2 = g.publish({"t": ok}, constraints={"t": "v >= 0"})
+    assert v2 == v1 + 1

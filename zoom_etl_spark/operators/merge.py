@@ -29,15 +29,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def evolve_schema(target: DataFrame,
+                  source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Align two frames to their UNION schema (the Delta
+    ``mergeSchema``/autoMerge contract): a column present on only one
+    side is added to the other as a typed NULL — new source columns
+    widen the target (existing rows backfill NULL), dropped source
+    columns keep flowing from the target. Same-named columns must agree
+    exactly on type; an implicit cast would silently corrupt data, so a
+    conflict raises instead (Delta requires an explicit cast too).
+    Column order follows the evolved target. Pure metadata work — adds
+    only NULL-literal projections, nothing is shuffled or rescanned."""
+    tt = dict(target.dtypes)
+    st = dict(source.dtypes)
+    conflicts = sorted(c for c in tt.keys() & st.keys() if tt[c] != st[c])
+    if conflicts:
+        raise ValueError(
+            "schema evolution type conflict on "
+            + ", ".join(f"{c}: {tt[c]} vs {st[c]}" for c in conflicts))
+    for c, typ in source.dtypes:
+        if c not in tt:
+            target = target.withColumn(c, F.lit(None).cast(typ))
+    for c, typ in list(tt.items()):
+        if c not in st:
+            source = source.withColumn(c, F.lit(None).cast(typ))
+    return target, source.select(*target.columns)
+
+
 def merge_upsert(target: DataFrame, updates: DataFrame,
-                 keys: Sequence[str]) -> DataFrame:
+                 keys: Sequence[str], evolve: bool = False) -> DataFrame:
     """All-columns-overwrite upsert of ``updates`` into ``target``.
 
     Key-matched target rows are replaced by the update row; unmatched
     update rows are inserted; unmatched target rows are kept. Update rows
     with any NULL key column always insert (Postgres ON CONFLICT NULL
-    semantics). Column sets must match.
+    semantics). Column sets must match unless ``evolve=True``, which
+    first aligns both sides to the union schema via
+    :func:`evolve_schema` (new update columns widen the target with
+    NULL backfill; absent update columns keep target values).
     """
+    if evolve:
+        target, updates = evolve_schema(target, updates)
     cols = target.columns
     if set(updates.columns) != set(cols):
         raise ValueError(f"column mismatch: {sorted(cols)} vs {sorted(updates.columns)}")

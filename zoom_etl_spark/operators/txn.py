@@ -54,8 +54,14 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class ConstraintViolation(Exception):
+    """A Delta-style CHECK constraint failed during publish — the write
+    aborted before any manifest claim, so no version was committed."""
 
 
 class CommitConflict(Exception):
@@ -142,7 +148,8 @@ class TableGroup:
     def publish(self, dfs: dict[str, DataFrame], meta: dict | None = None,
                 max_retries: int = 5,
                 _before_claim=None,
-                stats_columns: dict[str, list[str]] | None = None) -> int:
+                stats_columns: dict[str, list[str]] | None = None,
+                constraints: dict[str, str] | None = None) -> int:
         """Atomically publish new versions of the given tables.
 
         Tables in the group but not in ``dfs`` carry forward unchanged
@@ -170,14 +177,38 @@ class TableGroup:
         against a different version than it reads. Republishing a table
         WITHOUT stats drops its (now stale) zone map; untouched tables
         carry their zone maps forward with their paths.
+
+        ``constraints`` ({table: SQL predicate}) are Delta-style CHECK
+        constraints enforced DURING the data write: each row is passed
+        through a short-circuiting CASE that raises on violation, so the
+        check costs no extra job or scan. A violating row aborts the
+        write before any manifest is claimed — the group's visible state
+        is untouched (the half-written fresh directory is unreferenced
+        garbage for vacuum) and :class:`ConstraintViolation` is raised.
         """
         base = self.manifest()
         written: dict[str, str] = {}
         v_hint = base["version"] + 1
         for name, df in dfs.items():
+            pred = (constraints or {}).get(name)
+            if pred is not None:
+                # CASE short-circuits: raise_error only evaluates on
+                # violating rows; rides the write pass itself
+                guard = F.when(F.expr(pred), F.lit(True)).otherwise(
+                    F.raise_error(F.lit(
+                        f"CHECK constraint violated on {name!r}: {pred}")))
+                df = df.filter(guard)
             path = os.path.join(self.root, "data", name,
                                 f"v{v_hint:08d}-{uuid.uuid4().hex[:8]}")
-            df.write.mode("error").parquet(path)  # fresh dir: never overwrite
+            try:
+                df.write.mode("error").parquet(path)  # fresh dir: never overwrite
+            except Exception as ex:
+                if "CHECK constraint violated" in str(ex):
+                    raise ConstraintViolation(
+                        f"publish aborted: CHECK constraint failed on "
+                        f"{name!r} ({pred}); no version was committed"
+                    ) from ex
+                raise
             written[name] = path
         zonemaps: dict[str, dict] = {}
         if stats_columns:
