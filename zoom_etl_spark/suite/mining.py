@@ -267,3 +267,130 @@ def seq_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a", "b", "c")
             .agg(F.count("*").cast("bigint").alias("support"))
             .orderBy(F.desc("support"), "a", "b", "c").limit(15))
+
+
+@query("assoc_rules_brands", oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (SELECT count(DISTINCT bid) AS n FROM baskets),
+items AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.item AS ant, b.item AS cons, count(*) AS n_ab
+  FROM baskets a JOIN baskets b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY 1, 2
+),
+both_dir AS (
+  SELECT ant, cons, n_ab FROM pairs
+  UNION ALL
+  SELECT cons, ant, n_ab FROM pairs
+)
+SELECT r.ant, r.cons, r.n_ab,
+       ia.n_item AS n_ant,
+       round(CAST(r.n_ab AS DOUBLE) / nb.n, 6) AS support,
+       round(CAST(r.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round(CAST(r.n_ab AS DOUBLE) * nb.n / (ia.n_item * ic.n_item), 6)
+         AS lift
+FROM both_dir r
+JOIN items ia ON ia.item = r.ant
+JOIN items ic ON ic.item = r.cons
+CROSS JOIN nb
+WHERE r.n_ab * 50 >= nb.n
+""")
+def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal-Srikant support/
+    confidence/lift) over order baskets of part brands: which brands
+    co-sell. Support threshold 2% compared in integers
+    (n_ab·50 ≥ n_baskets); every ratio is ONE IEEE division over exact
+    integer counts, so both engines agree bitwise.
+
+    Plan shape: baskets dedup (one orderkey shuffle), then the pair
+    count self-joins baskets ON the basket id — candidate volume is
+    Σ|basket|², bounded by basket size (≈4 brands/order), never
+    |vocab|²; item and basket totals are item-cardinality-sized
+    broadcasts back onto the rule frame. The classic a-priori trick
+    (prune items below min-support BEFORE pairing) is unnecessary here
+    because baskets are tiny, but composes trivially as a semi-join on
+    `items`."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    # ONE orderkey shuffle builds the basket arrays (collect_set dedups
+    # in the same aggregate); pair generation is then a codegen'd
+    # in-array double transform — no baskets⋈baskets self-join shuffle
+    bl = (li.join(p, li["l_partkey"] == p["p_partkey"])
+            .groupBy(F.col("l_orderkey").alias("bid"))
+            .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
+            .localCheckpoint(eager=False))
+    nb = bl.agg(F.count("*").alias("n"))
+    items = (bl.select(F.explode("items").alias("item"))
+               .groupBy("item").agg(F.count("*").alias("n_item")))
+    pair_arr = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x AS ant, y AS cons))))")
+    pairs = (bl.select(F.explode(pair_arr).alias("pr"))
+               .groupBy(F.col("pr.ant").alias("ant"),
+                        F.col("pr.cons").alias("cons"))
+               .agg(F.count("*").alias("n_ab")))
+    both = pairs.unionByName(
+        pairs.select(F.col("cons").alias("ant"), F.col("ant").alias("cons"),
+                     "n_ab"))
+    ia = items.select(F.col("item").alias("ant"),
+                      F.col("n_item").alias("n_ant"))
+    ic = items.select(F.col("item").alias("cons"),
+                      F.col("n_item").alias("n_cons"))
+    return (both.join(F.broadcast(ia), "ant")
+                .join(F.broadcast(ic), "cons")
+                .crossJoin(F.broadcast(nb))
+                .filter(F.col("n_ab") * 50 >= F.col("n"))
+                .select("ant", "cons", "n_ab", "n_ant",
+                        F.round(F.col("n_ab").cast("double") / F.col("n"), 6)
+                         .alias("support"),
+                        F.round(F.col("n_ab").cast("double")
+                                / F.col("n_ant"), 6).alias("confidence"),
+                        F.round(F.col("n_ab").cast("double") * F.col("n")
+                                / (F.col("n_ant") * F.col("n_cons")), 6)
+                         .alias("lift")))
+
+
+@query("rolling_distinct_users", oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+""")
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU product metric) —
+    EXACT, without the two things that kill it at scale: the days×events
+    range join and the per-day COUNT DISTINCT shuffle. Per user, merge
+    activity days into disjoint coverage intervals [d, d+6] (a gap > 6
+    days starts a new interval — one lag + conditional cumsum over the
+    user's own days), then explode each interval into its covered days:
+    (user, day) pairs are UNIQUE BY CONSTRUCTION (intervals are
+    disjoint), so the per-day tally is a plain map-combined count — the
+    trailing-window distinct-count becomes interval algebra. Days with
+    no activity anywhere drop via one day-domain-sized broadcast
+    semi-join (oracle semantics). Explode volume ≤ 7·|user-days|,
+    linear in input."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gap = F.datediff(F.col("day"), F.lag("day").over(w))
+    marked = ud.withColumn(
+        "new_iv", F.when(gap.isNull() | (gap > 6), 1).otherwise(0))
+    ivd = marked.withColumn(
+        "iv", F.sum("new_iv").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = (ivd.groupBy("user_id", "iv")
+                .agg(F.min("day").alias("lo"),
+                     F.date_add(F.max("day"), 6).alias("hi")))
+    cover = spans.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    days = ud.select("day").distinct()
+    return (cover.join(F.broadcast(days), "day")
+                 .groupBy("day").agg(F.count("*").alias("wau")))
