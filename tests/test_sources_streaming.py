@@ -187,3 +187,26 @@ def test_media_embedding_normalized_and_deterministic(spark, sf_dir):
                for x in rows)
     dup = {x.doc_id: tuple(x.embedding) for x in e.collect()}
     assert {x.doc_id: tuple(x.embedding) for x in rows} == dup
+
+
+def test_db_parallel_read_exactly_once(spark, tmp_path):
+    """Every row must arrive EXACTLY once across strides — including
+    rows below lower and at/above upper (open-ended edge strides) —
+    and a stride count exceeding the key range must still work."""
+    import duckdb
+
+    from zoom_etl_spark.sources.dbread import read_db_partitioned
+
+    db = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k, range * 10 AS v "
+                "FROM range(-5, 105)")  # keys -5..104
+    con.close()
+    # bounds [0, 100) deliberately miss the negative and >=100 tails
+    df = read_db_partitioned(spark, db, "t", "k", 0, 100, 7)
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(-5, 105))          # no loss, no duplicates
+    # more partitions than keys: stride clamps to 1, still exact
+    df2 = read_db_partitioned(spark, db, "t", "k", 0, 4, 9,
+                              predicate="k >= 0 AND k < 4")
+    assert sorted(r.k for r in df2.collect()) == [0, 1, 2, 3]

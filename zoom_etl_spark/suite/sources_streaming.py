@@ -678,3 +678,45 @@ def stream_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(out, "stream_topk_log", output_mode="update",
                       n_state_partitions=16)
     return topk_finalize(spark.table("stream_topk_log"))
+
+
+@query("db_parallel_read", oracle="""
+SELECT event_id, user_id, CAST(floor(value * 1000) AS BIGINT) AS v
+FROM events WHERE value > 2.5
+""")
+def db_parallel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned parallel database read (`sources/dbread.py`) —
+    the `spark.read.jdbc(partitionColumn, lowerBound, upperBound,
+    numPartitions)` contract proven end-to-end against an in-process
+    DuckDB file: the events table is loaded into a database, then read
+    back in 8 key strides, each task opening its own read-only
+    connection and streaming ONE Arrow result set; the row predicate is
+    pushed into every stride's WHERE clause so filtering happens in the
+    database. Edge strides are open-ended (Spark's JDBC semantics), so
+    rows outside the estimated bounds are never lost — exercised here by
+    deliberately under-estimating the upper bound. Swapping the
+    connection factory for JDBC/psycopg2 changes no control flow
+    (ROADMAP item 2)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from ..sources.dbread import read_db_partitioned
+    db = os.path.join(tempfile.gettempdir(),
+                      f"zes_dbread_{abs(hash(sf_dir)) % 10**8}.duckdb")
+    if os.path.exists(db):
+        os.remove(db)
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE ev AS SELECT event_id, user_id, "
+        "CAST(floor(value * 1000) AS BIGINT) AS v, value "
+        f"FROM read_parquet('{sf_dir}/events.parquet')")
+    n = con.sql("SELECT max(event_id) FROM ev").fetchone()[0]
+    con.close()
+    # upper bound deliberately BELOW max(event_id): the last stride's
+    # open upper edge must pick up the tail
+    return read_db_partitioned(
+        spark, db, "ev", "event_id", lower=0, upper=max(int(n) // 2, 1),
+        num_partitions=8, predicate="value > 2.5",
+        columns=["event_id", "user_id", "v"])

@@ -207,3 +207,61 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+@query("drift_psi", oracle="""
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 100 THEN 21
+              ELSE CAST(floor(value / 5) AS INT) + 1 END AS bucket,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS isb
+  FROM events
+),
+c AS (
+  SELECT event_type, bucket,
+         CAST(sum(isb) AS BIGINT) AS nb,
+         CAST(sum(1 - isb) AS BIGINT) AS nc
+  FROM x GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, sum(nb) AS tb, sum(nc) AS tc FROM c GROUP BY 1
+)
+SELECT c.event_type,
+       round(sum(
+         ((nb + 1.0) / (tb + 22.0) - (nc + 1.0) / (tc + 22.0))
+         * ln(((nb + 1.0) / (tb + 22.0))
+              / ((nc + 1.0) / (tc + 22.0)))), 4) AS psi
+FROM c JOIN t USING (event_type)
+GROUP BY 1
+""")
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the month — the standard ML-ops distribution-drift
+    monitor (PSI < 0.1 stable, > 0.25 shifted). Value distributions are
+    compared on the same fixed 20-bin grid as ``histogram_value`` (+
+    under/overflow), add-one smoothed so one-sided empty bins stay
+    finite: psi = Σ (p−q)·ln(p/q).
+
+    Plan: ONE corpus scan → a (type, bucket, period-flag) map-combined
+    conditional aggregate (shuffle is bucket-cardinality-sized), totals
+    are a types-sized second rollup broadcast back — the comparison
+    never joins the two periods row-wise, so cost is one scan at any
+    scale."""
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.width_bucket("value", F.lit(0), F.lit(100), F.lit(20))
+         .cast("int").alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+         .otherwise(0).alias("isb"))
+    c = (x.groupBy("event_type", "bucket")
+          .agg(F.sum("isb").alias("nb"),
+               F.sum(1 - F.col("isb")).alias("nc")))
+    t = c.groupBy("event_type").agg(F.sum("nb").alias("tb"),
+                                    F.sum("nc").alias("tc"))
+    j = c.join(F.broadcast(t), "event_type")
+    p = (F.col("nb") + 1.0) / (F.col("tb") + 22.0)
+    q = (F.col("nc") + 1.0) / (F.col("tc") + 22.0)
+    return (j.groupBy("event_type")
+             .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))
