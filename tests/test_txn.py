@@ -192,3 +192,27 @@ def test_publish_check_constraint_blocks_commit(spark, tmp_path):
     assert rows == {1, 2}                       # visible state untouched
     v2 = g.publish({"t": ok}, constraints={"t": "v >= 0"})
     assert v2 == v1 + 1
+
+
+def test_current_version_hint_probe(spark, tmp_path):
+    """The advisory _last hint must bound version resolution: stale-low
+    and corrupt hints both degrade to the correct answer, and a crash
+    that never wrote a hint still resolves via listing."""
+    import os
+
+    from zoom_etl_spark.operators.txn import TableGroup
+
+    g = TableGroup(str(tmp_path / "g"))
+    df = spark.createDataFrame([(1,)], "k long")
+    for _ in range(4):
+        g.publish({"t": df})
+    assert g.current_version() == 4
+    hint = os.path.join(str(tmp_path / "g"), "_versions", "_last")
+    with open(hint, "w") as f:      # stale-low hint (crash before hint)
+        f.write("2")
+    assert g.current_version() == 4  # probe walks forward
+    with open(hint, "w") as f:      # corrupt hint
+        f.write("garbage")
+    assert g.current_version() == 4  # listing fallback
+    os.remove(hint)                  # no hint at all
+    assert g.current_version() == 4

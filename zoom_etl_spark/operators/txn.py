@@ -89,8 +89,41 @@ class TableGroup:
         return sorted(out)
 
     def current_version(self) -> int | None:
+        """Highest committed version. At high commit rates a full listing
+        per resolve is the log's scaling limit (the checkpoint problem
+        Delta's `_last_checkpoint` solves); the same fix here: an
+        ADVISORY hint file written after each commit bounds the probe.
+        The hint is safe by construction — it is written AFTER the
+        manifest hardlink, so it can only lag (crash between link and
+        hint ⇒ stale-low), and a stale or corrupt hint degrades to the
+        probe/listing path, never to a wrong answer."""
+        hint = self._read_hint()
+        if hint is not None and os.path.exists(self._manifest_path(hint)):
+            v = hint
+            while os.path.exists(self._manifest_path(v + 1)):
+                v += 1  # O(commits since hint), not O(all commits)
+            return v
         vs = self._versions()
         return vs[-1] if vs else None
+
+    def _read_hint(self) -> int | None:
+        try:
+            with open(os.path.join(self._vdir, "_last")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_hint(self, version: int) -> None:
+        """Best-effort monotone hint (atomic replace; losers of a hint
+        race just leave a slightly staler hint — the probe absorbs it)."""
+        tmp = os.path.join(self._vdir, f".hint-{uuid.uuid4().hex}")
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(self._vdir, "_last"))
+        except OSError:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._vdir, f"v{version:08d}.json")
@@ -239,6 +272,7 @@ class TableGroup:
             payload = {"version": v, "tables": {**cur["tables"], **written},
                        "meta": merged_meta}
             if self._try_claim(v, payload):
+                self._write_hint(v)
                 return v
             # lost the race on a DISJOINT commit: rebase onto it and retry
         raise CommitConflict(f"lost the version race {max_retries + 1} times")

@@ -448,3 +448,39 @@ def null_semantics_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("null_in_is_null"),
         F.coalesce(F.lit(None).cast("string"), F.lit(None),
                    F.col("event_type"), F.lit("?")).alias("first_nonnull"))
+
+
+@query("nest_child_collect", oracle="""
+SELECT o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       -- tie-break on the item string: the synthetic data duplicates
+       -- (orderkey, linenumber), and Spark's struct sort breaks those
+       -- ties lexicographically on the payload
+       list(l_partkey || ':' || CAST(l_quantity AS BIGINT)
+            ORDER BY l_linenumber,
+                     l_partkey || ':' || CAST(l_quantity AS BIGINT)) AS items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""")
+def nest_child_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of ``child_explode``: re-nest a child table under its
+    parent as an ORDERED array (the document-building step before a JSON
+    sink or a feature-store write — the reference builds exactly this
+    shape in reverse when it flattens API payloads, src/zoom/
+    transform.py). Line items collect per order, ordered by line number
+    inside the aggregate — sort_array over (sortkey, payload) structs
+    keeps the ordering deterministic under any partitioning, and the
+    order-exact array comparison gates it. One orderkey shuffle; array
+    sizes are bounded by order width (≤7 TPC-H lines), never corpus."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    item = F.concat_ws(
+        ":", F.col("l_partkey"), F.col("l_quantity").cast("long"))
+    pairs = (li.select("l_orderkey", F.struct(
+        F.col("l_linenumber").alias("ln"), item.alias("it")).alias("p")))
+    nested = (pairs.groupBy("l_orderkey")
+                   .agg(F.count("*").alias("n_items"),
+                        F.transform(F.sort_array(F.collect_list("p")),
+                                    lambda s: s["it"]).alias("items")))
+    return (nested.join(o, nested["l_orderkey"] == o["o_orderkey"])
+                  .select("o_orderkey", "n_items", "items"))
