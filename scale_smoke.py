@@ -50,6 +50,15 @@ QUERIES = [
     # (query-term-sized aggregate — should be near-flat)
     "curation_joint_calibrate", "dedup_segments_global", "term_pmi",
     "downsample_lttb", "window_rolling_median", "bm25_search",
+    # round-3 fourth/fifth wave: iterative graph fixpoint (|E| scales
+    # 10x, iteration count must NOT), sketch-then-verify heavy hitters
+    # (candidate set stays k-bounded), WAU interval algebra (explode
+    # stays ≤7·user-days), basket-array association rules, the
+    # aggregate-pushdown band query (day domain unchanged at 10x), the
+    # delta-merge MV refresh, and the keyspace-arrangement top-k IVM
+    "graph_pagerank", "heavy_hitters_terms", "rolling_distinct_users",
+    "assoc_rules_brands", "join_band_dates", "mv_incremental_refresh",
+    "stream_topk_ivm",
 ]
 
 KEYED = {
