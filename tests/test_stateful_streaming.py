@@ -22,13 +22,15 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir):
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
     # update mode re-emits per batch; the final row per user is the state
-    got = {r.user_id: (r.n_events, round(r.value_sum, 6))
+    got = {r.user_id: (r.n_events, r.value_milli)
            for r in spark.table("t_stateful_stats").collect()}
 
     e = table(spark, sf_dir, "events")
-    want = {r.user_id: (r.n, round(r.s, 6)) for r in
-            e.groupBy("user_id").agg(F.count("*").alias("n"),
-                                     F.sum("value").alias("s")).collect()}
+    want = {r.user_id: (r.n, r.s) for r in
+            e.groupBy("user_id").agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                 .alias("s")).collect()}
     assert got == want
 
 

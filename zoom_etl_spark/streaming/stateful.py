@@ -24,29 +24,33 @@ from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, LongType,
 OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType(), True),
     StructField("n_events", LongType(), True),
-    StructField("value_sum", DoubleType(), True),
+    StructField("value_milli", LongType(), True),  # Σ floor(value·1000): exact
     StructField("last_ts", TimestampType(), True),
 ])
 
 STATE_SCHEMA = StructType([
     StructField("n_events", LongType(), True),
-    StructField("value_sum", DoubleType(), True),
+    StructField("value_milli", LongType(), True),
     StructField("last_ts_us", LongType(), True),  # state can't hold timestamps
 ])
 
 
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    n, vsum, last_us = state.get if state.exists else (0, 0.0, 0)
+    # the running sum lives on the exact 1e-3 integer grid, so the
+    # converged state is batch-split- and order-invariant — which is what
+    # lets this operator carry a full value-hash oracle gate
+    n, vmilli, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        vsum += float(pdf["value"].sum())
+        vmilli += int(np.floor(pdf["value"].to_numpy() * 1000)
+                      .astype(np.int64).sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
-    state.update((n, vsum, last_us))
+    state.update((n, vmilli, last_us))
     yield pd.DataFrame({
         "user_id": [key[0]],
         "n_events": [n],
-        "value_sum": [vsum],
+        "value_milli": [vmilli],
         "last_ts": [pd.Timestamp(last_us * 1000)],
     })
 

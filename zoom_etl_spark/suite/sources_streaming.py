@@ -59,10 +59,20 @@ def url_encode_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("encoded"))
 
 
-@query("stream_ingest")  # rows-only: Structured Streaming
+@query("stream_ingest", oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 3) AS total
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1
+""")
 def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batched streaming ingest with watermark + tumbling windows
-    (the Lambda webhook path, ref handler.py:38-111, as readStream)."""
+    (the Lambda webhook path, ref handler.py:38-111, as readStream).
+    Complete-mode drain of an availableNow replay converges to the batch
+    windowed aggregate (epoch-aligned day windows = date_trunc), so the
+    former rows-only row now carries the full value-hash gate."""
     stream = read_events_stream(spark, sf_dir)
     result = windowed_counts(stream, watermark="1 hour", window="1 day")
     # windowed agg = stateful: opt in to small state-store sizing (the
@@ -71,17 +81,31 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_state_partitions=8)
 
 
-@query("stream_stateful")  # rows-only: arbitrary-state streaming operator
+@query("stream_stateful", oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli,
+       max(ts) AS last_ts
+FROM events GROUP BY 1
+""")
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): per-user
     lifetime counters maintained across micro-batches — the arbitrary-
-    state generalization of the reference's watermark Variable."""
+    state generalization of the reference's watermark Variable. Upgraded
+    from rows-only to a FULL value-hash gate by moving the running sum
+    onto the exact 1e-3 integer grid (batch-split- and order-invariant,
+    the stream_anomaly_ivm precedent); the drained update log converges
+    to the batch groupBy, emission-monotone in (n_events, last_ts)."""
+    from ..operators.windows import topk_per_group
     from ..streaming.stateful import user_lifetime_stats
     stream = read_events_stream(spark, sf_dir)
     out = user_lifetime_stats(stream)
     run_available_now(out, "stream_stateful_result", output_mode="update",
                         n_state_partitions=16)
-    return spark.table("stream_stateful_result")
+    log = spark.table("stream_stateful_result")
+    return topk_per_group(log, keys=["user_id"],
+                          order=[F.col("n_events").desc(),
+                                 F.col("last_ts").desc()], k=1)
 
 
 @query("stream_static_enrich", oracle="""
