@@ -39,3 +39,25 @@ def test_bpe_merges_shrink_token_count(spark, sf_dir):
             F.sum(F.size("toks") * F.col("freq")).alias("t")).first()["t"]
         assert new_total == total - cnt, (left, right, cnt)
         total = new_total
+
+
+def test_encode_bpe_matches_reference(spark, sf_dir):
+    """Distributed encode must equal the pure-Python encoder doc-by-doc
+    under the merges trained on the same corpus, and detokenization
+    (strip END, concat) must reconstruct each document's words."""
+    from zoom_etl_spark.functions.bpe import (END, encode_bpe,
+                                              encode_bpe_reference,
+                                              train_bpe)
+
+    d = table(spark, sf_dir, "documents").limit(120)
+    merges = train_bpe(d, "text", n_merges=6)
+    assert merges
+    got = {r.doc_id: list(r.toks)
+           for r in encode_bpe(d, "text", "doc_id", merges).collect()}
+    rows = {r.doc_id: r.text for r in d.collect()}
+    for doc_id, text in rows.items():
+        want = encode_bpe_reference(text, merges)
+        assert got[doc_id] == want, doc_id
+        # round trip: tokens respell the original words
+        respelled = "".join(t for t in want).replace(END, " ").strip()
+        assert respelled == " ".join(w for w in text.split(" ") if w)

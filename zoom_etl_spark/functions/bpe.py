@@ -128,3 +128,70 @@ def train_bpe_reference(texts: list[str], n_merges: int = 10
                     out.append(t)
             vocab[w] = out
     return merges
+
+
+def encode_words(words: DataFrame,
+                 merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Encode each distinct ``word`` with a trained merge table: char
+    split + end-of-word marker, then every merge applied in rank order
+    (the leftmost-nonoverlapping fold of ``_apply_merge``). Returns
+    (word, toks). Vocabulary-sized work — the production encode shape
+    tokenizes the VOCABULARY, never the corpus."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)))
+    out = words.select(
+        "word", F.concat(chars, F.array(F.lit(END))).alias("toks"))
+    for left, right, _ in merges:
+        out = _apply_merge(out, left, right)
+    return out
+
+
+def encode_bpe(df: DataFrame, text_col: str, id_col: str,
+               merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Tokenize a corpus with a trained BPE merge table: distinct words
+    encode ONCE (:func:`encode_words`), then broadcast-join back onto
+    each document's word sequence and flatten in word order. Returns
+    (id, toks array<string>, n_tok). Corpus cost is one scan + one
+    broadcast probe; all merge work is vocabulary-sized.
+
+    At 100 TB the word→tokens map outgrows a broadcast for open
+    vocabularies — the same control flow then shuffles on the word key
+    (a plain equi-join); nothing else changes."""
+    words = (df.select(F.explode(F.filter(F.split(text_col, " "),
+                                          lambda x: x != "")).alias("word"))
+               .distinct())
+    enc = encode_words(words, merges)
+    seq = df.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(text_col, " "), lambda x: x != ""))
+         .alias("pos", "word"))
+    joined = seq.join(F.broadcast(enc), "word")
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.flatten(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("pos", "toks"))),
+                            lambda s: s["toks"])).alias("toks")))
+    return per_doc.withColumn("n_tok", F.size("toks"))
+
+
+def encode_bpe_reference(text: str,
+                         merges: list[tuple[str, str, int]]) -> list[str]:
+    """Pure-Python reference encoder for the equivalence gate — same
+    split, same END marker, same leftmost-nonoverlapping application."""
+    out_all: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        toks = list(w) + [END]
+        for left, right, _ in merges:
+            out: list[str] = []
+            for t in toks:
+                if out and out[-1] == left and t == right:
+                    out[-1] = left + right
+                else:
+                    out.append(t)
+            toks = out
+        out_all.extend(toks)
+    return out_all

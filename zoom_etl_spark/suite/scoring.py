@@ -181,3 +181,22 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "step int, left string, right string, cnt bigint")
+
+
+@query("bpe_encode")  # rows-only: encodes with an iteratively-trained table
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the trained BPE table — the APPLY half
+    of the tokenizer pair (`bpe_train` learns, this encodes): distinct
+    words encode once through the merge folds, broadcast back onto each
+    document's word sequence, flattened in word order. Corpus cost is
+    one scan + one broadcast probe; merge work is vocabulary-sized.
+    Gated by doc-by-doc exact equivalence with a pure-Python encoder
+    plus a detokenization round-trip property (tests/test_bpe.py); the
+    merge table is iterative, so no SQL oracle by design."""
+    from ..functions.bpe import encode_bpe, train_bpe
+    d = (table(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism))
+    merges = train_bpe(d, "text", n_merges=8)
+    enc = encode_bpe(d, "text", "doc_id", merges)
+    return enc.select("doc_id", "n_tok",
+                      F.concat_ws(" ", F.slice("toks", 1, 8)).alias("head"))
