@@ -434,3 +434,27 @@ def test_topk_ivm_out_of_order_multibatch(spark, sf_dir):
             for r in (s.withColumn("rnk", F.row_number().over(w))
                         .filter(F.col("rnk") <= 10)).collect()}
     assert got == want
+
+
+def test_topk_ivm_rocksdb_state_store(spark, sf_dir):
+    """The arrangement-sized top-k IVM must produce the identical
+    converged leaderboard under the RocksDB state-store provider (the
+    disk-backed state path a 100 TB keyspace requires) as under the
+    default heap-backed provider."""
+    from zoom_etl_spark.streaming.ingest import (read_events_stream,
+                                                 run_available_now)
+    from zoom_etl_spark.streaming.stateful import (topk_finalize,
+                                                   topk_maintain)
+
+    def drain(name, rocksdb):
+        out = topk_maintain(read_events_stream(spark, sf_dir))
+        run_available_now(out, name, output_mode="update",
+                          n_state_partitions=8, rocksdb=rocksdb)
+        return {(r.event_type, r.rnk, r.user_id, r.total_milli)
+                for r in topk_finalize(spark.table(name)).collect()}
+
+    assert drain("t_topk_rocks", True) == drain("t_topk_heap", False)
+    # provider config must be restored after the scoped drain
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "unset").find("RocksDB") == -1

@@ -121,24 +121,53 @@ def state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                     "RocksDBStateStoreProvider")
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession):
+    """Scope the RocksDB state-store provider for a stateful query about
+    to START (the provider is pinned into the query's checkpoint at
+    first batch). Default HDFS-backed state lives on the JVM heap —
+    fine for bounded replays, a memory ceiling for arrangement-sized
+    state (stream_topk_ivm's keyspace, big stream-stream joins); RocksDB
+    spills state to local disk with the same exactly-once semantics.
+    Same session-global caveat as :func:`state_partitions`: scope it,
+    single-query-at-a-time."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def run_available_now(result: DataFrame, query_name: str,
                       output_mode: str = "complete",
-                      n_state_partitions: int | None = None) -> DataFrame:
+                      n_state_partitions: int | None = None,
+                      rocksdb: bool = False) -> DataFrame:
     """Drain all available input into an in-memory sink; return the result
     table. Complete mode: windows re-emit as late batches arrive.
 
     ``n_state_partitions``: opt-in state-store sizing for STATEFUL
     queries (see :func:`state_partitions`, including its concurrency
     caveat). Default None touches no session config — a plain drain
-    inherits whatever parallelism the session already has."""
+    inherits whatever parallelism the session already has.
+    ``rocksdb``: opt-in disk-backed state (see :func:`rocksdb_state`)
+    for arrangement-sized stateful operators."""
+    from contextlib import ExitStack
     spark = result.sparkSession
-    if n_state_partitions is None:
+    with ExitStack() as stack:
+        if n_state_partitions is not None:
+            stack.enter_context(state_partitions(spark, n_state_partitions))
+        if rocksdb:
+            stack.enter_context(rocksdb_state(spark))
         q = (result.writeStream.format("memory").queryName(query_name)
              .outputMode(output_mode).trigger(availableNow=True).start())
         q.awaitTermination()
-    else:
-        with state_partitions(spark, n_state_partitions):
-            q = (result.writeStream.format("memory").queryName(query_name)
-                 .outputMode(output_mode).trigger(availableNow=True).start())
-            q.awaitTermination()
     return spark.table(query_name)

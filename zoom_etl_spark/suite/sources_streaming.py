@@ -744,3 +744,40 @@ def db_parallel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, db, "ev", "event_id", lower=0, upper=max(int(n) // 2, 1),
         num_partitions=8, predicate="value > 2.5",
         columns=["event_id", "user_id", "v"])
+
+
+@query("stream_chained_windows", oracle="""
+WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS cnt,
+         sum(CAST(floor(value * 1000) AS BIGINT)) AS milli
+  FROM events GROUP BY 1
+)
+SELECT day, cnt, milli FROM d, w WHERE day + INTERVAL 1 DAY <= wm
+""")
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful windowed aggregations in ONE streaming query
+    (Spark 3.4 multi-stateful-operator support): hourly partials roll up
+    into daily totals via `window(window_time(hw), '1 day')` — the
+    streaming form of `rollup_multilevel`'s partial-reuse cascade, with
+    watermark propagation THROUGH the first stateful operator. Append
+    mode: a day emits only when the propagated watermark (max event time
+    − 1 h) passes its end — the oracle encodes exactly that
+    finalization gate, so the drained set is value-hash-exact, including
+    the deliberately-unflushed final day. Measures ride the exact 1e-3
+    integer grid; daily totals aggregate the HOURLY PARTIALS, so
+    second-level state is hours-per-day-sized, never event-sized."""
+    stream = read_events_stream(spark, sf_dir)
+    hourly = (stream.withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("hw"))
+              .agg(F.count("*").alias("hn"),
+                   F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                    .alias("hm")))
+    daily = (hourly.groupBy(F.window(F.window_time("hw"), "1 day")
+                            .alias("dw"))
+                   .agg(F.sum("hn").alias("cnt"),
+                        F.sum("hm").alias("milli")))
+    out = daily.select(F.col("dw.start").alias("day"), "cnt", "milli")
+    return run_available_now(out, "stream_chained_log",
+                             output_mode="append", n_state_partitions=8)
