@@ -68,6 +68,7 @@ def _load_suite() -> None:
         aggregates,
         analytics,
         curation,
+        geo,
         graph,
         joins,
         merge,
