@@ -122,7 +122,14 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task is one running scalar; skew is bounded by the longest
     single-entity history."""
     e = table(spark, sf_dir, "events")
+    # explicit key repartition: the bytes are tiny, so AQE would coalesce
+    # the exchange to 1-2 tasks — but the cost here is the PYTHON
+    # recurrence, which scales with rows, not bytes. A user-specified
+    # partition count is exempt from AQE coalescing and satisfies the
+    # applyInPandas distribution, so no second shuffle is added.
+    n = spark.sparkContext.defaultParallelism
     return (e.select("user_id", "ts", "event_id", "value")
+            .repartition(n, "user_id")
             .groupBy("user_id")
             .applyInPandas(_ewma_group, _EWMA_SCHEMA))
 
@@ -394,3 +401,75 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ud.select("day").distinct()
     return (cover.join(F.broadcast(days), "day")
                  .groupBy("day").agg(F.count("*").alias("wau")))
+
+
+_HOLT_SCHEMA = ("user_id long, rn int, level double, trend double, "
+                "fcast3 double")
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # constants written literally (0.3/0.7, 0.2/0.8) and the expression
+    # shapes mirrored in the oracle CTE exactly — IEEE bit parity before
+    # the output rounding (the ewma_smooth discipline)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    x = pdf["value"].to_numpy(dtype=np.float64)
+    n = len(x)
+    lev = np.empty(n); trd = np.empty(n)
+    l = b = 0.0
+    for i, v in enumerate(x):
+        if i == 0:
+            l, b = float(v), 0.0
+        else:
+            lp = l
+            l = 0.3 * v + 0.7 * (l + b)
+            b = 0.2 * (l - lp) + 0.8 * b
+        lev[i], trd[i] = l, b
+
+    def r4(a):
+        return np.copysign(np.floor(np.abs(a) * 1e4 + 0.5), a) / 1e4
+
+    return pd.DataFrame({
+        "user_id": pdf["user_id"].to_numpy(),
+        "rn": np.arange(1, n + 1, dtype=np.int32),
+        "level": r4(lev), "trend": r4(trd), "fcast3": r4(lev + 3.0 * trd),
+    })
+
+
+@query("holt_linear_smooth", oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS INT) AS rn
+  FROM events
+),
+h AS (
+  SELECT user_id, rn, CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+         0.3 * s.value + 0.7 * (h.l + h.b),
+         0.2 * ((0.3 * s.value + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+  FROM seq s JOIN h ON s.user_id = h.user_id AND s.rn = h.rn + 1
+)
+SELECT user_id, rn, round(l, 4) AS level, round(b, 4) AS trend,
+       round(l + 3.0 * b, 4) AS fcast3
+FROM h
+""")
+def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt's linear (double) exponential smoothing — level +
+    trend recurrence (α=0.3, β=0.2, trend seeded 0) with a 3-step-ahead
+    forecast, the standard short-horizon baseline forecaster. Like
+    ``ewma_smooth``, the math is sequential WITHIN a key, so the honest
+    distributed shape is applyInPandas per user (parallel across keys,
+    one Arrow batch per group, two running scalars of state); the
+    oracle's recursive CTE computes the bit-identical coupled double
+    recurrence — the level expression is textually inlined into the
+    trend update in BOTH engines so evaluation order cannot drift."""
+    e = table(spark, sf_dir, "events")
+    # same AQE-coalesce exemption as ewma_smooth: size the exchange for
+    # the Python recurrence, not the bytes
+    n = spark.sparkContext.defaultParallelism
+    return (e.select("user_id", "ts", "event_id", "value")
+            .repartition(n, "user_id")
+            .groupBy("user_id")
+            .applyInPandas(_holt_group, _HOLT_SCHEMA))
