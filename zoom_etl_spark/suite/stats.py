@@ -265,3 +265,55 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (F.col("nc") + 1.0) / (F.col("tc") + 22.0)
     return (j.groupBy("event_type")
              .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))
+
+
+@query("anomaly_mad", oracle="""
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(vm, 0.5) AS BIGINT) AS med2
+  FROM v GROUP BY 1
+),
+dev AS (
+  SELECT v.event_type, v.event_id, v.vm,
+         abs(2 * v.vm - m.med2) AS dd
+  FROM v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(dd, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.event_id,
+       10000 * d.dd > 22239 * m.mad4 AS is_outlier
+FROM dev d JOIN mad m USING (event_type)
+""")
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier sweep: |v − median| > 3·1.4826·MAD per event type
+    (the median-absolute-deviation rule that, unlike ``anomaly_zscore``,
+    no outlier can inflate away) — computed ENTIRELY in integers. The
+    half-sample medians are carried doubled (2·median of ints is always
+    an integer; 4·MAD likewise), and the 1.4826 consistency constant
+    becomes the exact rational 22239/10000, so the flag boundary is an
+    integer comparison — engine-exact with zero float tolerance.
+    Plan: two group-keyed exact-percentile aggregates (group-count-sized
+    frames broadcast back) + row-local flags; at 100 TB the exact
+    median swaps for the GK sketch (`agg_approx_quantile`) with the
+    same downstream algebra."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", "event_id",
+                 F.floor(F.col("value") * 1000).cast("long").alias("vm"))
+    med = v.groupBy("event_type").agg(
+        (2 * F.expr("percentile(vm, 0.5)")).cast("long").alias("med2"))
+    dev = (v.join(F.broadcast(med), "event_type")
+            .withColumn("dd", F.abs(2 * F.col("vm") - F.col("med2"))))
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(dd, 0.5)")).cast("long").alias("mad4"))
+    return (dev.join(F.broadcast(mad), "event_type")
+               .select("event_type", "event_id",
+                       (10000 * F.col("dd") > 22239 * F.col("mad4"))
+                        .alias("is_outlier")))

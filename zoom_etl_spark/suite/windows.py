@@ -138,3 +138,38 @@ def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 3).alias("sum_1h"))
+
+
+@query("keyset_paginate", oracle="""
+WITH anchor AS (
+  SELECT o_orderdate AS ad, o_orderkey AS ak
+  FROM orders ORDER BY o_orderdate, o_orderkey
+  LIMIT 1 OFFSET 99
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM orders o, anchor
+WHERE (o.o_orderdate, o.o_orderkey) > (anchor.ad, anchor.ak)
+ORDER BY o.o_orderdate, o.o_orderkey
+LIMIT 100
+""")
+def keyset_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — page 2 of an order listing fetched by
+    unique-key predicate, NOT by OFFSET: at scale, `OFFSET n` scans and
+    discards n rows per page (O(pages²) total), while the keyset
+    predicate `(date, key) > (last_date, last_key)` pushes to the scan
+    and every page costs one top-k. Both the anchor lookup and the page
+    plan are TakeOrderedAndProject (k-bounded heaps, no global sort);
+    the tuple comparison is spelled as the explicit OR-form so the
+    predicate is pushdown-friendly in both engines."""
+    o = table(spark, sf_dir, "orders")
+    anchor = (o.select(F.col("o_orderdate").alias("ad"),
+                       F.col("o_orderkey").alias("ak"))
+               .orderBy("ad", "ak").limit(100)
+               .orderBy(F.col("ad").desc(), F.col("ak").desc()).limit(1))
+    after = ((F.col("o_orderdate") > F.col("ad"))
+             | ((F.col("o_orderdate") == F.col("ad"))
+                & (F.col("o_orderkey") > F.col("ak"))))
+    return (o.crossJoin(F.broadcast(anchor))
+             .filter(after)
+             .select("o_orderkey", "o_orderdate", "o_totalprice")
+             .orderBy("o_orderdate", "o_orderkey").limit(100))
