@@ -9,7 +9,7 @@ engine owns them natively.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -666,3 +666,101 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "cnt", "total",
         F.round(F.col("total").cast("double") / F.col("cnt") / 1000.0, 6)
          .alias("avg_value"))
+
+
+@query("attribution_last_touch", oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           IS NOT NULL AS has_prior,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_id
+  FROM events
+)
+SELECT user_id, event_id AS purchase_id, touch_id
+FROM seq
+WHERE event_type = 'purchase' AND has_prior
+""")
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRECEDING click (marketing analytics' default model).
+    One (user)-keyed sort window with `last_value(... IGNORE NULLS)`
+    over the strictly-preceding frame — the nulls-skipping carry-forward
+    primitive (same machinery as LOCF gap-fill, here keyed to a
+    different event type). Purchases with no prior click drop (no
+    attributable touch). One corpus shuffle, row-local everything
+    else."""
+    e = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    seq = e.select(
+        "user_id", "event_id", "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("touch_id"))
+    return (seq.filter((F.col("event_type") == "purchase")
+                       & F.col("touch_id").isNotNull())
+               .select("user_id", F.col("event_id").alias("purchase_id"),
+                       "touch_id"))
+
+
+@query("funnel_windowed", oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS ts0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ts1
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.ts0
+    AND e.ts <= s.ts0 + INTERVAL 24 HOURS
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ts1
+    AND e.ts <= c.ts1 + INTERVAL 24 HOURS
+  GROUP BY 1
+)
+SELECT 1 AS stage, 'signup' AS name, (SELECT count(*) FROM s) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM p)
+""")
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (the industry-standard definition
+    ``funnel_conversion`` relaxes): each stage must follow the previous
+    within 24 hours, so stale conversions don't count. Same frontier
+    plan — per stage one keyed min-aggregate semi-joined forward — with
+    the window constraint riding the stage filter; conversion windows
+    are exact timestamp arithmetic, identical in both engines."""
+    e = table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("ts0")))
+    c = (e.join(s, "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") > F.col("ts0"))
+                 & (F.col("ts") <= F.col("ts0") + day))
+         .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    p = (e.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("ts1"))
+                 & (F.col("ts") <= F.col("ts1") + day))
+         .groupBy("user_id").agg(F.min("ts").alias("ts2")))
+    rows = [s.agg(F.lit(1).alias("stage"), F.lit("signup").alias("name"),
+                  F.count("*").alias("n_users")),
+            c.agg(F.lit(2).alias("stage"), F.lit("click").alias("name"),
+                  F.count("*").alias("n_users")),
+            p.agg(F.lit(3).alias("stage"), F.lit("purchase").alias("name"),
+                  F.count("*").alias("n_users"))]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
