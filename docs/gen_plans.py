@@ -59,6 +59,47 @@ SECTIONS = [
      "the previous stage's survivor frontier; only (user, frontier-ts) rows "
      "flow between stages, so the per-stage cost is one map-combined "
      "aggregate + one join regardless of how many events each user has."),
+    ("join_band_dates", specs["join_band_dates"].fn,
+     "Count-only band query after the round-3 aggregate-pushdown "
+     "rewrite: per-day counts (map-combined, day-domain-sized), a +-1 "
+     "range window over the tiny day axis, one broadcast probe back to "
+     "orders. The 27M-candidate banded hash join this replaced is gone; "
+     "the plan is flat at 10x (1.0 s in the scale smoke)."),
+    ("heavy_hitters_terms", specs["heavy_hitters_terms"].fn,
+     "Two-pass sketch-then-verify: mapInPandas Misra-Gries summaries "
+     "feed a k-bounded candidate distinct; the exact recount scans the "
+     "corpus a second time behind a BroadcastHashJoin on the candidate "
+     "set, so no vocabulary-sized shuffle ever forms; the threshold is "
+     "an integer comparison against the broadcast 1-row total."),
+    ("rolling_distinct_users", specs["rolling_distinct_users"].fn,
+     "Exact trailing-7-day actives: one user-keyed sort window builds "
+     "coverage intervals (lag + running sum), explode is bounded by "
+     "7x|user-days|, and the per-day tally is a plain map-combined "
+     "count - no days x events range join, no COUNT DISTINCT "
+     "shuffle anywhere in the plan."),
+    ("geo_neighbor_pairs", specs["geo_neighbor_pairs"].fn,
+     "Cell-blocked spatial join: side A explodes to its 3x3 probe "
+     "cells, ONE shuffled equi-join on the composite cell key, squared "
+     "integer distance rides as a residual filter - no "
+     "BroadcastNestedLoopJoin, candidates proportional to local "
+     "density."),
+    ("assoc_rules_brands", specs["assoc_rules_brands"].fn,
+     "Market-basket rules: one orderkey shuffle builds basket arrays "
+     "(collect_set dedups inside the aggregate), pair generation is a "
+     "codegen'd in-array double transform + explode (no baskets x "
+     "baskets self-join), and item/total frames broadcast back onto "
+     "the item-cardinality-bounded rule frame."),
+    ("mv_incremental_refresh", specs["mv_incremental_refresh"].fn,
+     "Incremental MV maintenance: delta-side aggregate is map-combined "
+     "and delta-sized; the merge is one full-outer join on the key "
+     "with coalesced state sums - base is never rescanned beyond its "
+     "stored aggregate. Near-flat at 10x (0.8 s in the scale smoke)."),
+    ("anomaly_mad", specs["anomaly_mad"].fn,
+     "Robust MAD outliers in pure integers: two group-keyed exact "
+     "percentile aggregates produce group-count-sized frames that "
+     "broadcast back; flags are row-local integer comparisons "
+     "(22239/10000 rationalizes the 1.4826 constant), so nothing "
+     "float-accumulates across partitions."),
     ("dedup_incremental", specs["dedup_incremental"].fn,
      "Incremental near-dup: both sides shingle once, the df filter is "
      "computed over the union, candidates come ONLY from new x old posting "

@@ -345,3 +345,13 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
                .collect())
     assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))
+
+
+def test_geo_neighbor_join_is_cell_blocked(spark, sf_dir):
+    """The spatial neighbor join must be an equi-join on the cell key
+    with the distance as residual — never a nested-loop over all
+    pairs."""
+    plan = _physical(_SPECS["geo_neighbor_pairs"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
