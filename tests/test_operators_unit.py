@@ -186,3 +186,40 @@ def test_mv_apply_delta_idempotent_shape(spark):
            for r in apply_delta(mv, agg_state(empty, ["k"], "v"),
                                 ["k"]).collect()}
     assert got == {1: (1, 10), 2: (1, 5)}
+
+
+def test_bitemporal_slice_equals_scd2_at_every_checkpoint(spark, sf_dir):
+    """The bitemporal invariant at MULTIPLE transaction checkpoints:
+    slicing the (built-once) bitemporal rows at T must reproduce the
+    valid-time SCD2 history computed over only the first T assertions —
+    for early, quartile, and full-log checkpoints."""
+    from pyspark.sql import Window
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.operators.bitemporal import (as_of,
+                                                     bitemporal_history)
+
+    e = table(spark, sf_dir, "events").limit(2000)
+    assertions = e.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx"))
+    bt = bitemporal_history(assertions).cache()
+    max_tx = assertions.agg(F.max("tx")).first()[0]
+    for frac in (0.1, 0.25, 0.75, 1.0):
+        t = int(max_tx * frac)
+        got = {(r.user_id, r.value, r.valid_from, r.valid_to)
+               for r in as_of(bt, t).collect()}
+        first = assertions.filter(F.col("tx") <= t)
+        w_dedup = Window.partitionBy("user_id", "valid").orderBy(
+            F.col("tx").desc())
+        last = (first.withColumn("rn", F.row_number().over(w_dedup))
+                     .filter("rn = 1"))
+        w_lead = Window.partitionBy("user_id").orderBy("valid")
+        want = {(r.user_id, r.value, r.valid, r.valid_to)
+                for r in last.select(
+                    "user_id", "value", "valid",
+                    F.lead("valid").over(w_lead).alias("valid_to"))
+                .collect()}
+        assert got == want, f"checkpoint {frac}"
+    bt.unpersist()

@@ -764,3 +764,46 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query("bitemporal_asof", oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS tcap FROM events),
+f AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events, t WHERE event_id <= t.tcap
+),
+l AS (
+  SELECT user_id, ts, vm FROM (
+    SELECT f.*, row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) AS rn
+    FROM f) WHERE rn = 1
+)
+SELECT user_id, vm AS value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM l
+""")
+def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-reported reconstruction (`operators/bitemporal.py`,
+    ROADMAP item 7): the bitemporal row set is built ONCE over the full
+    assertion log (valid time = event ts, transaction time = event id),
+    then sliced at the mid-log transaction checkpoint — and the slice
+    must equal the valid-time SCD2 history computed over only the first
+    half of the log (the oracle). That invariant holding for every T is
+    the definition of bitemporal correctness; tests check further
+    checkpoints. Construction is O(events) output rows (each arrival
+    closes ≤2 rows) via a per-key tx-ordered fold — parallel across
+    keys, version-count state per key."""
+    from ..operators.bitemporal import bitemporal_history
+    e = table(spark, sf_dir, "events")
+    assertions = e.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx"))
+    bt = bitemporal_history(assertions)
+    tcap = e.agg(F.expr("max(event_id) div 2").alias("tcap"))
+    return (bt.crossJoin(F.broadcast(tcap))
+              .filter((F.col("tx_from") <= F.col("tcap"))
+                      & (F.col("tx_to").isNull()
+                         | (F.col("tx_to") > F.col("tcap"))))
+              .select("user_id", "value", "valid_from", "valid_to"))
