@@ -807,3 +807,66 @@ def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("tx_to").isNull()
                          | (F.col("tx_to") > F.col("tcap"))))
               .select("user_id", "value", "valid_from", "valid_to"))
+
+
+@query("sessionize_dynamic_gap", oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+med AS (
+  SELECT user_id,
+         CAST(2 * quantile_cont(gap_us, 0.5) AS BIGINT) AS med2
+  FROM seq WHERE gap_us IS NOT NULL GROUP BY 1
+),
+flagged AS (
+  SELECT s.user_id, s.ts, s.event_id,
+         CASE WHEN s.gap_us IS NULL
+                   OR 2 * s.gap_us > 3 * m.med2 THEN 1 ELSE 0 END AS brk
+  FROM seq s JOIN med m USING (user_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS sess_start, max(ts) AS sess_end
+FROM sess GROUP BY 1, 2
+""")
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive sessionization: the session-break gap is PER USER — 3×
+    that user's own median inter-event gap — instead of the fixed 30
+    minutes every heavy user saturates and every light user fragments
+    under (`window_session`'s constant). The break test is exact
+    integer arithmetic: gaps in micros, the half-sample median carried
+    doubled, boundary `2·gap > 3·med2` — no float tolerance. Plan: the
+    corpus shuffles ONCE on user_id and every window (lag, cumsum)
+    plus the final session rollup reuses that partitioning; the
+    per-user median is a group-count-sized frame broadcast back."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", "event_id",
+        (F.unix_micros("ts")
+         - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"))
+    med = (seq.filter(F.col("gap_us").isNotNull())
+              .groupBy("user_id")
+              .agg((2 * F.expr("percentile(gap_us, 0.5)")).cast("long")
+                   .alias("med2")))
+    flagged = (seq.join(F.broadcast(med), "user_id")
+                  .withColumn("brk",
+                              F.when(F.col("gap_us").isNull()
+                                     | (2 * F.col("gap_us")
+                                        > 3 * F.col("med2")), 1)
+                               .otherwise(0)))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.min("ts").alias("sess_start"),
+                     F.max("ts").alias("sess_end")))
