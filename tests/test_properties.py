@@ -181,3 +181,47 @@ def test_merge_into_matches_model(spark, target, source, upd_first):
     out = merge_into(t, s, ["k"], matched=clauses, not_matched_insert=True)
     got = sorted(tuple(r) for r in out.collect())
     assert got == _mi_model(target, source, upd_first)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=LEFT_ROWS, right=RIGHT_ROWS)
+def test_asof_directions_match_bruteforce(spark, left, right):
+    """forward and nearest directions must agree with their O(n·m)
+    definitions for ANY distribution: forward = min right_ts >= ts,
+    nearest = min |Δ| with exact ties preferring the backward match;
+    ties at one timestamp break by max payload in all directions."""
+    from zoom_etl_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts long, payload long")
+
+    def run(direction):
+        out = asof_join(ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+                        right_cols=["payload"],
+                        tiebreak=[F.col("r.payload").desc()], how="left",
+                        direction=direction)
+        return {(r.lid, r.asof_payload) for r in out.collect()}
+
+    # dedupe right to one winner (max payload) per (k, rts), as the
+    # operator's tiebreak does
+    best_at = {}
+    for (rk, rt, p) in right:
+        if (rk, rt) not in best_at or p > best_at[(rk, rt)]:
+            best_at[(rk, rt)] = p
+
+    want_f, want_n = set(), set()
+    for i, (k, t) in enumerate(left):
+        cand = [(rt, p) for (rk, rt), p in best_at.items() if rk == k]
+        fwd = [(rt, p) for rt, p in cand if rt >= t]
+        want_f.add((i, min(fwd)[1] if fwd else None))
+        if cand:
+            d = min(abs(rt - t) for rt, _ in cand)
+            exact = [(rt, p) for rt, p in cand if abs(rt - t) == d]
+            want_n.add((i, min(exact)[1]))  # earlier rt = backward pref
+        else:
+            want_n.add((i, None))
+    assert run("forward") == want_f
+    assert run("nearest") == want_n

@@ -259,3 +259,28 @@ def test_stream_metrics_capture_watermark_drops(spark, sf_dir, tmp_path):
     # aggregations pre-filter late rows before state, so the state-
     # operator drop counter stays 0 here (documented monitor caveat)
     assert m.dropped_by_watermark("t_metrics_wm") == 0
+
+
+def test_state_rows_plateau_at_keyspace(spark, sf_dir):
+    """For the keyspace-bounded top-k IVM, per-batch state rows must
+    equal the group keyspace (|event_type|) and never grow past it —
+    the monitor's leak check on a healthy operator."""
+    import time
+
+    from zoom_etl_spark.streaming.ingest import run_available_now
+    from zoom_etl_spark.streaming.monitor import state_rows, watched
+    from zoom_etl_spark.streaming.stateful import topk_maintain
+
+    from zoom_etl_spark.streaming.ingest import read_events_stream
+    n_types = table(spark, sf_dir, "events").select("event_type") \
+        .distinct().count()
+    with watched(spark) as m:
+        out = topk_maintain(read_events_stream(spark, sf_dir))
+        run_available_now(out, "t_state_rows", output_mode="update",
+                          n_state_partitions=8)
+        deadline = time.time() + 15
+        while time.time() < deadline and not state_rows(m, "t_state_rows"):
+            time.sleep(0.5)
+    rows = state_rows(m, "t_state_rows")
+    assert rows, "no progress captured"
+    assert max(rows) == n_types, (rows, n_types)

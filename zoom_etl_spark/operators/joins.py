@@ -27,12 +27,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
               right_cols: Sequence[str] | None = None,
               tiebreak: Sequence[Column] | None = None,
-              how: str = "inner") -> DataFrame:
+              how: str = "inner",
+              direction: str = "backward") -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (per equi-key). Deterministic under ties
     via ``tiebreak`` (ordering over the right side aliased ``r``; without
     it, equal-timestamp right rows pick arbitrarily). ``how='left'``
     keeps unmatched left rows with NULL right columns.
+
+    ``direction``: ``backward`` (default — greatest right_ts ≤ left_ts),
+    ``forward`` (smallest right_ts ≥ left_ts), or ``nearest`` (closer of
+    the two; exact ties prefer the backward/earlier match — the pandas
+    merge_asof contract). All three ride the same single-shuffle
+    timeline plan; nearest evaluates both fills over the one sorted
+    window and picks per row.
 
     Union + forward-fill formulation: tag both sides, sort each key's
     timeline once, and carry the latest right payload forward with
@@ -60,28 +68,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     else:
         r1 = r.dropDuplicates([*on, right_ts])
 
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    # right rows sort before left at equal ts for backward/nearest
+    # (inclusive "<=", and a distance-0 nearest match), after left for
+    # forward (inclusive ">=" via the following frame)
+    r_side, l_side = (1, 0) if direction == "forward" else (0, 1)
+    payload = F.struct(F.col(right_ts).alias("__rt"),
+                       *[F.col(c) for c in right_cols])
     rig = r1.select(*on,
                     F.col(right_ts).alias("__t"),
-                    F.lit(0).alias("__side"),
+                    F.lit(r_side).alias("__side"),
                     payload.alias("__payload"))
     payload_t = rig.schema["__payload"].dataType
     extra = [c for c in left.columns if c not in on]
     lef = left.select(*on,
                       F.col(left_ts).alias("__t"),
-                      F.lit(1).alias("__side"),
+                      F.lit(l_side).alias("__side"),
                       F.lit(None).cast(payload_t).alias("__payload"),
                       *extra)
     rig = rig.select(*rig.columns,
                      *[F.lit(None).cast(left.schema[c].dataType).alias(c)
                        for c in extra])
 
-    # right rows sort before left rows at equal timestamps → "<=" semantics
-    w = (Window.partitionBy(*on).orderBy(F.col("__t"), F.col("__side"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = (lef.unionByName(rig)
-              .withColumn("__fill", F.last("__payload", ignorenulls=True).over(w))
-              .filter(F.col("__side") == 1))
+    base = Window.partitionBy(*on).orderBy(F.col("__t"), F.col("__side"))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    timeline = lef.unionByName(rig)
+    if direction == "backward":
+        timeline = timeline.withColumn(
+            "__fill", F.last("__payload", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        timeline = timeline.withColumn(
+            "__fill", F.first("__payload", ignorenulls=True).over(wf))
+    else:  # nearest: both fills over the SAME sorted window, pick per row
+        bf = F.last("__payload", ignorenulls=True).over(wb)
+        ff = F.first("__payload", ignorenulls=True).over(wf)
+        timeline = (timeline.withColumn("__b", bf).withColumn("__f", ff)
+                    .withColumn(
+                        "__fill",
+                        F.when(F.col("__b").isNull(), F.col("__f"))
+                         .when(F.col("__f").isNull(), F.col("__b"))
+                         # double cast: micros-exact for timestamps
+                         # (< 2^53) and valid for numeric axes too —
+                         # a long cast would truncate ts to seconds
+                         .when((F.col("__t").cast("double")
+                                - F.col("__b.__rt").cast("double"))
+                               <= (F.col("__f.__rt").cast("double")
+                                   - F.col("__t").cast("double")),
+                               F.col("__b"))
+                         .otherwise(F.col("__f"))))
+    filled = timeline.filter(F.col("__side") == l_side)
     if how != "left":
         filled = filled.filter(F.col("__fill").isNotNull())
     return filled.select(*left.columns,

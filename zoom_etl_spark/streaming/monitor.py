@@ -123,3 +123,14 @@ class watched:
     def __exit__(self, *exc):
         self._spark.streams.removeListener(self.metrics)
         return False
+
+
+def state_rows(metrics: StreamMetrics, name: str) -> list[int]:
+    """Per-batch total state rows (summed over state operators) — the
+    leak signal: for a bounded-keyspace operator this must plateau at
+    the keyspace size; unbounded growth across batches means state is
+    never evicted and memory pressure is only a matter of time."""
+    out = []
+    for rec in metrics.snapshot(name):
+        out.append(sum(op.get("rows_total") or 0 for op in rec["state"]))
+    return out

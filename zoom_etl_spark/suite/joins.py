@@ -320,3 +320,43 @@ def join_band_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
              # inner-join semantics: an order with no ±1-day neighbor
              # produces no pair in the oracle, so n_near = 0 rows drop
              .filter(F.col("n_near") > 0))
+
+
+@query("join_asof_nearest", oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT user_id, event_id, near_click FROM (
+  SELECT p.user_id, p.event_id, c.event_id AS near_click,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                                     c.ts, c.event_id DESC) AS rn
+  FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+) WHERE rn = 1
+""")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest' / feature-store closest-observation semantics):
+    each purchase matches the user's click closest in time on EITHER
+    side, exact ties preferring the earlier (backward) match. Same
+    single-shuffle union-timeline plan as ``join_asof`` — both fills
+    evaluate over ONE sorted window, the per-row pick is a codegen'd
+    CASE on micros-exact distances — while the oracle states the
+    O(L·R)-pair definition."""
+    from ..operators.joins import asof_join
+    e = table(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    out = asof_join(purchases, clicks, on=["user_id"],
+                    left_ts="ts", right_ts="click_ts",
+                    right_cols=["click_id"],
+                    tiebreak=[F.col("r.click_id").desc()],
+                    direction="nearest")
+    return out.select("user_id", "event_id",
+                      F.col("asof_click_id").alias("near_click"))
