@@ -47,30 +47,31 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .distinct()
               .withColumn("lbl", F.col("node"))
               .localCheckpoint())
-    changed = -1
+    # convergence via the LABEL-SUM invariant: min-propagation can only
+    # DECREASE a node's label, so Σ lbl strictly decreases on every
+    # iteration that changes anything and is stable exactly at the
+    # fixpoint. That lets each iteration be ONE join + ONE groupBy-min
+    # over (neighbor labels ∪ own labels) — no second labels join to
+    # diff old vs new, and the convergence probe is a 1-row sum on the
+    # frame the next iteration needs anyway. (Bound: Σ node ids ≤
+    # n·max_id — longs hold n=10⁹ ids of 10⁹ comfortably at 100 TB
+    # partition granularity; beyond that, sum of xxhash-compressed ids.)
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(max_iter):
-        # smallest label among self + neighbors; the changed flag is
-        # computed IN the same pass (label frames carry both old and new
-        # label), so convergence detection costs a filter-count over the
-        # checkpointed frame instead of a separate labels⋈labels job —
-        # one job per iteration, not two
-        nbr_min = (und.join(labels, und.v == labels.node)
-                   .groupBy(F.col("u").alias("node"))
-                   .agg(F.min("lbl").alias("nbr_lbl")))
-        new = (labels.join(nbr_min, "node", "left")
-               .select("node",
-                       F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                       .alias("lbl"),
-                       (F.coalesce("nbr_lbl", "lbl") < F.col("lbl"))
-                       .alias("chg"))
-               .localCheckpoint(eager=False))
-        changed = new.filter("chg").count()
-        labels = new.select("node", "lbl")
-        if changed == 0:
+        nbr = (und.join(labels, und.v == labels.node)
+               .select(F.col("u").alias("node"), "lbl"))
+        labels = (nbr.unionByName(labels.select("node", "lbl"))
+                  .groupBy("node").agg(F.min("lbl").alias("lbl"))
+                  .localCheckpoint(eager=False))
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         raise ConvergenceError(
-            f"connected_components: still {changed} label changes after "
+            f"connected_components: label changes persist after "
             f"{max_iter} iterations (component diameter > max_iter); "
             "raise max_iter or switch to large-star/small-star rounds")
     return labels.select("node", F.col("lbl").alias("cluster"))
