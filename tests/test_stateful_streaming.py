@@ -458,3 +458,87 @@ def test_topk_ivm_rocksdb_state_store(spark, sf_dir):
     assert spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass",
         "unset").find("RocksDB") == -1
+
+
+def _bt_stream_from_files(spark, sf_dir, tmpdir, order):
+    """Split events into 3 tx-range files; `order` maps file index →
+    mtime age so listing order follows (older mtime streams first)."""
+    import os
+    import time
+
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+    e = table(spark, sf_dir, "events").limit(3000)
+    raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
+    mx = e.agg(F.max("event_id")).first()[0]
+    cuts = [mx // 3, 2 * mx // 3]
+    parts = [raw.filter(F.col("event_id") <= cuts[0]),
+             raw.filter((F.col("event_id") > cuts[0])
+                        & (F.col("event_id") <= cuts[1])),
+             raw.filter(F.col("event_id") > cuts[1])]
+    now = time.time()
+    for i, (p, age) in enumerate(zip(parts, order)):
+        d = f"{tmpdir}/f{i}"
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now - age, now - age))
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(str(tmpdir))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+
+def test_bitemporal_ivm_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    """Three tx-ordered micro-batches must converge to exactly the batch
+    bitemporal construction — closed rows, open rows, tx intervals and
+    all."""
+    from zoom_etl_spark.operators.bitemporal import bitemporal_history
+    from zoom_etl_spark.streaming.ingest import run_available_now
+    from zoom_etl_spark.streaming.stateful import (bitemporal_finalize,
+                                                   bitemporal_maintain)
+
+    stream = _bt_stream_from_files(spark, sf_dir, tmp_path, (300, 200, 100))
+    assertions = stream.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx"))
+    run_available_now(bitemporal_maintain(assertions), "t_bt_mb",
+                      output_mode="update", n_state_partitions=8)
+    got = {tuple(r) for r in
+           bitemporal_finalize(spark.table("t_bt_mb")).collect()}
+
+    e = table(spark, sf_dir, "events").limit(3000)
+    batch = bitemporal_history(e.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx")))
+    want = {tuple(r) for r in batch.select(
+        "user_id", "value", "valid_from", "valid_to",
+        "tx_from", "tx_to").collect()}
+    got_norm = {(r[0], r[2], r[3], r[4], r[5], r[1]) for r in
+                ((g[0], g[1], g[2], g[3], g[4], g[5]) for g in got)}
+    want_norm = {(r[0], r[2], r[3], r[4], r[5], r[1]) for r in want}
+    assert got_norm == want_norm
+
+
+def test_bitemporal_ivm_out_of_order_raises(spark, sf_dir, tmp_path):
+    """A batch delivering tx below a key's high-water mark must abort
+    loudly (TransactionOrderError semantics), never record a corrupt
+    belief history."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from zoom_etl_spark.streaming.ingest import run_available_now
+    from zoom_etl_spark.streaming.stateful import bitemporal_maintain
+
+    # newest tx range FIRST → second batch violates the high-water mark
+    stream = _bt_stream_from_files(spark, sf_dir, tmp_path, (100, 200, 300))
+    assertions = stream.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx"))
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        run_available_now(bitemporal_maintain(assertions), "t_bt_ooo",
+                          output_mode="update", n_state_partitions=8)
+    assert "TransactionOrderError" in str(ei.value) \
+        or "high-water" in str(ei.value)

@@ -442,3 +442,115 @@ def topk_finalize(emitted: DataFrame) -> DataFrame:
     return (emitted.withColumn("_mx", F.max("seq").over(w))
                    .filter(F.col("seq") == F.col("_mx"))
                    .drop("_mx", "seq"))
+
+
+# --------------------------------------------------------- bitemporal IVM
+
+BT_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("op", StringType(), True),       # 'C' closed | 'O' open
+    StructField("value", LongType(), True),
+    StructField("valid_from", TimestampType(), True),
+    StructField("valid_to", TimestampType(), True),
+    StructField("tx_from", LongType(), True),
+    StructField("tx_to", LongType(), True),
+    StructField("seq", LongType(), True),
+])
+
+BT_STATE_SCHEMA = StructType([
+    StructField("valids", ArrayType(LongType()), True),   # micros
+    StructField("values", ArrayType(LongType()), True),
+    StructField("tx_froms", ArrayType(LongType()), True),
+    StructField("max_tx", LongType(), True),
+    StructField("seq", LongType(), True),
+])
+
+
+class TransactionOrderError(RuntimeError):
+    """A micro-batch delivered an assertion with tx below the key's
+    high-water mark — bitemporal tx intervals would be wrong, so fail
+    loudly (the scd2_maintain ADVICE discipline) instead of recording a
+    corrupted belief history."""
+
+
+def _bt_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    from bisect import bisect_left, insort
+    if state.exists:
+        valids_l, values_l, txf_l, max_tx, seq = state.get
+        valids = list(valids_l)
+        cur = {v: (val, tf) for v, val, tf in zip(valids, values_l, txf_l)}
+    else:
+        valids, cur, max_tx, seq = [], {}, -1, 0
+    batch = pd.concat(list(pdfs)).sort_values("tx")
+    kid = int(key[0])
+    closed: list[tuple] = []
+
+    def succ(v):
+        i = bisect_left(valids, v)
+        j = i + 1 if i < len(valids) and valids[i] == v else i
+        return valids[j] if j < len(valids) else None
+
+    for r in batch.itertuples():
+        v = int(r.valid.value // 1000)  # pandas ns → micros
+        val, tx = int(r.value), int(r.tx)
+        if tx <= max_tx:
+            raise TransactionOrderError(
+                f"key {kid}: tx {tx} after high-water {max_tx}")
+        max_tx = tx
+        if v in cur:
+            old_val, old_from = cur[v]
+            closed.append((kid, "C", old_val, v, succ(v), old_from, tx, 0))
+            cur[v] = (val, tx)
+            continue
+        i = bisect_left(valids, v)
+        if i > 0:
+            pv = valids[i - 1]
+            p_val, p_from = cur[pv]
+            closed.append((kid, "C", p_val, pv, succ(pv), p_from, tx, 0))
+            cur[pv] = (p_val, tx)
+        insort(valids, v)
+        cur[v] = (val, tx)
+    seq = int(seq) + 1
+    state.update((valids, [cur[v][0] for v in valids],
+                  [cur[v][1] for v in valids], int(max_tx), seq))
+    opens = [(kid, "O", cur[v][0], v, succ(v), cur[v][1], None, seq)
+             for v in valids]
+    rows = closed + opens
+    if rows:
+        df = pd.DataFrame(rows, columns=[
+            "user_id", "op", "value", "valid_from", "valid_to",
+            "tx_from", "tx_to", "seq"])
+        for c in ("valid_from", "valid_to"):
+            df[c] = pd.to_datetime(df[c], unit="us")
+        yield df
+
+
+def bitemporal_maintain(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained bitemporal SCD (the streaming twin of
+    ``operators/bitemporal.py``): closed belief rows emit append-only
+    the moment a revision closes them; the open-row snapshot re-emits
+    sequenced per batch (converged view = closed rows + last snapshot).
+    State per key = the key's current version arrangement + a tx
+    high-water mark; assertions must arrive in tx order across batches
+    (enforced loudly via :class:`TransactionOrderError` — the
+    out-of-order fix is the scd2-style watermark buffer, ROADMAP)."""
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(_bt_update, BT_OUTPUT_SCHEMA,
+                                    BT_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def bitemporal_finalize(emitted: DataFrame) -> DataFrame:
+    """Converged bitemporal rows from the update log: all closed rows
+    (append-only, emitted exactly once) plus the open rows of each
+    key's LAST snapshot."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    closed = emitted.filter(F.col("op") == "C").drop("op", "seq")
+    w = Window.partitionBy("user_id")
+    opens = (emitted.filter(F.col("op") == "O")
+             .withColumn("_mx", F.max("seq").over(w))
+             .filter(F.col("seq") == F.col("_mx"))
+             .drop("op", "seq", "_mx"))
+    return closed.unionByName(opens)

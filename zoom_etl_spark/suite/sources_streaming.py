@@ -781,3 +781,49 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = daily.select(F.col("dw.start").alias("day"), "cnt", "milli")
     return run_available_now(out, "stream_chained_log",
                              output_mode="append", n_state_partitions=8)
+
+
+@query("stream_bitemporal_ivm", oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS tcap FROM events),
+f AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events, t WHERE event_id <= t.tcap
+),
+l AS (
+  SELECT user_id, ts, vm FROM (
+    SELECT f.*, row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) AS rn
+    FROM f) WHERE rn = 1
+)
+SELECT user_id, vm AS value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM l
+""")
+def stream_bitemporal_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained bitemporal SCD
+    (`streaming/stateful.py::bitemporal_maintain`): belief revisions
+    close rows append-only as assertions stream in; the drained
+    changelog, folded and sliced at the mid-log transaction checkpoint,
+    must reproduce the SCD2-as-of-that-tx history — the SAME oracle the
+    batch `bitemporal_asof` carries, now earned by the stateful
+    streaming path. State per key = its version arrangement + a tx
+    high-water mark (tx order across batches enforced loudly)."""
+    from ..operators.bitemporal import as_of
+    from ..streaming.stateful import bitemporal_finalize, bitemporal_maintain
+    stream = read_events_stream(spark, sf_dir)
+    assertions = stream.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx"))
+    out = bitemporal_maintain(assertions)
+    run_available_now(out, "stream_bt_log", output_mode="update",
+                      n_state_partitions=16)
+    bt = bitemporal_finalize(spark.table("stream_bt_log"))
+    e = table(spark, sf_dir, "events")
+    tcap = e.agg(F.expr("max(event_id) div 2").alias("tcap"))
+    return (bt.crossJoin(F.broadcast(tcap))
+              .filter((F.col("tx_from") <= F.col("tcap"))
+                      & (F.col("tx_to").isNull()
+                         | (F.col("tx_to") > F.col("tcap"))))
+              .select("user_id", "value", "valid_from", "valid_to"))
