@@ -473,3 +473,48 @@ def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(n, "user_id")
             .groupBy("user_id")
             .applyInPandas(_holt_group, _HOLT_SCHEMA))
+
+
+@query("pattern_click_burst", oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT user_id, regexp_extract_all(s, 'c+p') AS hits FROM seq
+)
+SELECT user_id,
+       CAST(len(hits) AS BIGINT) AS n_episodes,
+       CAST(coalesce(list_max(list_transform(hits, x -> length(x) - 1)), 0)
+            AS BIGINT) AS longest_burst
+FROM m
+""")
+def pattern_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern detection: per user, count
+    episodes of ≥1 clicks IMMEDIATELY followed by a purchase (no
+    intervening event of any other type) and the longest such click
+    burst — the row-pattern query SQL standardized as MATCH_RECOGNIZE
+    and Spark lacks. Each user's event-type sequence folds to a
+    character string inside one keyed aggregate (initials are distinct
+    across the five types), then the pattern is a codegen'd regex over
+    that string: matching cost is sequence-length-bounded per user,
+    parallel across users, one corpus shuffle total. The general
+    operator shape handles any regular pattern (the A{2,}B? class) by
+    the same fold-then-regex plan."""
+    e = table(spark, sf_dir, "events")
+    pair = F.struct("ts", "event_id",
+                    F.substring("event_type", 1, 1).alias("ini"))
+    seq = (e.groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(F.sort_array(F.collect_list(pair)),
+                            lambda x: x["ini"]), "").alias("s")))
+    hits = F.expr("regexp_extract_all(s, 'c+p', 0)")
+    longest = F.coalesce(
+        F.array_max(F.transform(hits, lambda x: F.length(x) - 1)),
+        F.lit(0))
+    return seq.select(
+        "user_id",
+        F.size(hits).cast("long").alias("n_episodes"),
+        longest.cast("long").alias("longest_burst"))
