@@ -186,3 +186,43 @@ def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.any_value("lang").alias("lang"),
                  lr.alias("logratio"), (lr > 0).alias("selected")))
+
+
+@query("embedding_centroids", oracle="""
+WITH comp AS (
+  -- DuckDB lacks WITH ORDINALITY: index the array through a lateral
+  -- unnest of its subscript range instead
+  SELECT e.label, u.i - 1 AS dim,
+         -- CAST to DOUBLE first: a bare 1000000.0 literal is DECIMAL
+         -- in DuckDB and the float32*decimal product rounds at 7
+         -- digits, flipping floors vs Spark's double arithmetic
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS xi
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(xi) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid
+FROM comp GROUP BY 1, 2
+""")
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the class-prototype vectors behind
+    nearest-centroid classification, prototype networks, and the
+    coarse quantizer IVF trains): dimension-wise means accumulated as
+    EXACT 1e-6-grid integers — vector sums are the canonical place
+    float accumulation order drifts between engines, and the integer
+    grid removes it (one IEEE division at the end). Plan: posexplode →
+    (label, dim)-keyed map-combined sum; shuffle is labels×dims-sized,
+    never corpus-sized; the same aggregate at 100 TB is the standard
+    first step of k-means/IVF training (`dedup/ivf.py` does it with
+    Arrow batches — this is the pure-codegen twin)."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x"))
+    xi = F.floor(F.col("x").cast("double") * 1000000.0).cast("long")
+    return (comp.select("label", "dim", xi.alias("xi"))
+                .groupBy("label", "dim")
+                .agg(F.count("*").alias("n"), F.sum("xi").alias("sx"))
+                .select("label", F.col("dim").cast("int").alias("dim"), "n",
+                        F.round(F.col("sx").cast("double") / F.col("n")
+                                / 1000000.0, 6).alias("centroid")))
