@@ -202,7 +202,14 @@ WITH comp AS (
 )
 SELECT label, CAST(dim AS INT) AS dim,
        CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(xi) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid
+       -- half-away-from-zero mean in INTEGERS: round(sx/n) ties are
+       -- where Spark (rounds the shortest-decimal string, HALF_UP) and
+       -- DuckDB (rounds the binary double) genuinely disagree, so no
+       -- float round may touch the output
+       CAST(CASE WHEN sum(xi) >= 0
+                 THEN (2 * sum(xi) + count(*)) // (2 * count(*))
+                 ELSE -((2 * -sum(xi) + count(*)) // (2 * count(*)))
+            END AS BIGINT) AS centroid_micro
 FROM comp GROUP BY 1, 2
 """)
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,9 +227,14 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x"))
     xi = F.floor(F.col("x").cast("double") * 1000000.0).cast("long")
-    return (comp.select("label", "dim", xi.alias("xi"))
-                .groupBy("label", "dim")
-                .agg(F.count("*").alias("n"), F.sum("xi").alias("sx"))
-                .select("label", F.col("dim").cast("int").alias("dim"), "n",
-                        F.round(F.col("sx").cast("double") / F.col("n")
-                                / 1000000.0, 6).alias("centroid")))
+    agg = (comp.select("label", "dim", xi.alias("xi"))
+               .groupBy("label", "dim")
+               .agg(F.count("*").alias("n"), F.sum("xi").alias("sx")))
+    sx, n = F.col("sx"), F.col("n")
+    # div on the negated numerator for the negative branch — floor(a/b)
+    # would round toward -inf, not away from zero
+    half_away = (F.when(sx >= 0,
+                        F.expr("(2 * sx + n) div (2 * n)"))
+                  .otherwise(-F.expr("(2 * -sx + n) div (2 * n)")))
+    return agg.select("label", F.col("dim").cast("int").alias("dim"), "n",
+                      half_away.cast("long").alias("centroid_micro"))
