@@ -638,8 +638,15 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS cnt,
        sum(CAST(floor(value * 1000) AS BIGINT)) AS total,
-       round(CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE)
-             / count(*) / 1000.0, 6) AS avg_value
+       -- integer half-away mean in MICRO units: a float round() of the
+       -- rational total/cnt can tie, and rounding-mode ties diverge
+       -- between engines (SURVEY 7.3)
+       CAST(CASE WHEN sum(CAST(floor(value * 1000) AS BIGINT)) >= 0
+            THEN (2000 * sum(CAST(floor(value * 1000) AS BIGINT))
+                  + count(*)) // (2 * count(*))
+            ELSE -((2000 * -sum(CAST(floor(value * 1000) AS BIGINT))
+                    + count(*)) // (2 * count(*)))
+            END AS BIGINT) AS avg_micro
 FROM events GROUP BY 1
 """)
 def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,10 +669,12 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = agg_state(base, ["user_id"], "v")
     refreshed = apply_delta(mv, agg_state(delta, ["user_id"], "v"),
                             ["user_id"])
-    return refreshed.select(
-        "user_id", "cnt", "total",
-        F.round(F.col("total").cast("double") / F.col("cnt") / 1000.0, 6)
-         .alias("avg_value"))
+    total, cnt = F.col("total"), F.col("cnt")
+    avg_micro = (F.when(total >= 0,
+                        F.expr("(2000 * total + cnt) div (2 * cnt)"))
+                  .otherwise(-F.expr("(2000 * -total + cnt) div (2 * cnt)")))
+    return refreshed.select("user_id", "cnt", "total",
+                            avg_micro.cast("long").alias("avg_micro"))
 
 
 @query("attribution_last_touch", oracle="""

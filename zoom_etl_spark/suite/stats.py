@@ -64,7 +64,10 @@ tot AS (
   FROM cell
 )
 SELECT event_type, band, CAST(o AS BIGINT) AS o,
-       round(CAST(rt * ct AS DOUBLE) / n, 4) AS expected,
+       -- expected on the 1e-4 integer grid, half-away (float round()
+       -- ties diverge between engines — SURVEY 7.3); rt·ct·1e4 is
+       -- within int64 through bench scales, HUGEINT/decimal beyond
+       CAST((20000 * rt * ct + n) // (2 * n) AS BIGINT) AS expected_e4,
        round(CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
              / (CAST(n AS DOUBLE) * rt * ct), 4) AS contrib
 FROM tot
@@ -92,8 +95,8 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
     return tot.select(
         "event_type", "band", F.col("o").cast("bigint").alias("o"),
-        F.round((F.col("rt") * F.col("ct")).cast("double") / F.col("n"), 4)
-        .alias("expected"),
+        F.expr("(20000 * rt * ct + n) div (2 * n)").cast("long")
+         .alias("expected_e4"),
         F.round((dev * dev).cast("double")
                 / (F.col("n").cast("double") * F.col("rt") * F.col("ct")), 4)
         .alias("contrib"))
