@@ -879,3 +879,51 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_events"),
                      F.min("ts").alias("sess_start"),
                      F.max("ts").alias("sess_end")))
+
+
+@query("cohort_ltv", oracle="""
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY 1
+),
+wk AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort,
+              CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7 AS INT)
+           AS week_offset,
+         sum(CAST(floor(e.value * 1000) AS BIGINT)) AS v
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sz AS (SELECT cohort, count(*) AS cohort_users FROM first GROUP BY 1)
+SELECT w.cohort, w.week_offset, s.cohort_users,
+       sum(w.v) OVER (PARTITION BY w.cohort ORDER BY w.week_offset
+                      ROWS UNBOUNDED PRECEDING) AS cum_value_milli
+FROM wk w JOIN sz s USING (cohort)
+""")
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase value per
+    signup-week cohort by week offset (the revenue twin of
+    ``retention_cohorts`` — the curve LTV/CAC decisions read). Exact
+    1e-3-grid integer sums make the cumulative window engine-exact.
+    Plan: first-touch min-aggregate, user-keyed enrichment join, then a
+    cohorts×weeks-bounded rollup whose running sum windows over that
+    TINY frame (never the corpus); cohort sizes broadcast back."""
+    e = table(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    wk = (e.join(first, "user_id")
+           .filter(F.col("event_type") == "purchase")
+           .groupBy("cohort",
+                    (F.datediff(F.date_trunc("week", F.col("ts")),
+                                F.col("cohort")) / 7).cast("int")
+                    .alias("week_offset"))
+           .agg(F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                 .alias("v")))
+    sz = first.groupBy("cohort").agg(F.count("*").alias("cohort_users"))
+    w = (Window.partitionBy("cohort").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (wk.join(F.broadcast(sz), "cohort")
+              .select("cohort", "week_offset", "cohort_users",
+                      F.sum("v").over(w).alias("cum_value_milli")))
