@@ -216,3 +216,29 @@ def test_current_version_hint_probe(spark, tmp_path):
     assert g.current_version() == 4  # listing fallback
     os.remove(hint)                  # no hint at all
     assert g.current_version() == 4
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
+    """A tag must resolve to its pinned version's data forever: vacuum
+    with keep_last=1 must NOT reclaim a tagged older version, tags are
+    immutable (re-tagging raises), and dropping the tag releases it."""
+    import pytest
+
+    from zoom_etl_spark.operators.txn import TableGroup
+
+    g = TableGroup(str(tmp_path / "g"))
+    v1_df = spark.createDataFrame([(1, "old")], "k long, s string")
+    v1 = g.publish({"t": v1_df})
+    g.tag("release-1")                       # pins v1
+    v2 = g.publish({"t": spark.createDataFrame([(1, "new")],
+                                               "k long, s string")})
+    assert g.tags() == {"release-1": v1}
+    with pytest.raises(FileExistsError):
+        g.tag("release-1", v2)               # immutable
+    removed = g.vacuum(keep_last=1)
+    assert removed == []                     # tagged v1 data protected
+    assert g.read_tag(spark, "release-1", "t").collect()[0].s == "old"
+    assert g.read(spark, "t").collect()[0].s == "new"
+    g.drop_tag("release-1")
+    removed = g.vacuum(keep_last=1)
+    assert removed                           # v1 data now reclaimable

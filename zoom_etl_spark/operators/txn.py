@@ -151,6 +151,48 @@ class TableGroup:
             raise KeyError(f"table {name!r} not in group (version {m['version']})")
         return spark.read.parquet(m["tables"][name])
 
+    # -------------------------------------------------------------- tags
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named immutable reference to a version (Iceberg tag
+        semantics): O_EXCL file creation is the claim, so a tag can never
+        be silently repointed — delete + recreate is the explicit
+        (auditable) way to move one. Tagged versions are protected from
+        :meth:`vacuum` regardless of the retention window."""
+        v = self.current_version() if version is None else version
+        if v is None or not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"cannot tag non-existent version {version!r}")
+        tdir = os.path.join(self.root, "_tags")
+        os.makedirs(tdir, exist_ok=True)
+        path = os.path.join(tdir, f"{name}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps({"version": v}).encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        tdir = os.path.join(self.root, "_tags")
+        out: dict[str, int] = {}
+        if os.path.isdir(tdir):
+            for name in os.listdir(tdir):
+                if name.endswith(".json"):
+                    with open(os.path.join(tdir, name)) as f:
+                        out[name[:-5]] = json.load(f)["version"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        os.unlink(os.path.join(self.root, "_tags", f"{name}.json"))
+
+    def read_tag(self, spark: SparkSession, name: str,
+                 table_name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        return self.read(spark, table_name, version=tags[name])
+
     # ------------------------------------------------------------ commit
 
     def _try_claim(self, version: int, payload: dict) -> bool:
@@ -299,7 +341,8 @@ class TableGroup:
             raise ValueError("keep_last must be >= 1 (current version is live)")
         vs = self._versions()
         live: set[str] = set()
-        for v in vs[-keep_last:]:
+        keep = set(vs[-keep_last:]) | set(self.tags().values())
+        for v in keep:  # retention window + every tagged version
             live.update(self.manifest(v)["tables"].values())
         now = time.time()
         removed: list[str] = []
