@@ -927,3 +927,49 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wk.join(F.broadcast(sz), "cohort")
               .select("cohort", "week_offset", "cohort_users",
                       F.sum("v").over(w).alias("cum_value_milli")))
+
+
+@query("gaps_islands_streaks", oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+seq AS (
+  SELECT user_id, day,
+         CASE WHEN date_diff('day',
+                lag(day) OVER (PARTITION BY user_id ORDER BY day), day) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM ud
+),
+isl AS (
+  SELECT user_id, day,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM seq
+)
+SELECT user_id, island,
+       min(day) AS streak_start, max(day) AS streak_end,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM isl GROUP BY 1, 2
+""")
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's streaks of CONSECUTIVE active days
+    (start, end, length) — the classic SQL interview shape, and the
+    engagement-streak metric products gamify. A break is any gap ≠ 1
+    day on the deduped (user, day) grid (pure DATE integer arithmetic —
+    no timestamps, no float); islands are the conditional cumsum, the
+    same one-shuffle discipline as ``sessionize_dynamic_gap``: the
+    corpus shuffles once on user_id, the lag window, cumsum and streak
+    rollup all reuse that partitioning."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    brk = F.when(
+        F.datediff(F.col("day"), F.lag("day").over(w)) == 1, 0).otherwise(1)
+    isl = (ud.withColumn("brk", brk)
+             .withColumn("island",
+                         F.sum("brk").over(
+                             w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("user_id", "island")
+               .agg(F.min("day").alias("streak_start"),
+                    F.max("day").alias("streak_end"),
+                    F.count("*").alias("n_days")))
