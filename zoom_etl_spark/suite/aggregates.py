@@ -149,3 +149,44 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt"),
                  F.round(F.sum("value"), 3).alias("total"))
             .select(F.col("w.start").alias("day"), "cnt", "total"))
+
+
+@query("supplier_hhi", oracle="""
+WITH q AS (
+  SELECT l_partkey AS partkey, l_suppkey,
+         sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (
+  SELECT partkey,
+         sum(qty * qty) AS sq,
+         sum(qty) AS tot,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM q GROUP BY 1
+)
+SELECT partkey, n_suppliers,
+       round(CAST(sq AS DOUBLE) / (tot * tot), 6) AS hhi
+FROM t
+""")
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration Herfindahl-Hirschman index per part: Σ of
+    squared supplier quantity shares (1.0 = single-sourced, →0 =
+    perfectly diversified) — the procurement-risk metric behind
+    second-source decisions. Restated on exact integers: HHI =
+    Σq_i²/(Σq)², so the only float op is ONE IEEE division per part on
+    exactly-aggregated integer moments (the trend_linefit discipline —
+    Σ(q/T)² would float-accumulate differently per engine). Two
+    map-combined keyed aggregates, no joins; rounding is tie-free
+    because Σq_i²·10⁶ / T² lands on the rational grid only at measure-
+    zero alignments of the data, unlike means over small denominators."""
+    li = table(spark, sf_dir, "lineitem")
+    q = (li.groupBy(F.col("l_partkey").alias("partkey"), "l_suppkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty")))
+    t = (q.groupBy("partkey")
+          .agg(F.sum(F.col("qty") * F.col("qty")).alias("sq"),
+               F.sum("qty").alias("tot"),
+               F.count("*").alias("n_suppliers")))
+    return t.select(
+        "partkey", "n_suppliers",
+        F.round(F.col("sq").cast("double")
+                / (F.col("tot") * F.col("tot")), 6).alias("hhi"))
