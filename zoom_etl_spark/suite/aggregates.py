@@ -14,7 +14,7 @@ is the 100 TB cardinality path (HLL sketch, no shuffle of raw values).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -190,3 +190,48 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partkey", "n_suppliers",
         F.round(F.col("sq").cast("double")
                 / (F.col("tot") * F.col("tot")), 6).alias("hhi"))
+
+
+@query("revenue_concentration", oracle="""
+WITH r AS (
+  SELECT o_custkey AS k,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT k, cents,
+         CAST(ntile(5) OVER (ORDER BY cents DESC, k) AS INT) AS quintile
+  FROM r
+),
+t AS (SELECT sum(cents) AS tot FROM r)
+SELECT quintile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       sum(cents) AS revenue_cents,
+       CAST((2000000 * sum(cents) + t.tot) // (2 * t.tot) AS BIGINT)
+         AS share_e6
+FROM q, t GROUP BY quintile, t.tot
+""")
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer quintile (the 80/20 question:
+    how much of revenue does the top fifth of customers carry).
+    Revenue lives in exact integer cents; quintiles cut by ntile over
+    the UNIQUE (revenue desc, custkey) order so membership is
+    engine-exact; the share is integer half-away on the 1e-6 grid (no
+    float round — SURVEY 7.3). Plan: one customer rollup, one
+    customer-count-sized global sort window (bounded by |customers|,
+    never |orders|), a 5-row aggregate, and the 1-row total via
+    broadcast cross join."""
+    o = table(spark, sf_dir, "orders")
+    r = (o.groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                .alias("cents")))
+    w = Window.orderBy(F.col("cents").desc(), "k")
+    q = r.withColumn("quintile", F.ntile(5).over(w).cast("int"))
+    t = r.agg(F.sum("cents").alias("tot"))
+    return (q.groupBy("quintile")
+             .agg(F.count("*").alias("n_customers"),
+                  F.sum("cents").alias("revenue_cents"))
+             .crossJoin(F.broadcast(t))
+             .select("quintile", "n_customers", "revenue_cents",
+                     F.expr("(2000000 * revenue_cents + tot) div (2 * tot)")
+                      .cast("long").alias("share_e6")))
