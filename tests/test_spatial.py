@@ -1,0 +1,100 @@
+"""Float-tolerant gates for the haversine spatial family: the blocked
+neighbor join must return EXACTLY the brute-force pair set (blocking may
+never lose a pair), with distances matching a pure-Python haversine to
+relative tolerance. Adversarial placements cover the blocking's failure
+modes: antimeridian wrap, polar cap, and cell-boundary straddling.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from zoom_etl_spark.operators.spatial import (
+    EARTH_RADIUS_M, haversine_m, neighbor_join_haversine,
+)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = (math.sin(dp / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(min(a, 1.0)))
+
+
+def _brute(pts, radius):
+    out = {}
+    for i, (ia, la, lo) in enumerate(pts):
+        for ib, lb, lo2 in pts[i + 1:]:
+            d = _hav(la, lo, lb, lo2)
+            if d <= radius:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                out[(a, b)] = d
+    return out
+
+
+def _check(spark, pts, radius):
+    df = spark.createDataFrame(pts, "id BIGINT, lat DOUBLE, lon DOUBLE")
+    got = {(r.id_a, r.id_b): r.dist_m
+           for r in neighbor_join_haversine(df, radius).collect()}
+    want = _brute(pts, radius)
+    assert set(got) == set(want), (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}")
+    for k, d in want.items():
+        assert got[k] == pytest.approx(d, rel=1e-9), (k, got[k], d)
+
+
+def test_haversine_matches_reference(spark):
+    rows = [(0.0, 0.0, 0.0, 1.0), (52.52, 13.405, 48.8566, 2.3522),
+            (89.9, 10.0, 89.9, -170.0), (-33.9, 151.2, 40.7, -74.0)]
+    df = spark.createDataFrame(
+        rows, "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE")
+    import pyspark.sql.functions as F
+    got = df.select(haversine_m(
+        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+        .alias("d")).collect()
+    for r, row in zip(got, rows):
+        assert r.d == pytest.approx(_hav(*row), rel=1e-9)
+
+
+def test_neighbor_join_synthetic_corpus(spark, sf_dir):
+    """The registered query's own point derivation vs brute force."""
+    from zoom_etl_spark.suite.geo import _points
+    import pyspark.sql.functions as F
+    p = (_points(spark, sf_dir)
+         .select("id", (F.col("y") / 100.0).alias("lat"),
+                 (F.col("x") / 100.0).alias("lon")))
+    pts = [(r.id, r.lat, r.lon) for r in p.collect()]
+    _check(spark, pts, 500_000.0)
+
+
+def test_neighbor_join_antimeridian_and_poles(spark):
+    pts = [
+        (1, 10.0, 179.9), (2, 10.0, -179.9),      # wrap pair (~22 km)
+        (3, 89.8, 0.0), (4, 89.8, 180.0),         # across the pole
+        (5, 89.5, -90.0),                          # polar cap member
+        (6, -89.9, 45.0), (7, -89.7, -135.0),      # south polar pair
+        (8, 0.0, 0.0), (9, 0.1, 0.1),              # equator near pair
+        (10, 45.0, 30.0), (11, 45.0, 37.0),        # ~550 km: outside
+        (12, 60.0, 100.0), (13, 60.1, 100.2),      # high-lat near pair
+        (14, -45.0, -0.05), (15, -45.0, 0.05),     # prime-meridian cell edge
+    ]
+    _check(spark, pts, 500_000.0)
+
+
+def test_neighbor_join_cell_boundary_sweep(spark):
+    """Pairs straddling every probe-window edge: points laid just inside
+    /outside the radius along latitude and longitude from anchors on
+    cell corners — blocking must agree with brute force everywhere."""
+    pts, nid = [], 1
+    for alat, alon in [(-0.01, -0.01), (44.99, 89.99), (-60.01, 0.01),
+                       (80.0, 179.99)]:
+        pts.append((nid, alat, alon)); nid += 1
+        for dlat, dlon in [(4.4, 0.0), (4.6, 0.0), (0.0, 4.4), (0.0, 6.0),
+                           (-4.4, 0.0), (3.2, 3.2), (-3.1, -3.1)]:
+            lat = max(min(alat + dlat, 89.99), -89.99)
+            lon = ((alon + dlon + 180.0) % 360.0) - 180.0
+            pts.append((nid, lat, lon)); nid += 1
+    _check(spark, pts, 500_000.0)

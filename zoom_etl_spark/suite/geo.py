@@ -107,3 +107,167 @@ def geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(d2 <= _R2)
                  .select(F.col("id_a"), F.col("id").alias("id_b"),
                          d2.alias("d2")))
+
+
+# ---------------------------------------------------------------------------
+# Polygon containment — exact integer half-plane tests on convex fences.
+#
+# Three hand-checked convex CCW polygons in centidegree (x, y) space
+# (a diamond, a rectangle, an irregular pentagon). Convexity makes
+# point-in-polygon a pure integer conjunction: P is inside iff for every
+# directed edge (x0,y0)->(x1,y1), cross = (x1-x0)*(Py-y0)-(y1-y0)*(Px-x0)
+# >= 0 (boundary inclusive). No floats anywhere, so Spark and DuckDB
+# agree bit-for-bit.
+_POLY_EDGES = [
+    # poly 1: diamond centered (0,0), r=2000
+    (1, 2000, 0, 0, 2000), (1, 0, 2000, -2000, 0),
+    (1, -2000, 0, 0, -2000), (1, 0, -2000, 2000, 0),
+    # poly 2: rectangle x in [5000,9000], y in [-4000,-1000]
+    (2, 5000, -4000, 9000, -4000), (2, 9000, -4000, 9000, -1000),
+    (2, 9000, -1000, 5000, -1000), (2, 5000, -1000, 5000, -4000),
+    # poly 3: convex pentagon near (-10000, 4000)
+    (3, -12000, 3000, -9000, 2500), (3, -9000, 2500, -8000, 4500),
+    (3, -8000, 4500, -10000, 6000), (3, -10000, 6000, -12500, 5000),
+    (3, -12500, 5000, -12000, 3000),
+]
+_EDGES_SQL = ", ".join(f"({p}, {x0}, {y0}, {x1}, {y1})"
+                       for p, x0, y0, x1, y1 in _POLY_EDGES)
+
+
+@query("geo_polygon_contain", oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_Y} AS y, {_X} AS x,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+edges(poly_id, x0, y0, x1, y1) AS (VALUES {_EDGES_SQL}),
+bbox AS (
+  SELECT poly_id, min(least(x0, x1)) AS bx0, max(greatest(x0, x1)) AS bx1,
+         min(least(y0, y1)) AS by0, max(greatest(y0, y1)) AS by1
+  FROM edges GROUP BY 1
+),
+cand AS (
+  SELECT p.id, p.x, p.y, p.cents, b.poly_id
+  FROM pts p JOIN bbox b
+    ON p.x BETWEEN b.bx0 AND b.bx1 AND p.y BETWEEN b.by0 AND b.by1
+),
+inside AS (
+  SELECT c.id, c.poly_id, c.cents
+  FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+  GROUP BY c.id, c.poly_id, c.cents
+  HAVING min((e.x1 - e.x0) * (c.y - e.y0)
+             - (e.y1 - e.y0) * (c.x - e.x0)) >= 0
+)
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_inside,
+       CAST(sum(cents) AS BIGINT) AS balance_cents
+FROM inside GROUP BY poly_id
+""")
+def geo_polygon_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon rollup over convex geofences — the "customers
+    inside this delivery zone" query. Fences are broadcast twice (bbox
+    prefilter, then the edge table), so the only work proportional to
+    the corpus is one scan: each point first hits the bounding-box
+    prefilter (range predicate on a broadcast join — candidates are
+    density x fence area, never corpus x fences edges), and only
+    candidates pay the per-edge integer half-plane conjunction. All
+    arithmetic is integer cross products and summed integer cents, so
+    the DuckDB oracle matches exactly. At 100 TB the fence table stays
+    driver-bounded (thousands of polygons is still KB) and the plan is
+    scan -> broadcast-filter -> broadcast-join -> partial agg."""
+    p = _points(spark, sf_dir).select(
+        "id", "y", "x",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"))
+    edges = spark.createDataFrame(
+        _POLY_EDGES, "poly_id INT, x0 INT, y0 INT, x1 INT, y1 INT")
+    bbox = edges.groupBy("poly_id").agg(
+        F.min(F.least("x0", "x1")).alias("bx0"),
+        F.max(F.greatest("x0", "x1")).alias("bx1"),
+        F.min(F.least("y0", "y1")).alias("by0"),
+        F.max(F.greatest("y0", "y1")).alias("by1"))
+    cand = p.join(
+        F.broadcast(bbox),
+        (F.col("x").between(F.col("bx0"), F.col("bx1"))
+         & F.col("y").between(F.col("by0"), F.col("by1"))))
+    cross = ((F.col("x1") - F.col("x0")) * (F.col("y") - F.col("y0"))
+             - (F.col("y1") - F.col("y0")) * (F.col("x") - F.col("x0")))
+    inside = (cand.join(F.broadcast(edges), "poly_id")
+                  .groupBy("id", "poly_id", "cents")
+                  .agg(F.min(cross).alias("min_cross"))
+                  .filter(F.col("min_cross") >= 0))
+    return (inside.groupBy("poly_id")
+                  .agg(F.count("*").alias("n_inside"),
+                       F.sum("cents").alias("balance_cents")))
+
+
+@query("geo_multires_rollup", oracle=f"""
+WITH pts AS (
+  SELECT {_Y} AS y, {_X} AS x,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+fine AS (
+  SELECT CAST(floor(y / 100.0) AS BIGINT) AS cy,
+         CAST(floor(x / 100.0) AS BIGINT) AS cx,
+         count(*) AS n, sum(cents) AS cents
+  FROM pts GROUP BY 1, 2
+)
+SELECT res, cell_y, cell_x, CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS balance_cents
+FROM (
+  SELECT 1 AS res, cy AS cell_y, cx AS cell_x, n, cents FROM fine
+  UNION ALL
+  SELECT 4, CAST(floor(cy / 4.0) AS BIGINT),
+            CAST(floor(cx / 4.0) AS BIGINT), n, cents FROM fine
+  UNION ALL
+  SELECT 16, CAST(floor(cy / 16.0) AS BIGINT),
+             CAST(floor(cx / 16.0) AS BIGINT), n, cents FROM fine
+) pyr GROUP BY res, cell_y, cell_x
+""")
+def geo_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile pyramid (1-degree, 4-degree, 16-degree) with
+    partial reuse — the quadtree/H3-parent pattern: aggregate the corpus
+    ONCE at the finest resolution, then derive every coarser level from
+    the fine partials (floor-divide the cell id, re-sum counts/cents).
+    The corpus-sized shuffle happens exactly once; the pyramid levels
+    shuffle tile-count-sized rows. Counts and integer cents are exact,
+    so every level hash-matches the oracle."""
+    p = _points(spark, sf_dir).select(
+        "y", "x",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"))
+    fine = (p.groupBy(
+                F.floor(F.col("y") / 100.0).cast("long").alias("cy"),
+                F.floor(F.col("x") / 100.0).cast("long").alias("cx"))
+             .agg(F.count("*").alias("n"), F.sum("cents").alias("cents")))
+    levels = []
+    for res in (1, 4, 16):
+        levels.append(fine.select(
+            F.lit(res).cast("int").alias("res"),
+            F.floor(F.col("cy") / float(res)).cast("long").alias("cell_y"),
+            F.floor(F.col("cx") / float(res)).cast("long").alias("cell_x"),
+            "n", "cents"))
+    pyramid = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    return (pyramid.groupBy("res", "cell_y", "cell_x")
+                   .agg(F.sum("n").alias("n"),
+                        F.sum("cents").alias("balance_cents")))
+
+
+@query("geo_neighbor_haversine")  # rows-only: trig differs across
+# engines in the last ulp, so the gate is tests/test_spatial.py — exact
+# pair-set equality + rtol distances vs the brute-force O(n^2) oracle
+def geo_neighbor_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle neighbor join (250 km): the metric-correct verify
+    step the flat-grid ``geo_neighbor_pairs`` defers to production
+    (ROADMAP item 6). Blocking is latitude-aware cell probing with
+    antimeridian wrap and a polar-cap fallback
+    (operators/spatial.py::neighbor_join_haversine); candidates stay
+    density-bounded, never all-pairs. Distances round to whole meters
+    for output stability; correctness is property-gated because
+    JVM/libm trig diverges in the last ulp, which a value-hash oracle
+    cannot tolerate."""
+    from ..operators.spatial import neighbor_join_haversine
+    p = (_points(spark, sf_dir)
+         .select("id", (F.col("y") / 100.0).alias("lat"),
+                 (F.col("x") / 100.0).alias("lon")))
+    pairs = neighbor_join_haversine(p, radius_m=250_000.0)
+    return pairs.select("id_a", "id_b",
+                        F.round("dist_m", 0).alias("dist_m"))
