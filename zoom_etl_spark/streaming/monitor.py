@@ -63,6 +63,7 @@ class StreamMetrics(StreamingQueryListener):
                 "rows_updated": op.get("numRowsUpdated"),
                 "rows_dropped_by_watermark":
                     op.get("numRowsDroppedByWatermark"),
+                "memory_used_bytes": op.get("memoryUsedBytes"),
             })
         self._by_query[p.name or p.id].append(rec)
 
@@ -75,6 +76,13 @@ class StreamMetrics(StreamingQueryListener):
     # caller surface --------------------------------------------------
     def snapshot(self, name: str) -> list[dict]:
         return list(self._by_query.get(name, ()))
+
+    def feed(self, name: str, rec: dict) -> None:
+        """Inject a batch record directly (same shape onQueryProgress
+        produces). Exists so alert rules can be exercised/replayed
+        against a recorded history without a live stream — the alerting
+        path must be testable offline."""
+        self._by_query[name].append(rec)
 
     def dropped_by_watermark(self, name: str) -> int:
         """Total late rows a STATE OPERATOR discarded. Caveat learned
@@ -134,3 +142,109 @@ def state_rows(metrics: StreamMetrics, name: str) -> list[int]:
     for rec in metrics.snapshot(name):
         out.append(sum(op.get("rows_total") or 0 for op in rec["state"]))
     return out
+
+
+def state_bytes(metrics: StreamMetrics, name: str) -> list[int]:
+    """Per-batch state-store memory (summed over state operators) — the
+    SIZE companion to :func:`state_rows`: row counts can plateau while
+    per-row payloads balloon (e.g. a collect_list in state), so leak
+    detection must watch both."""
+    out = []
+    for rec in metrics.snapshot(name):
+        out.append(sum(op.get("memory_used_bytes") or 0
+                       for op in rec["state"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Alert routing — rules over the captured per-batch facts, dispatched to
+# severity-routed sinks. The rules are pure functions of the recorded
+# batch history (deterministic, driver-side, testable without a live
+# alerting backend); a production deployment registers a pager/Slack
+# callable per severity and calls ``evaluate`` from the same listener
+# thread or a scheduled sweep.
+
+class Alert:
+    __slots__ = ("rule", "severity", "query", "batch_id", "detail")
+
+    def __init__(self, rule, severity, query, batch_id, detail):
+        self.rule, self.severity = rule, severity
+        self.query, self.batch_id, self.detail = query, batch_id, detail
+
+    def __repr__(self):
+        return (f"Alert({self.rule}/{self.severity} q={self.query} "
+                f"batch={self.batch_id}: {self.detail})")
+
+
+class AlertRouter:
+    """Evaluates health rules against a :class:`StreamMetrics` history
+    and routes resulting alerts to per-severity sinks.
+
+    Built-in rules (each a deterministic function of the batch log):
+
+    - ``fully_late_batch`` (**critical**): a batch whose entire input
+      was behind the watermark — every row silently discarded.
+    - ``state_growth`` (**warning**): total state rows strictly
+      increased over the last ``growth_window`` batches — the leak
+      signature for an operator expected to plateau.
+    - ``watermark_stalled`` (**warning**): input keeps arriving but the
+      watermark has not advanced for ``stall_window`` batches — late
+      data will pile up and downstream windows never close.
+
+    Sinks are callables ``alert -> None`` registered per severity with
+    :meth:`route_to`; ``evaluate`` is idempotent per (rule, batch_id) —
+    re-sweeping the same history does not re-fire delivered alerts
+    (exactly the dedup a paging integration needs)."""
+
+    def __init__(self, metrics: StreamMetrics, growth_window: int = 4,
+                 stall_window: int = 3):
+        self._metrics = metrics
+        self._growth_window = growth_window
+        self._stall_window = stall_window
+        self._sinks: dict[str, list] = defaultdict(list)
+        self._delivered: set[tuple] = set()
+        self.alerts: list[Alert] = []
+
+    def route_to(self, severity: str, sink) -> "AlertRouter":
+        self._sinks[severity].append(sink)
+        return self
+
+    def _emit(self, rule, severity, query, batch_id, detail):
+        key = (rule, query, batch_id)
+        if key in self._delivered:
+            return
+        self._delivered.add(key)
+        a = Alert(rule, severity, query, batch_id, detail)
+        self.alerts.append(a)
+        for sink in self._sinks.get(severity, ()):
+            sink(a)
+
+    def evaluate(self, name: str) -> list[Alert]:
+        """Sweep the recorded history for ``name`` and fire any new
+        alerts; returns all alerts raised so far for the query."""
+        hist = self._metrics.snapshot(name)
+        for bid in self._metrics.fully_late_batches(name):
+            self._emit("fully_late_batch", "critical", name, bid,
+                       "entire batch behind watermark — rows discarded")
+        rows = [sum(op.get("rows_total") or 0 for op in rec["state"])
+                for rec in hist]
+        w = self._growth_window
+        if len(rows) >= w:
+            tail = rows[-w:]
+            if all(tail[i] < tail[i + 1] for i in range(w - 1)):
+                self._emit("state_growth", "warning", name,
+                           hist[-1]["batch_id"],
+                           f"state rows rose {tail[0]}→{tail[-1]} "
+                           f"over last {w} batches")
+        s = self._stall_window
+        if len(hist) >= s:
+            tail = hist[-s:]
+            wms = [rec.get("watermark") for rec in tail]
+            fed = sum(rec["num_input_rows"] for rec in tail)
+            if (fed > 0 and all(wm is not None for wm in wms)
+                    and len(set(wms)) == 1 and any(rec["state"] for rec in tail)):
+                self._emit("watermark_stalled", "warning", name,
+                           tail[-1]["batch_id"],
+                           f"watermark pinned at {wms[-1]} for {s} "
+                           f"batches while {fed} rows arrived")
+        return [a for a in self.alerts if a.query == name]
