@@ -973,3 +973,76 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.min("day").alias("streak_start"),
                     F.max("day").alias("streak_end"),
                     F.count("*").alias("n_days")))
+
+
+@query("attribution_multi_touch", oracle="""
+WITH p AS (
+  SELECT user_id, event_id AS pid, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS cid, ts
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.user_id, p.pid, p.cents, c.cid,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY c.ts DESC, c.cid DESC) AS rn,
+         count(*) OVER (PARTITION BY p.pid) AS n
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS
+),
+credit AS (
+  SELECT user_id, cid,
+         cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS cr
+  FROM touch
+)
+SELECT user_id, cid AS click_id,
+       CAST(sum(cr) AS BIGINT) AS credit_cents,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM credit GROUP BY user_id, cid
+""")
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch (linear) attribution with EXACT money splitting:
+    every purchase's cents divide equally across all clicks in the
+    preceding 24 h, integer quotient per touch and the remainder to the
+    most recent click — so per-purchase credits sum to the purchase
+    value TO THE CENT (the invariant float shares violate and finance
+    reconciliation rejects). Complements `attribution_last_touch`
+    (single-touch) the way production marketing stacks run both.
+
+    Plan: one user-keyed equi-join with the 24 h bound as a residual
+    range predicate (touch lists are per-user and time-bounded, so
+    fan-out is local), two purchase-keyed windows over the touch list,
+    then a map-combined per-click rollup. Purchases with no touches
+    drop; at 100 TB the join key (user) is the natural partitioner and
+    a skewed mega-user routes through the same salting path as
+    join_salted."""
+    e = table(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", F.col("event_id").alias("pid"),
+                  F.col("ts").alias("pts"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                   .alias("cents")))
+    c = (e.filter(F.col("event_type") == "click")
+          .select(F.col("user_id").alias("cu"),
+                  F.col("event_id").alias("cid"), F.col("ts").alias("cts")))
+    touch = (p.join(c, (F.col("user_id") == F.col("cu"))
+                    & (F.col("cts") < F.col("pts"))
+                    & (F.col("cts") >= F.col("pts")
+                       - F.expr("INTERVAL 24 HOURS"))))
+    wn = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy(F.col("cts").desc(),
+                                           F.col("cid").desc())
+    credit = (touch
+              .withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(wn))
+              .select("user_id", "cid",
+                      (F.expr("cents DIV n")
+                       + F.when(F.col("rn") == 1, F.expr("cents % n"))
+                          .otherwise(F.lit(0))).alias("cr")))
+    return (credit.groupBy("user_id", F.col("cid").alias("click_id"))
+                  .agg(F.sum("cr").alias("credit_cents"),
+                       F.count("*").alias("n_purchases")))
