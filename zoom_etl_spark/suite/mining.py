@@ -518,3 +518,133 @@ def pattern_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(hits).cast("long").alias("n_episodes"),
         longest.cast("long").alias("longest_burst"))
+
+
+@query("er_blocked_linkage", oracle="""
+WITH a AS (
+  SELECT c_custkey AS a_key, c_name AS name, c_mktsegment AS seg,
+         c_nationkey AS nk,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS b_key, c_nationkey AS nk,
+         substr(c_name, 1, 9 + (c_custkey % 9)) || 'X'
+           || substr(c_name, 11 + (c_custkey % 9)) AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+           + (c_custkey % 7) - 3 AS cents
+  FROM customer
+),
+px(r) AS (VALUES (1), (2)),
+off(o) AS (VALUES (0), (500)),
+cand AS (
+  SELECT DISTINCT a.a_key, b.b_key
+  FROM a CROSS JOIN px CROSS JOIN off
+  JOIN b ON a.nk = b.nk
+        AND CASE px.r WHEN 1 THEN substr(a.name, 11, 4)
+                      ELSE substr(a.name, 15, 4) END
+          = CASE px.r WHEN 1 THEN substr(b.name, 11, 4)
+                      ELSE substr(b.name, 15, 4) END
+        -- +200000 keeps the band operand positive (acctbal can be
+        -- negative; DuckDB // floors, Spark DIV truncates — they only
+        -- agree on non-negative operands)
+        AND (a.cents + 200000 + off.o) // 1000
+          = (b.cents + 200000 + off.o) // 1000
+),
+scored AS (
+  SELECT c.a_key, c.b_key,
+         CASE levenshtein(a.name, b.name)
+              WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+         + CASE WHEN b.seg IS NULL THEN 1
+                WHEN a.seg = b.seg THEN 2 ELSE 0 END
+         + CASE WHEN abs(a.cents - b.cents) <= 3 THEN 2
+                WHEN abs(a.cents - b.cents) <= 100 THEN 1
+                ELSE 0 END AS score
+  FROM cand c JOIN a ON c.a_key = a.a_key JOIN b ON c.b_key = b.b_key
+)
+SELECT a_key, b_key, CAST(score AS INT) AS score,
+       CASE WHEN score >= 6 THEN 'match' ELSE 'possible' END AS cls
+FROM scored WHERE score >= 4
+""")
+def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage (Fellegi-Sunter shape):
+    link the clean customer register against a deterministic "dirty CRM
+    extract" of itself (one character corrupted at a key-derived
+    position, 20% of segments nulled, balances jittered a few cents) by
+    MULTI-PASS BLOCKING + weighted field agreement — the classic ER
+    pipeline, all in exact integers (levenshtein distance, null-aware
+    segment agreement, cent-difference bands) so both engines score
+    identically.
+
+    Multi-pass COMPOUND blocking is the load-bearing idea. One blocking
+    key cannot survive a corruption inside it, so candidates come from
+    four passes = {two disjoint name regions (suffix digits 2-5, 6-9)}
+    x {two $10 balance bandings offset by half a band}: a corrupted
+    character breaks at most one name region, and a <=3-cent jitter can
+    straddle a band boundary of at most one of the two shifted bandings
+    (their boundaries sit 497+ cents apart), so every true pair under
+    the declared corruption model survives at least one (region,
+    banding) pass — the recall guarantee, proven per pass-dimension.
+    The compound second field is what keeps blocks bounded: the leading
+    name region is all zero-padding at realistic key ranges (a
+    degenerate hot block — measured 4.5M candidates and 7.7 s at sf0.1
+    on name-only blocking), and conjoining the balance band shrinks it
+    to band-population size (0.9 s, same true links). That is the
+    classic production trade: compound keys buy block-size control at
+    the price of recall OUTSIDE the modeled corruption (a record whose
+    balance moved dollars would need a dedicated pass). All four
+    passes ride ONE equi-join via an exploded (pass, key) column.
+    Classification: score >= 6 'match', 4-5 'possible' (the
+    Fellegi-Sunter two-threshold decision), rest suppressed."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    a = c.select(F.col("c_custkey").alias("a_key"),
+                 F.col("c_name").alias("a_name"),
+                 F.col("c_mktsegment").alias("a_seg"),
+                 F.col("c_nationkey").alias("nk"),
+                 cents.alias("a_cents"))
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr("concat(substring(c_name, 1, 9 + (c_custkey % 9)), 'X', "
+               "substring(c_name, 11 + (c_custkey % 9)))").alias("b_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+         .otherwise(F.col("c_mktsegment")).alias("b_seg"),
+        (cents + F.col("c_custkey") % 7 - 3).alias("b_cents"))
+
+    def blocks(name_col, cents_col):
+        # (region, banding-offset) compound keys; +200000 keeps the
+        # band operand positive (Spark DIV truncates, DuckDB // floors
+        # — they only agree on non-negative operands)
+        parts = []
+        for r, (pos, ln) in ((1, (11, 4)), (2, (15, 4))):
+            for o in (0, 500):
+                parts.append(F.struct(
+                    F.lit(r).alias("r"), F.lit(o).alias("o"),
+                    F.substring(name_col, pos, ln).alias("k"),
+                    ((cents_col + 200000 + o) / F.lit(1000))
+                    .cast("long").alias("band")))
+        return F.explode(F.array(*parts)).alias("blk")
+
+    ab = a.select("a_key", "a_name", "a_seg", "nk", "a_cents",
+                  blocks(F.col("a_name"), F.col("a_cents")))
+    bb = b.select("b_key", "b_name", "b_seg",
+                  F.col("nk").alias("b_nk"), "b_cents",
+                  blocks(F.col("b_name"), F.col("b_cents")).alias("b_blk"))
+    cand = (ab.join(bb, (F.col("nk") == F.col("b_nk"))
+                    & (F.col("blk") == F.col("b_blk")))
+              .dropDuplicates(["a_key", "b_key"]))
+    lev = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    score = (
+        F.when(lev == 0, 4).when(lev == 1, 3).when(lev == 2, 1).otherwise(0)
+        + F.when(F.col("b_seg").isNull(), 1)
+           .when(F.col("a_seg") == F.col("b_seg"), 2).otherwise(0)
+        + F.when(F.abs(F.col("a_cents") - F.col("b_cents")) <= 3, 2)
+           .when(F.abs(F.col("a_cents") - F.col("b_cents")) <= 100, 1)
+           .otherwise(0))
+    return (cand.withColumn("score", score.cast("int"))
+                .filter(F.col("score") >= 4)
+                .select("a_key", "b_key", "score",
+                        F.when(F.col("score") >= 6, "match")
+                         .otherwise("possible").alias("cls")))
