@@ -320,3 +320,86 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("event_type", "event_id",
                        (10000 * F.col("dd") > 22239 * F.col("mad4"))
                         .alias("is_outlier")))
+
+
+# Welch's t on exact integer moments: every float step below is ONE
+# fixed sequence of correctly-rounded IEEE ops over exactly-aggregated
+# integers, written as the SAME expression text in both engines so the
+# doubles are bit-identical before the final rounding (the
+# chisq_independence discipline, extended to a two-sample test).
+_WELCH_EXPRS = {
+    "ma": "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)",
+    "mb": "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)",
+    "va": "(CAST(ssa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+          " / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)",
+    "vb": "(CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+          " / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)",
+    "sea": "va / CAST(na AS DOUBLE)",
+    "seb": "vb / CAST(nb AS DOUBLE)",
+    "t_stat": "round((ma - mb) / sqrt(sea + seb), 4)",
+    "df": "round(((sea + seb) * (sea + seb)) / ((sea * sea)"
+          " / CAST(na - 1 AS DOUBLE) + (seb * seb)"
+          " / CAST(nb - 1 AS DOUBLE)), 2)",
+}
+
+
+@query("ab_welch_ttest", oracle=f"""
+WITH obs AS (
+  SELECT event_type, user_id % 2 AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN grp = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ssa,
+         CAST(sum(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ssb
+  FROM obs GROUP BY event_type
+),
+e1 AS (SELECT *, {_WELCH_EXPRS['ma']} AS ma, {_WELCH_EXPRS['mb']} AS mb,
+              {_WELCH_EXPRS['va']} AS va, {_WELCH_EXPRS['vb']} AS vb
+       FROM m),
+e2 AS (SELECT *, {_WELCH_EXPRS['sea']} AS sea, {_WELCH_EXPRS['seb']} AS seb
+       FROM e1)
+SELECT event_type, na, nb, sa, sb,
+       {_WELCH_EXPRS['t_stat']} AS t_stat, {_WELCH_EXPRS['df']} AS df
+FROM e2
+""")
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-statistic and
+    Welch-Satterthwaite degrees of freedom per event type, arms = the
+    deterministic user_id parity split. The engine-portability
+    discipline: the ONLY data-sized work is one map-combined
+    conditional aggregate producing exact integer moments (n, Σcents,
+    Σcents²) per (type, arm); means/variances/t/df are then a fixed
+    chain of correctly-rounded IEEE ops over those integers — written
+    as the SAME expression text in both engines, so every intermediate
+    double is bit-identical and the final rounding cannot straddle a
+    tie. At 100 TB this is the cheapest possible plan: one scan, one
+    |types|-row shuffle, no second pass for variances (sum-of-squares
+    identity instead of two-pass centered moments — safe here because
+    cents are bounded integers, so Σx² stays far from the 2^53
+    precision cliff; a production guard would shift by a per-type
+    pre-mean when values are large)."""
+    e = table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type", (F.col("user_id") % 2).alias("grp"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    g0 = F.col("grp") == 0
+    m = obs.groupBy("event_type").agg(
+        F.sum(F.when(g0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~g0, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(g0, F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(~g0, F.col("cents")).otherwise(0)).alias("sb"),
+        F.sum(F.when(g0, F.col("cents") * F.col("cents")).otherwise(0))
+         .alias("ssa"),
+        F.sum(F.when(~g0, F.col("cents") * F.col("cents")).otherwise(0))
+         .alias("ssb"))
+    for name in ("ma", "mb", "va", "vb", "sea", "seb"):
+        m = m.withColumn(name, F.expr(_WELCH_EXPRS[name]))
+    return m.select("event_type", "na", "nb", "sa", "sb",
+                    F.expr(_WELCH_EXPRS["t_stat"]).alias("t_stat"),
+                    F.expr(_WELCH_EXPRS["df"]).alias("df"))
