@@ -542,3 +542,76 @@ def test_bitemporal_ivm_out_of_order_raises(spark, sf_dir, tmp_path):
                           output_mode="update", n_state_partitions=8)
     assert "TransactionOrderError" in str(ei.value) \
         or "high-water" in str(ei.value)
+
+
+def test_stateful_restart_resumes_state(spark, sf_dir):
+    """Kill-and-resume for a STATEFUL query (the state-store recovery
+    path a real failure exercises): drain part of the source with an
+    explicit checkpoint, then start a NEW query from the SAME checkpoint
+    after more (strictly older) files land. File-source progress must
+    resume (only the new file replays) and the per-key state must be
+    RESTORED: `_lastwins_update` re-emits the current winner for every
+    touched key, so with restored state the resumed drain emits the
+    phase-1 winners for keys whose newest event predates the restart —
+    lost state would emit the older tail events as winners instead."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.operators.windows import last_wins
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+    from zoom_etl_spark.streaming.stateful import (lastwins_finalize,
+                                                   lastwins_maintain)
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_restart_state_")
+    ck = tempfile.mkdtemp(prefix="zes_restart_state_ck_")
+    thirds = F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
+    raw = (e.withColumn("g", thirds)
+           .withColumn("ts", F.unix_micros("ts") * 1000))
+    for g in (1, 2):  # newest two thirds are present before the "crash"
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+
+    def stream():
+        return (spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true").parquet(srcdir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+    def drain():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        rows = []
+        q = (lastwins_maintain(stream())
+             .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+             .outputMode("update").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return rows
+
+    p1 = drain()
+    assert p1, "phase 1 emitted nothing"
+
+    # the oldest third lands while the query is down; resume from ck
+    (raw.filter(F.col("g") == 3).drop("g")
+     .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f3"))
+    p2 = drain()
+    assert p2, "resumed drain emitted nothing"
+
+    want = {(r.user_id, r.event_id)
+            for r in last_wins(e, keys=["user_id"],
+                               version=[F.col("ts"), F.col("event_id")])
+            .collect()}
+    # state restoration: every re-emitted winner is the GLOBAL winner —
+    # for keys whose newest event was in phase 1, that is only possible
+    # if the restart restored their state
+    got2 = {(r.user_id, r.event_id) for r in p2}
+    assert got2 <= want, f"resumed drain emitted stale winners: {got2 - want}"
+    phase1_keys = {r.user_id for r in p1}
+    resumed_old_keys = {u for u, _ in got2} & phase1_keys
+    assert resumed_old_keys, "no restored-state key was re-emitted"
+
+    # and the union of both drains converges to the batch answer
+    both = spark.createDataFrame(p1 + p2)
+    got = {(r.user_id, r.event_id) for r in lastwins_finalize(both).collect()}
+    assert got == want
