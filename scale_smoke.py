@@ -59,6 +59,18 @@ QUERIES = [
     "graph_pagerank", "heavy_hitters_terms", "rolling_distinct_users",
     "assoc_rules_brands", "join_band_dates", "mv_incremental_refresh",
     "stream_topk_ivm",
+    # closing wave (session 2): degree-oriented triangles (|E| grows
+    # ~linearly within copies — wedge work must not blow up), the
+    # haversine neighbor join (uniform-density replication makes pair
+    # OUTPUT grow ~quadratically with density — the operator's cost is
+    # candidates+output, so ~100x rows at 10x points is the EXPECTED
+    # shape, not a plan failure), and multi-touch attribution (per-user
+    # touch lists unchanged — must scale linearly).
+    # er_blocked_linkage is EXCLUDED: replicated copies share identical
+    # names, so its name-region blocks would cross-match copies
+    # (10x data -> 100x candidates) — an artifact of the replicator,
+    # not the operator.
+    "graph_triangles", "geo_neighbor_haversine", "attribution_multi_touch",
 ]
 
 KEYED = {
