@@ -98,3 +98,40 @@ def test_neighbor_join_cell_boundary_sweep(spark):
             lon = ((alon + dlon + 180.0) % 360.0) - 180.0
             pts.append((nid, lat, lon)); nid += 1
     _check(spark, pts, 500_000.0)
+
+
+def test_neighbor_join_highlat_chord_sliver(spark):
+    """Regression for the subtlest blocking bug: at high latitude the
+    exact max longitude separation within the radius
+    (2·asin(sin(r/2R)/cosφ)) exceeds the linear estimate r/(R·cosφ) by
+    up to ~0.6% — a probe span sized from the linear estimate can fall
+    one cell short. Constructs pairs AT that sliver: latitudes where
+    ceil(exact/cell) > ceil(linear/cell), anchor longitude just under a
+    cell boundary (max cell span), partner at just-inside-the-radius
+    separation."""
+    from zoom_etl_spark.operators.spatial import (
+        EARTH_RADIUS_M, _M_PER_LAT_DEG,
+    )
+    radius, cell = 250_000.0, 3.0
+    sin_half = math.sin(radius / (2.0 * EARTH_RADIUS_M))
+    pts, nid = [], 1
+    found_sliver = False
+    lat = 80.0
+    while lat < 86.5:
+        c = math.cos(math.radians(min(abs(lat) + radius / _M_PER_LAT_DEG,
+                                      90.0)))
+        if sin_half / c < 1.0:
+            exact = math.degrees(2 * math.asin(sin_half / c))
+            linear = radius / (math.cos(math.radians(lat))
+                               * (EARTH_RADIUS_M * math.pi / 180.0))
+            if math.ceil(exact / cell) > math.ceil(linear / cell):
+                found_sliver = True
+                # dlon just inside the radius AT THIS latitude
+                dl = math.degrees(2 * math.asin(
+                    sin_half / math.cos(math.radians(lat)))) * 0.9995
+                anchor = cell * 5 - 0.0005  # hugs a cell boundary
+                pts.append((nid, lat, anchor)); nid += 1
+                pts.append((nid, lat, anchor + dl)); nid += 1
+        lat += 0.01
+    assert found_sliver, "sweep never crossed a linear/exact cell boundary"
+    _check(spark, pts, radius)

@@ -25,11 +25,15 @@ proportional to local density x probed cells; no all-pairs path exists.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_M = 6_371_008.8  # IUGG mean Earth radius
-_M_PER_LAT_DEG = 111_195.0    # EARTH_RADIUS_M * pi / 180, rounded safe-low
+_M_PER_LAT_DEG = 111_194.0    # EARTH_RADIUS_M * pi / 180, rounded DOWN so
+# every latitude bound derived from it over-covers (meridians are great
+# circles, so the latitude conversion itself is exact on the sphere)
 
 
 def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
@@ -70,13 +74,22 @@ def neighbor_join_haversine(points: DataFrame, radius_m: float,
     reach = F.least(F.abs(lat) + F.lit(radius_m / _M_PER_LAT_DEG),
                     F.lit(90.0))
     coslat = F.cos(F.radians(reach))
-    # longitude cells the radius spans at that latitude; full ring when
-    # the parallel is shorter than the radius (polar cap)
-    kx = F.when(coslat * _M_PER_LAT_DEG * cell_deg <= radius_m,
-                F.lit(ring // 2)) \
-          .otherwise(F.ceil(F.lit(radius_m)
-                            / (coslat * _M_PER_LAT_DEG * cell_deg))
-                      .cast("int"))
+    # Maximum longitude separation of any in-radius pair, from the
+    # haversine inversion  dlon <= 2 asin(sin(r/2R) / sqrt(cos f1 cos f2))
+    # evaluated at the reach latitude: both pair latitudes are <= reach,
+    # so cos(reach) <= sqrt(cos f1 cos f2) and this bound dominates
+    # every pair geometry (proof: haversine formula with the dlat term
+    # dropped only loosens it). The linear small-angle estimate
+    # radius/(R cos f) UNDERCOUNTS the exact inversion by up to ~0.6%
+    # near the poles (a parallel is a chord, not a great circle) —
+    # enough to cross a cell boundary and silently drop a boundary pair
+    # (tests::test_neighbor_join_highlat_chord_sliver), so the asin
+    # form is load-bearing, not pedantry. Full ring when the parallel
+    # is shorter than the radius (polar cap: asin argument >= 1).
+    sin_half = F.lit(math.sin(radius_m / (2.0 * EARTH_RADIUS_M)))
+    kx = F.when(sin_half / coslat >= 1.0, F.lit(ring // 2)) \
+          .otherwise(F.ceil(F.degrees(2 * F.asin(sin_half / coslat))
+                            / F.lit(float(cell_deg))).cast("int"))
     probe = (points.select(
                 F.col(id_col).alias("id_a"), lat.alias("lat_a"),
                 lon.alias("lon_a"), cy.alias("pcy"), cx.alias("pcx"),
