@@ -30,9 +30,15 @@ from ..registry import query
 # x uses a QUADRATIC mix — two linear multipliers share a lattice
 # structure (Δy, Δx fixed per Δkey), which left zero close pairs; the
 # quadratic term decorrelates the axes (8 pairs at sf0.01, ~1.3k at
-# sf0.1 under the 0.5° radius)
+# sf0.1 under the 0.5° radius). The square is taken AFTER reducing the
+# key modulo the range — k² ≡ (k mod m)² (mod m), so positions are
+# identical wherever the raw square fits, and the expression no longer
+# overflows int64 at large key ranges (the 10× smoke's key-stride
+# replication overflowed the raw k²·31 at ~9e8 keys; real 100 TB key
+# spaces would too)
 _Y = "(c_custkey * 7919) % 18000 - 9000"
-_X = "(c_custkey * c_custkey * 31 + c_custkey * 104729) % 36000 - 18000"
+_X = ("((c_custkey % 36000) * (c_custkey % 36000) * 31"
+      " + c_custkey * 104729) % 36000 - 18000")
 _R2 = 2500  # neighbor radius: 50 centidegrees, squared
 
 
