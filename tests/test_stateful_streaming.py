@@ -615,3 +615,64 @@ def test_stateful_restart_resumes_state(spark, sf_dir):
     both = spark.createDataFrame(p1 + p2)
     got = {(r.user_id, r.event_id) for r in lastwins_finalize(both).collect()}
     assert got == want
+
+
+def test_stateful_restart_rocksdb_parity(spark, sf_dir):
+    """The same kill-and-resume cycle under the RocksDB state-store
+    provider (the checkpoint pins the provider at first batch, so the
+    resumed query must come back up on RocksDB and read back the spilled
+    state): restored winners only, converged equals batch — provider
+    parity for the recovery path, not just the happy path that
+    test_topk_ivm_rocksdb_state_store covers."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.operators.windows import last_wins
+    from zoom_etl_spark.streaming.ingest import (EVENTS_SCHEMA,
+                                                 rocksdb_state)
+    from zoom_etl_spark.streaming.stateful import (lastwins_finalize,
+                                                   lastwins_maintain)
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_rocks_restart_")
+    ck = tempfile.mkdtemp(prefix="zes_rocks_restart_ck_")
+    thirds = F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
+    raw = (e.withColumn("g", thirds)
+           .withColumn("ts", F.unix_micros("ts") * 1000))
+    for g in (1, 2):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+
+    def drain():
+        rows = []
+        stream = (spark.readStream.schema(EVENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("recursiveFileLookup", "true").parquet(srcdir)
+                  .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        with rocksdb_state(spark):
+            q = (lastwins_maintain(stream)
+                 .writeStream.foreachBatch(
+                     lambda b, _i: rows.extend(b.collect()))
+                 .outputMode("update").option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        return rows
+
+    p1 = drain()
+    assert p1
+    (raw.filter(F.col("g") == 3).drop("g")
+     .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f3"))
+    p2 = drain()
+    assert p2
+
+    want = {(r.user_id, r.event_id)
+            for r in last_wins(e, keys=["user_id"],
+                               version=[F.col("ts"), F.col("event_id")])
+            .collect()}
+    got2 = {(r.user_id, r.event_id) for r in p2}
+    assert got2 <= want, f"stale winners after RocksDB restart: {got2 - want}"
+    got = {(r.user_id, r.event_id)
+           for r in lastwins_finalize(spark.createDataFrame(p1 + p2))
+           .collect()}
+    assert got == want
