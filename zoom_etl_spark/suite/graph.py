@@ -259,13 +259,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     support filter keeps the projection sparse — the guard that keeps a
     projected co-occurrence graph from going quadratic at 100 TB.
 
-    Triangles enumerate with the DEGREE-ORIENTATION trick (each
+    Triangles enumerate with the DEGREE-ORIENTATION trick
+    (`operators/graphalgo.py::triangle_counts`, brute-force
+    property-gated on adversarial random graphs) — (each
     undirected edge directed from its lower-(degree, id) endpoint, two
     out-wedge joins + one closing equi-join): every triangle is produced
     exactly once and the wedge count is Sum(out_deg^2) = O(m^1.5)
     instead of Sum(deg^2), which is what makes triangle counting
     feasible when the projection has hubs. The oracle is the naive
     a<b<c three-way self-join — same triangle set, no orientation."""
+    from ..operators.graphalgo import triangle_counts
     li = table(spark, sf_dir, "lineitem")
     sets = (li.groupBy("l_orderkey")
               .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss")))
@@ -278,30 +281,4 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("support") >= 5)
                   .select("s1", "s2")
                   .localCheckpoint(eager=False))
-    deg = (edges.select(F.col("s1").alias("id"))
-                .unionByName(edges.select(F.col("s2").alias("id")))
-                .groupBy("id").agg(F.count("*").alias("deg")))
-    # orient each edge from its lower-(deg, id) endpoint; rank structs
-    # ride along so the wedge join can order neighbors consistently
-    e = (edges
-         .join(F.broadcast(deg.withColumnRenamed("id", "s1")
-                              .withColumnRenamed("deg", "d1")), "s1")
-         .join(F.broadcast(deg.withColumnRenamed("id", "s2")
-                              .withColumnRenamed("deg", "d2")), "s2")
-         .select(
-             F.when(F.expr("struct(d1, s1) < struct(d2, s2)"), F.col("s1"))
-              .otherwise(F.col("s2")).alias("src"),
-             F.when(F.expr("struct(d1, s1) < struct(d2, s2)"), F.col("s2"))
-              .otherwise(F.col("s1")).alias("dst"),
-             F.when(F.expr("struct(d1, s1) < struct(d2, s2)"),
-                    F.expr("struct(d2 AS d, s2 AS i)"))
-              .otherwise(F.expr("struct(d1 AS d, s1 AS i)")).alias("rdst")))
-    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                  F.col("rdst").alias("rv"))
-    e2 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"),
-                  F.col("rdst").alias("rw"))
-    wedges = e1.join(e2, "u").filter(F.col("rv") < F.col("rw"))
-    closing = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
-    return (tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
-               .groupBy("id").agg(F.count("*").alias("n_tri")))
+    return triangle_counts(edges)
