@@ -223,3 +223,31 @@ def test_bitemporal_slice_equals_scd2_at_every_checkpoint(spark, sf_dir):
                 .collect()}
         assert got == want, f"checkpoint {frac}"
     bt.unpersist()
+
+
+def test_attribution_credits_sum_to_purchase_cents(spark, sf_dir):
+    """The multi-touch invariant finance reconciliation depends on:
+    total credited cents across clicks == total cents of every purchase
+    that HAS at least one preceding-24h click — exactly, not to within
+    float tolerance."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    credits = all_queries()["attribution_multi_touch"].fn(spark, sf_dir)
+    total_credit = credits.agg(
+        F.sum("credit_cents").alias("s")).collect()[0].s
+
+    e = table(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", F.col("ts").alias("pts"),
+                  F.col("event_id").alias("pid"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                   .alias("cents")))
+    c = (e.filter(F.col("event_type") == "click")
+          .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts")))
+    touched = (p.join(c, (F.col("user_id") == F.col("cu"))
+                      & (F.col("cts") < F.col("pts"))
+                      & (F.col("cts") >= F.col("pts")
+                         - F.expr("INTERVAL 24 HOURS")), "left_semi"))
+    want = touched.agg(F.sum("cents").alias("s")).collect()[0].s
+    assert total_credit == want and want > 0
