@@ -128,3 +128,20 @@ def test_live_stream_reports_state_memory(spark, sf_dir):
     # healthy single-drain history: no critical alerts
     r = AlertRouter(m)
     assert all(a.severity != "critical" for a in r.evaluate("t_alert_mem"))
+
+
+def test_stream_alert_route_query_is_deterministic(spark, sf_dir):
+    """The registered contract query must fire EXACTLY the one critical
+    fully_late_batch alert for the replayed-stale-file batch — no
+    warning noise, stable across runs (rows-only in the driver, so the
+    determinism gate lives here)."""
+    from zoom_etl_spark.registry import all_queries
+
+    fn = all_queries()["stream_alert_route"].fn
+    rows = sorted((r.rule, r.severity, r.batch_id)
+                  for r in fn(spark, sf_dir).collect())
+    assert rows == [("fully_late_batch", "critical", 1)]
+    # and a second run sees the same thing (fresh temp dirs each call)
+    rows2 = sorted((r.rule, r.severity, r.batch_id)
+                   for r in fn(spark, sf_dir).collect())
+    assert rows2 == rows

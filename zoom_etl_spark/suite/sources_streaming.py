@@ -827,3 +827,58 @@ def stream_bitemporal_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("tx_to").isNull()
                          | (F.col("tx_to") > F.col("tcap"))))
               .select("user_id", "value", "valid_from", "valid_to"))
+
+
+@query("stream_alert_route")  # rows-only: fired alerts are driver-side
+# listener artifacts (StreamingQueryListener progress), outside ANSI
+# SQL by nature; determinism is pinned by tests/test_monitor_alerts.py
+def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming health-alerting path AS PART OF THE CONTRACT
+    (ROADMAP 8): replay events as two micro-batches where the second
+    arrives entirely behind the already-advanced watermark (a stale
+    backfill file landing late — the silent-data-loss scenario), and
+    surface what the AlertRouter fired: exactly one critical
+    fully_late_batch alert for the replayed batch, no warning-rule
+    noise. The drain is a real watermarked windowed aggregation; the
+    listener costs nothing on executors (driver-side metadata per
+    micro-batch) and the router rules are pure functions of the
+    recorded batch log — the production wiring minus the pager."""
+    import os
+    import tempfile
+    import time
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+    from ..streaming.monitor import AlertRouter, watched
+
+    e = table(spark, sf_dir, "events")
+    raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
+    srcdir = tempfile.mkdtemp(prefix="zes_alert_route_")
+    cut = F.unix_micros(F.lit("2024-01-20").cast("timestamp")) * 1000
+    (raw.filter(F.col("ts") >= cut).coalesce(1)
+        .write.mode("overwrite").parquet(f"{srcdir}/f1_new"))
+    (raw.filter(F.col("ts") < cut).coalesce(1)
+        .write.mode("overwrite").parquet(f"{srcdir}/f2_old"))
+    now = time.time()
+    for sub, age in (("f1_new", 400), ("f2_old", 100)):  # new file FIRST
+        for root, _, files in os.walk(f"{srcdir}/{sub}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now - age, now - age))
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = (stream.withWatermark("ts", "1 hour")
+                 .groupBy(F.window("ts", "1 day")).count())
+    with watched(spark) as m:
+        q = (agg.writeStream.format("memory").queryName("alert_route_drain")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        deadline = time.time() + 15  # listener events arrive async
+        while time.time() < deadline \
+                and not m.fully_late_batches("alert_route_drain"):
+            time.sleep(0.25)
+    router = AlertRouter(m)
+    alerts = router.evaluate("alert_route_drain")
+    return spark.createDataFrame(
+        [(a.rule, a.severity, int(a.batch_id)) for a in alerts],
+        "rule STRING, severity STRING, batch_id INT")
