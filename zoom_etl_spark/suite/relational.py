@@ -484,3 +484,38 @@ def nest_child_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     lambda s: s["it"]).alias("items")))
     return (nested.join(o, nested["l_orderkey"] == o["o_orderkey"])
                   .select("o_orderkey", "n_items", "items"))
+
+
+@query("lineage_flagship", oracle="""
+SELECT * FROM (VALUES
+  ('n_orders', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('nation',  'nation', 'n_name'),
+  ('rank',    'nation', 'n_name'),
+  ('rank',    'orders', 'o_totalprice'),
+  ('rank',    'region', 'r_name'),
+  ('region',  'region', 'r_name'),
+  ('revenue', 'orders', 'o_totalprice')
+) t(out_col, src_table, src_col)
+""")
+def lineage_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level lineage of the flagship plan AS a contract query
+    (zoom_etl_spark/lineage.py): every output column resolved through
+    the analyzed plan's exprId graph to its base (table, column)
+    sources — count(*) outputs correctly resolve to NO source. The
+    oracle is the GOLDEN expected mapping (a VALUES table): metadata
+    extraction is deterministic for a fixed plan, so lineage itself is
+    value-hash-gated like any data query — if a refactor of the
+    flagship plan changes what feeds an output column, this row goes
+    red. Driver-side only; nothing executes on the cluster."""
+    from .. import plans
+    from ..lineage import column_lineage
+    lin = column_lineage(plans.flagship(spark, sf_dir))
+    rows = []
+    for out, srcs in sorted(lin.items()):
+        if not srcs:
+            rows.append((out, None, None))
+        for src, col in sorted(srcs):
+            base = src.rstrip("/").split("/")[-1].replace(".parquet", "")
+            rows.append((out, base, col))
+    return spark.createDataFrame(
+        rows, "out_col STRING, src_table STRING, src_col STRING")
