@@ -63,3 +63,36 @@ def test_binaryfile_source(spark):
                   "length", "content"))
     got = {r.name: (r.length, bytes(r.content)) for r in df.collect()}
     assert got == {n: (len(c), c) for n, c in blobs.items()}
+
+
+def test_normalize_event_ts_all_layouts(spark):
+    """The driver testdata's events.ts physical type has changed TWICE
+    across regenerations (TIMESTAMP(NANOS)-as-long in rounds 1-2,
+    TIMESTAMP_NTZ micros since, plain TIMESTAMP always possible).
+    `catalog.normalize_event_ts` must map all three to the identical
+    session-TZ timestamp — pin every branch so the next layout shift
+    fails here instead of in 200 queries."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampNTZType, TimestampType)
+
+    from zoom_etl_spark.catalog import normalize_event_ts
+
+    base = datetime.datetime(2024, 1, 5, 12, 34, 56, 789123)
+    micros = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()
+                 * 1_000_000)
+    nanos_df = spark.createDataFrame(
+        [(micros * 1000 + 999,)],  # sub-micro digits must truncate
+        StructType([StructField("ts", LongType())]))
+    ntz_df = spark.createDataFrame(
+        [(base,)], StructType([StructField("ts", TimestampNTZType())]))
+    tz_df = spark.createDataFrame(
+        [(base,)], StructType([StructField("ts", TimestampType())]))
+
+    outs = [normalize_event_ts(df) for df in (nanos_df, ntz_df, tz_df)]
+    for out in outs:
+        assert isinstance(out.schema["ts"].dataType, TimestampType)
+    got = [out.select(F.unix_micros("ts")).first()[0] for out in outs]
+    assert got[0] == got[1] == got[2] == micros, got
