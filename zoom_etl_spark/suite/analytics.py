@@ -1046,3 +1046,113 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (credit.groupBy("user_id", F.col("cid").alias("click_id"))
                   .agg(F.sum("cr").alias("credit_cents"),
                        F.count("*").alias("n_purchases")))
+
+
+@query("pipeline_analytics_e2e", oracle="""
+WITH dedup AS (
+  SELECT user_id, ts, event_type, value, min(event_id) AS event_id
+  FROM events GROUP BY user_id, ts, event_type, value
+),
+seq AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS tv
+  FROM sess
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS tc
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS tp
+  FROM s2
+),
+stats AS (
+  SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1,
+         max(tp) IS NOT NULL AS converted,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS rev
+  FROM s3 GROUP BY user_id, sid
+)
+SELECT CAST(t0 AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+       CAST((sum(CASE WHEN converted THEN 1 ELSE 0 END) * 10000)
+            // count(*) AS BIGINT) AS conv_bp,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents,
+       CAST(sum(epoch_us(t1) - epoch_us(t0))
+            // (1000000 * count(*)) AS BIGINT) AS avg_sess_sec
+FROM stats GROUP BY day
+""")
+def pipeline_analytics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE product-analytics pipeline as ONE value-hash-gated
+    query (the analytics bookend to pipeline_curation_e2e): redelivery
+    dedup (deterministic min-id keeper per identical event) →
+    30-minute-gap sessionization → ORDERED in-session funnel
+    (view → later click → later purchase, each stage strictly after the
+    previous — the correlated-mins chain via stacked same-partition
+    windows) → daily rollup with integer-exact conversion basis points,
+    revenue cents, and mean session seconds. Proves the stages COMPOSE:
+    each stage consumes the previous stage's frame, exactly as the
+    individually-gated operators (dedup_distinct, window_session,
+    funnel_windowed, agg_rollup) run standalone.
+
+    Plan economics: ONE user-keyed shuffle serves the sessionization
+    lag, the cumulative session id, and all three funnel-stage windows
+    (same partition key — Spark reuses the exchange), then one
+    (user, sid) aggregate and one day-sized rollup. Integer micros
+    everywhere (epoch_us/unix_micros), so gap comparisons, funnel
+    ordering, and the rollup are engine-exact."""
+    e = table(spark, sf_dir, "events")
+    dedup = (e.groupBy("user_id", "ts", "event_type", "value")
+              .agg(F.min("event_id").alias("event_id")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = dedup.withColumn(
+        "new_s", F.when(F.lag("ts").over(w).isNull()
+                        | (gap_us > 1_800_000_000), 1).otherwise(0))
+    sess = seq.withColumn(
+        "sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    ws = Window.partitionBy("user_id", "sid")
+    s1 = sess.withColumn(
+        "tv", F.min(F.when(F.col("event_type") == "view",
+                           F.col("ts"))).over(ws))
+    s2 = s1.withColumn(
+        "tc", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("tv")),
+                           F.col("ts"))).over(ws))
+    s3 = s2.withColumn(
+        "tp", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("tc")),
+                           F.col("ts"))).over(ws))
+    stats = (s3.groupBy("user_id", "sid")
+             .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+                  F.max("tp").isNotNull().alias("converted"),
+                  F.sum(F.when(
+                      F.col("event_type") == "purchase",
+                      F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+                      .otherwise(0)).alias("rev")))
+    n_conv = F.sum(F.when(F.col("converted"), 1).otherwise(0))
+    return (stats.groupBy(F.to_date("t0").alias("day"))
+            .agg(F.count("*").alias("n_sessions"),
+                 n_conv.alias("n_conv"),
+                 F.expr("CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)"
+                        " * 10000 DIV count(*) AS BIGINT)").alias("conv_bp"),
+                 F.sum("rev").alias("revenue_cents"),
+                 F.expr("CAST(sum(unix_micros(t1) - unix_micros(t0))"
+                        " DIV (1000000 * count(*)) AS BIGINT)")
+                  .alias("avg_sess_sec")))
