@@ -251,3 +251,54 @@ def test_attribution_credits_sum_to_purchase_cents(spark, sf_dir):
                          - F.expr("INTERVAL 24 HOURS")), "left_semi"))
     want = touched.agg(F.sum("cents").alias("s")).collect()[0].s
     assert total_credit == want and want > 0
+
+
+def test_er_blocking_recall_guarantee(spark, sf_dir):
+    """The compound-blocking recall proof, verified end to end: under
+    the declared corruption model (one character at a key-derived
+    position, 20% segments nulled, <=3-cent jitter) EVERY true
+    (clean, dirty-twin) pair must survive blocking and classify
+    'match' — a missed identity link would mean a blocking pass pair
+    (name region x balance banding) failed its coverage guarantee."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    out = all_queries()["er_blocked_linkage"].fn(spark, sf_dir)
+    true_links = {(r.a_key, r.b_key): r.cls
+                  for r in out.collect() if r.a_key == r.b_key}
+    n_cust = table(spark, sf_dir, "customer").count()
+    assert len(true_links) == n_cust, (
+        f"blocking lost {n_cust - len(true_links)} true pairs")
+    assert set(true_links.values()) == {"match"}
+
+
+def test_welch_formula_against_pure_python(spark, sf_dir):
+    """The engine's Welch t/df must equal a pure-Python reference
+    computed from the same exact integer moments — validates the
+    FORMULA (not just Spark/DuckDB agreement, which could share a
+    transcription error)."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {r.event_type: r for r in
+           all_queries()["ab_welch_ttest"].fn(spark, sf_dir).collect()}
+    e = table(spark, sf_dir, "events")
+    rows = e.select("event_type", "user_id", "value").collect()
+    groups = {}
+    for r in rows:
+        cents = math.floor(r.value * 100 + 0.5)
+        groups.setdefault((r.event_type, r.user_id % 2), []).append(cents)
+    for et, g in got.items():
+        a, b = groups[(et, 0)], groups[(et, 1)]
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        sea, seb = va / len(a), vb / len(b)
+        t = (ma - mb) / math.sqrt(sea + seb)
+        df = (sea + seb) ** 2 / (sea ** 2 / (len(a) - 1)
+                                 + seb ** 2 / (len(b) - 1))
+        assert g.na == len(a) and g.nb == len(b)
+        assert abs(g.t_stat - t) < 5e-4, (et, g.t_stat, t)
+        assert abs(g.df - df) < 5e-2, (et, g.df, df)
