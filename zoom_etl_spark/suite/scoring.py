@@ -200,3 +200,46 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encode_bpe(d, "text", "doc_id", merges)
     return enc.select("doc_id", "n_tok",
                       F.concat_ws(" ", F.slice("toks", 1, 8)).alias("head"))
+
+
+@query("ml_infer_linear", oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+             x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS n_stop,
+         len(text) AS n_char
+  FROM documents
+)
+SELECT doc_id,
+       CAST(-300 + 12 * least(n_tok, 50) - 40 * n_stop
+            + 2 * (n_char // 10) AS BIGINT) AS logit_centi,
+       (-300 + 12 * least(n_tok, 50) - 40 * n_stop
+        + 2 * (n_char // 10)) >= 0 AS pred
+FROM feats
+""")
+def ml_infer_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model inference executed AS the query (PAPERS.md: "ML
+    Inference Pipeline Execution Using Pure SQL Based on Operator
+    Fusion", ICDE 2025): feature extraction (token count, stopword
+    count, char length) and the scoring dot-product fuse into ONE
+    codegen'd row-local expression — no UDF, no shuffle, no separate
+    featurize pass; the model IS a constant-folded expression over the
+    scan. Integer-quantized weights (centilogits) keep the score and
+    the decision boundary engine-exact. At 100 TB this is the cheapest
+    possible inference plan: one scan inside whole-stage codegen,
+    predicate-pushdown-compatible if the caller filters on pred.
+    Production swaps the hand-written weights for exported model
+    coefficients — the plan shape is unchanged (a wider fused
+    expression), which is exactly the paper's point."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(toks, lambda x: x.isin("the", "a", "of", "and",
+                                            "in", "to"))
+    logit = (F.lit(-300)
+             + 12 * F.least(F.size(toks), F.lit(50))
+             - 40 * F.size(stops)
+             + 2 * F.expr("length(text) DIV 10"))
+    return d.select("doc_id",
+                    logit.cast("bigint").alias("logit_centi"),
+                    (logit >= 0).alias("pred"))
