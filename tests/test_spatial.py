@@ -135,3 +135,19 @@ def test_neighbor_join_highlat_chord_sliver(spark):
         lat += 0.01
     assert found_sliver, "sweep never crossed a linear/exact cell boundary"
     _check(spark, pts, radius)
+
+
+def test_neighbor_join_seam_cell_divisor(spark):
+    """Regression (review finding): when the naive cell width does not
+    divide 360, the antimeridian seam cell is narrower than every other
+    cell and a uniform-width probe window falls one index short across
+    the seam. radius 700 km needs 7-degree cells (ring would be 52 with
+    a 3-degree seam cell); the pair at lon 176.95 / -176.85 (~689 km
+    apart at the equator) must be found."""
+    pts = [
+        (1, 0.0, 176.95), (2, 0.0, -176.85),   # ~689 km across the seam
+        (3, 45.0, 179.5), (4, 45.0, -179.5),   # high-lat seam pair
+        (5, -30.0, 100.0), (6, -30.0, 107.4),  # same-side near pair
+        (7, 10.0, 50.0), (8, 10.0, 60.0),      # ~1094 km: outside
+    ]
+    _check(spark, pts, 700_000.0)

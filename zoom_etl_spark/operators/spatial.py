@@ -61,9 +61,18 @@ def neighbor_join_haversine(points: DataFrame, radius_m: float,
     the haversine predicate verifies as a residual filter. Longitude
     cells wrap modulo the ring so antimeridian-crossing pairs are
     found."""
-    # one latitude cell must cover the radius: cell_deg >= radius in lat°
-    cell_deg = max(1, int(-(-radius_m // _M_PER_LAT_DEG)))
-    ring = 360 // cell_deg + (1 if 360 % cell_deg else 0)
+    # One latitude cell must cover the radius (cell_deg >= radius in
+    # lat degrees), AND cell_deg must DIVIDE 360: otherwise the seam
+    # cell at the antimeridian is narrower than cell_deg, the kx-cell
+    # probe window (sized assuming uniform width) falls one index short
+    # across the seam, and in-radius pairs straddling it are silently
+    # lost (caught by review: radius 700 km -> cell 7, ring 52, seam
+    # cell spans 3 degrees; tests::test_neighbor_join_seam_cell_divisor).
+    need = min(max(1, int(-(-radius_m // _M_PER_LAT_DEG))), 360)
+    cell_deg = next(d for d in (1, 2, 3, 4, 5, 6, 8, 9, 10, 12, 15, 18,
+                                20, 24, 30, 36, 40, 45, 60, 72, 90, 120,
+                                180, 360) if d >= need)
+    ring = 360 // cell_deg
     lat, lon = F.col(lat_col), F.col(lon_col)
     cy = F.floor((lat + 90.0) / cell_deg).cast("int")
     cx = F.pmod(F.floor((lon + 180.0) / cell_deg).cast("int"), F.lit(ring))
