@@ -23,11 +23,19 @@ _GOLDEN = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def test_plan_budgets_hold(spark, sf_dir):
-    from gen_plan_budgets import shuffle_profile
+    from gen_plan_budgets import SKIP_PREFIXES, shuffle_profile
 
     golden = json.load(open(_GOLDEN))
     assert len(golden) > 140, "golden file truncated?"
     specs = all_queries()
+    # two-sided (review finding): a query ADDED without regenerating the
+    # golden must fail here too, or its budget is simply unenforced
+    expected = {n for n in specs
+                if not any(n.startswith(p) for p in SKIP_PREFIXES)}
+    unpinned = expected - set(golden)
+    assert not unpinned, (
+        f"queries missing from docs/plan_budgets.json (regenerate): "
+        f"{sorted(unpinned)}")
     regressions, missing = [], []
     for name, want in sorted(golden.items()):
         if name not in specs:
