@@ -979,7 +979,12 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
   SELECT user_id, event_id AS pid, ts,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  -- attribution splits SALES; refunds (negative values) are out of
+  -- scope BY CONSTRUCTION: integer division/remainder of negatives
+  -- differ between engines (DuckDB // floors + C-style %, Spark DIV
+  -- truncates) and would break the to-the-cent invariant
+  WHERE event_type = 'purchase' AND value >= 0
 ),
 c AS (
   SELECT user_id, event_id AS cid, ts
@@ -1010,7 +1015,12 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding 24 h, integer quotient per touch and the remainder to the
     most recent click — so per-purchase credits sum to the purchase
     value TO THE CENT (the invariant float shares violate and finance
-    reconciliation rejects). Complements `attribution_last_touch`
+    reconciliation rejects). Scope: SALES only — refunds (negative
+    values) are filtered by construction, because integer div/mod of
+    negatives diverge between engines (DuckDB floors //, keeps C-style
+    %; Spark DIV truncates) and would break both the invariant and the
+    oracle; a refund flow reverses original credits instead of
+    splitting fresh ones. Complements `attribution_last_touch`
     (single-touch) the way production marketing stacks run both.
 
     Plan: one user-keyed equi-join with the 24 h bound as a residual
@@ -1021,7 +1031,10 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a skewed mega-user routes through the same salting path as
     join_salted."""
     e = table(spark, sf_dir, "events")
-    p = (e.filter(F.col("event_type") == "purchase")
+    # refunds excluded: negative integer div/mod diverge across engines
+    # (see oracle comment) and would violate the exact-sum contract
+    p = (e.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") >= 0))
           .select("user_id", F.col("event_id").alias("pid"),
                   F.col("ts").alias("pts"),
                   F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
