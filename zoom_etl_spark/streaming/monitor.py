@@ -226,8 +226,7 @@ class AlertRouter:
         for bid in self._metrics.fully_late_batches(name):
             self._emit("fully_late_batch", "critical", name, bid,
                        "entire batch behind watermark — rows discarded")
-        rows = [sum(op.get("rows_total") or 0 for op in rec["state"])
-                for rec in hist]
+        rows = state_rows(self._metrics, name)
         w = self._growth_window
         if len(rows) >= w:
             tail = rows[-w:]
