@@ -173,3 +173,75 @@ def keyset_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(after)
              .select("o_orderkey", "o_orderdate", "o_totalprice")
              .orderBy("o_orderdate", "o_orderkey").limit(100))
+
+
+@query("window_range_numeric", oracle="""
+WITH cents AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_id, user_id, c,
+       CAST(count(*) OVER w AS BIGINT) AS n_band,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_band
+FROM cents
+WINDOW w AS (PARTITION BY user_id ORDER BY c
+             RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+""")
+def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (RANGE BETWEEN 500 PRECEDING on integer
+    cents, not rows, not time): per user, how many of their events fall
+    within $5 below each event's value, and their cent sum — the
+    peer-band framing behind price-band analytics and nearest-tier
+    lookups. The time-range sibling is `window_range_1h`; this pins the
+    NUMERIC range frame, whose peer-set semantics (ties share a frame
+    tail) differ from ROWS frames. Integer cents keep the frame
+    boundary and the sums engine-exact. One user-keyed sort window —
+    the minimal plan."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id", "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"))
+    w = (Window.partitionBy("user_id").orderBy("c")
+         .rangeBetween(-500, Window.currentRow))
+    return cents.select(
+        "event_id", "user_id", "c",
+        F.count("*").over(w).alias("n_band"),
+        F.sum("c").over(w).alias("sum_band"))
+
+
+@query("sample_k_per_group", oracle="""
+WITH h AS (
+  SELECT event_id, user_id, event_type,
+         (event_id * 2654435761) % 4294967296 AS hk
+  FROM events
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY hk, event_id) AS rn
+  FROM h
+)
+SELECT event_type, event_id, user_id, CAST(rn AS INT) AS rn
+FROM rk WHERE rn <= 100
+""")
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-per-stratum sampling (k=100 per event type) by
+    deterministic hash order — the balanced-subset primitive
+    `sample_stratified` (fraction-based, size varies) cannot give:
+    training-data pipelines that need exactly k examples per class rank
+    by an arithmetic hash (Knuth multiplicative, reproducible across
+    runs AND engines) and cut at k. Unlike reservoir sampling the
+    result is stable under re-runs and appends that don't displace the
+    k smallest hashes. Plan: one group-keyed WindowGroupLimit — rank
+    truncation happens map-side before the sort's exchange, so the
+    shuffle carries ~k rows per group, not the stratum."""
+    from pyspark.sql import Window
+    e = table(spark, sf_dir, "events")
+    h = e.select("event_id", "user_id", "event_type",
+                 F.expr("(event_id * 2654435761) % 4294967296").alias("hk"))
+    w = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    return (h.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 100)
+             .select("event_type", "event_id", "user_id",
+                     F.col("rn").cast("int").alias("rn")))
