@@ -770,3 +770,71 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.pmod(F.col("rep") * 37 + 11, F.lit(100))
     split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
     return rep.select("doc_id", "rep", split.alias("split"))
+
+
+@query("mixture_temperature_alloc", oracle="""
+WITH toks AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tok
+  FROM documents GROUP BY source
+),
+scored AS (
+  SELECT source, n_tok,
+         CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS score
+  FROM toks
+),
+base AS (
+  SELECT source, n_tok, score,
+         (10000000 * score) // t.stot AS base_tok,
+         (10000000 * score) % t.stot AS rem
+  FROM scored CROSS JOIN (SELECT sum(score) AS stot FROM scored) t
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn,
+         10000000 - sum(base_tok) OVER () AS leftover
+  FROM base
+)
+SELECT source, n_tok, score,
+       CAST(base_tok + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tok
+FROM ranked
+""")
+def mixture_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture BUDGET allocation (tau = 0.5):
+    the dual of ``mixture_temperature_sample`` — that query flattens by
+    per-doc accept/reject (keep-rate can only approximate the target
+    mix); this one answers "given a 10M-token budget, how many tokens
+    does each source contribute", splitting the budget by the
+    LARGEST-REMAINDER method so the per-domain allocations are integers
+    that sum to the budget EXACTLY (the invariant shard manifests need).
+    tau = 0.5 is deliberate: IEEE sqrt is correctly rounded, so
+    floor(sqrt(n)) is bit-identical across engines where a pow(n, 0.7)
+    chain would diverge in the last ulp; the remainder distribution is
+    pure integer arithmetic (rank by remainder desc, ties by source).
+    Plan: one corpus scan -> map-combined groupBy(source) (domain-count
+    sized shuffle), then the rank/offset windows run on n_domains rows
+    in a single tiny partition — the 100 TB cost is the scan, nothing
+    else."""
+    from pyspark.sql import Window
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    toks = d.groupBy("source").agg(F.sum(n_tok).alias("n_tok"))
+    scored = toks.select(
+        "source", "n_tok",
+        F.floor(F.sqrt(F.col("n_tok").cast("double"))).alias("score"))
+    tot = scored.agg(F.sum("score").alias("stot"))
+    base = scored.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tok", "score",
+        F.expr("(10000000 * score) div stot").alias("base_tok"),
+        F.expr("(10000000 * score) % stot").alias("rem"))
+    w_rank = Window.orderBy(F.desc("rem"), "source")
+    w_all = Window.partitionBy()
+    ranked = base.select(
+        "source", "n_tok", "score", "base_tok",
+        F.row_number().over(w_rank).alias("rn"),
+        (F.lit(10000000) - F.sum("base_tok").over(w_all)).alias("leftover"))
+    alloc = (F.col("base_tok")
+             + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0))
+    return ranked.select("source", "n_tok", "score",
+                         alloc.cast("bigint").alias("alloc_tok"))

@@ -257,6 +257,115 @@ def geo_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum("cents").alias("balance_cents")))
 
 
+# ---------------------------------------------------------------------------
+# Non-convex containment — exact integer ray casting (even-odd rule).
+#
+# The convex conjunction above cannot express concave fences or holes;
+# the crossing-number test can. For point P and directed edge
+# (x0,y0)->(x1,y1): an UPWARD edge (y0 <= Py < y1) crosses the rightward
+# ray iff P is strictly left of the edge (cross > 0); a DOWNWARD edge
+# (y1 <= Py < y0) iff strictly right (cross < 0). The half-open y rule
+# counts vertex hits exactly once; everything is integer cross products,
+# so both engines agree bit-for-bit. Even-odd also gives holes for free:
+# the donut's inner ring simply adds two more crossings.
+_RAY_POLYS = {
+    # poly 10: U-shape (concave), x in [12000,16000], y in [-8000,-4000]
+    10: [(12000, -8000), (16000, -8000), (16000, -4000), (15000, -4000),
+         (15000, -7000), (13000, -7000), (13000, -4000), (12000, -4000)],
+    # poly 11: donut — outer ring then inner hole ring (even-odd)
+    11: [(-6000, 2000), (-2000, 2000), (-2000, 6000), (-6000, 6000)],
+    12: [(-5000, 3000), (-5000, 5000), (-3000, 5000), (-3000, 3000)],
+    # poly 13: 4-point star (concave octagon) centered (6000, 5000)
+    13: [(6000, 7000), (6500, 5500), (8000, 5000), (6500, 4500),
+         (6000, 3000), (5500, 4500), (4000, 5000), (5500, 5500)],
+}
+# ring -> fence: the donut's hole ring (11/12) rolls up under fence 11
+_RAY_FENCE = {10: 10, 11: 11, 12: 11, 13: 13}
+_RAY_EDGES = [
+    (_RAY_FENCE[pid], x0, y0, x1, y1)
+    for pid, vs in _RAY_POLYS.items()
+    for (x0, y0), (x1, y1) in zip(vs, vs[1:] + vs[:1])
+]
+_RAY_EDGES_SQL = ", ".join(f"({p}, {x0}, {y0}, {x1}, {y1})"
+                           for p, x0, y0, x1, y1 in _RAY_EDGES)
+_CROSSING_SQL = """CASE
+  WHEN e.y0 <= c.y AND c.y < e.y1
+   AND (e.x1 - e.x0) * (c.y - e.y0) - (e.y1 - e.y0) * (c.x - e.x0) > 0
+  THEN 1
+  WHEN e.y1 <= c.y AND c.y < e.y0
+   AND (e.x1 - e.x0) * (c.y - e.y0) - (e.y1 - e.y0) * (c.x - e.x0) < 0
+  THEN 1 ELSE 0 END"""
+
+
+@query("geo_polygon_raycast", oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_Y} AS y, {_X} AS x,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+edges(poly_id, x0, y0, x1, y1) AS (VALUES {_RAY_EDGES_SQL}),
+bbox AS (
+  SELECT poly_id, min(least(x0, x1)) AS bx0, max(greatest(x0, x1)) AS bx1,
+         min(least(y0, y1)) AS by0, max(greatest(y0, y1)) AS by1
+  FROM edges GROUP BY 1
+),
+cand AS (
+  SELECT p.id, p.x, p.y, p.cents, b.poly_id
+  FROM pts p JOIN bbox b
+    ON p.x BETWEEN b.bx0 AND b.bx1 AND p.y BETWEEN b.by0 AND b.by1
+),
+inside AS (
+  SELECT c.id, c.poly_id, c.cents
+  FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+  GROUP BY c.id, c.poly_id, c.cents
+  HAVING sum({_CROSSING_SQL}) % 2 = 1
+)
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_inside,
+       CAST(sum(cents) AS BIGINT) AS balance_cents
+FROM inside GROUP BY poly_id
+""")
+def geo_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-convex point-in-polygon rollup by exact integer ray casting
+    (even-odd crossing rule) — concave fences and fences with holes,
+    which the convex half-plane conjunction (`geo_polygon_contain`)
+    cannot express: a U-shaped zone, a donut whose inner ring is an
+    exclusion hole (even-odd counts its crossings automatically), and a
+    concave 4-point star. Upward edges count when the point is strictly
+    left (integer cross product > 0), downward when strictly right; the
+    half-open y interval makes vertex hits count exactly once. Same
+    scale posture as the convex query: fences broadcast twice (bbox
+    prefilter, then edges), one corpus scan, per-candidate work =
+    n_edges integer ops, partial agg — nothing else grows with the
+    corpus."""
+    p = _points(spark, sf_dir).select(
+        "id", "y", "x",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"))
+    edges = spark.createDataFrame(
+        _RAY_EDGES, "poly_id INT, x0 INT, y0 INT, x1 INT, y1 INT")
+    bbox = edges.groupBy("poly_id").agg(
+        F.min(F.least("x0", "x1")).alias("bx0"),
+        F.max(F.greatest("x0", "x1")).alias("bx1"),
+        F.min(F.least("y0", "y1")).alias("by0"),
+        F.max(F.greatest("y0", "y1")).alias("by1"))
+    cand = p.join(
+        F.broadcast(bbox),
+        (F.col("x").between(F.col("bx0"), F.col("bx1"))
+         & F.col("y").between(F.col("by0"), F.col("by1"))))
+    cross = ((F.col("x1") - F.col("x0")) * (F.col("y") - F.col("y0"))
+             - (F.col("y1") - F.col("y0")) * (F.col("x") - F.col("x0")))
+    up = (F.col("y0") <= F.col("y")) & (F.col("y") < F.col("y1"))
+    down = (F.col("y1") <= F.col("y")) & (F.col("y") < F.col("y0"))
+    crossing = (F.when(up & (cross > 0), 1)
+                 .when(down & (cross < 0), 1).otherwise(0))
+    inside = (cand.join(F.broadcast(edges), "poly_id")
+                  .groupBy("id", "poly_id", "cents")
+                  .agg(F.sum(crossing).alias("n_cross"))
+                  .filter(F.col("n_cross") % 2 == 1))
+    return (inside.groupBy("poly_id")
+                  .agg(F.count("*").alias("n_inside"),
+                       F.sum("cents").alias("balance_cents")))
+
+
 @query("geo_neighbor_haversine")  # rows-only: trig differs across
 # engines in the last ulp, so the gate is tests/test_spatial.py — exact
 # pair-set equality + rtol distances vs the brute-force O(n^2) oracle
