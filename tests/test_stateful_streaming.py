@@ -544,6 +544,47 @@ def test_bitemporal_ivm_out_of_order_raises(spark, sf_dir, tmp_path):
         or "high-water" in str(ei.value)
 
 
+def test_bitemporal_ivm_out_of_order_converges_with_lateness(
+        spark, sf_dir, tmp_path):
+    """The SAME shuffled delivery the strict default aborts on (middle
+    tx range lands LAST — a late backfill file) must, with a
+    ``tx_lateness`` covering the reorder, converge to exactly the batch
+    bitemporal construction: the low range finalizes under the bound
+    while the high range sits previewed in the holding pen until the
+    middle range arrives and re-runs it."""
+    from zoom_etl_spark.operators.bitemporal import bitemporal_history
+    from zoom_etl_spark.streaming.ingest import run_available_now
+    from zoom_etl_spark.streaming.stateful import (bitemporal_finalize,
+                                                   bitemporal_maintain)
+
+    # file ages: low range first, HIGH range second, middle range last
+    stream = _bt_stream_from_files(spark, sf_dir, tmp_path, (300, 100, 200))
+    assertions = stream.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx"))
+    e = table(spark, sf_dir, "events").limit(3000)
+    mx = e.agg(F.max("event_id")).first()[0]
+    # middle range (mx/3, 2mx/3] arrives when key max is already ~mx:
+    # lateness up to mx - mx/3 - 1; anything smaller must raise instead
+    run_available_now(
+        bitemporal_maintain(assertions, tx_lateness=2 * mx // 3 + 2),
+        "t_bt_late", output_mode="update", n_state_partitions=8)
+    got = {tuple(r) for r in
+           bitemporal_finalize(spark.table("t_bt_late"))
+           .select("user_id", "value", "valid_from", "valid_to",
+                   "tx_from", "tx_to").collect()}
+
+    batch = bitemporal_history(e.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx")))
+    want = {tuple(r) for r in batch.select(
+        "user_id", "value", "valid_from", "valid_to",
+        "tx_from", "tx_to").collect()}
+    assert got == want
+
+
 def test_stateful_restart_resumes_state(spark, sf_dir):
     """Kill-and-resume for a STATEFUL query (the state-store recovery
     path a real failure exercises): drain part of the source with an
@@ -676,3 +717,105 @@ def test_stateful_restart_rocksdb_parity(spark, sf_dir):
            for r in lastwins_finalize(spark.createDataFrame(p1 + p2))
            .collect()}
     assert got == want
+
+
+def _mk_maxts_maintain(with_count: bool):
+    """Two versions of one stateful operator for the schema-upgrade
+    test: v1 state = (max_ts); v2 adds a (count) field — the typical
+    'operator grew a metric' evolution. Output schema is identical, so
+    only the STATE schema differs across the upgrade."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([StructField("user_id", LongType()),
+                             StructField("max_ts", LongType())])
+    fields = [StructField("max_ts", LongType())]
+    if with_count:
+        fields.append(StructField("n", LongType()))
+    st_schema = StructType(fields)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            mx = int(state.get[0])
+            n = int(state.get[1]) if with_count else 0
+        else:
+            mx, n = -1, 0
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, int(pdf["ts_us"].max()))
+                n += len(pdf)
+        state.update((mx, n) if with_count else (mx,))
+        yield pd.DataFrame({"user_id": [int(key[0])], "max_ts": [mx]})
+
+    def maintain(stream):
+        return (stream.groupBy("user_id")
+                .applyInPandasWithState(update, out_schema, st_schema,
+                                        "update",
+                                        GroupStateTimeout.NoTimeout))
+    return maintain
+
+
+def test_checkpoint_state_schema_upgrade(spark, sf_dir):
+    """Operator STATE-schema evolution across restart (ROADMAP item 9's
+    remaining half): a v2 operator whose state grew a field must NOT
+    silently reinterpret v1 state bytes — Spark's state-schema check
+    has to reject the restart loudly. The checkpoint must survive the
+    rejected attempt (v1 still resumes from it), and the supported
+    upgrade path — full replay into a FRESH checkpoint under v2 —
+    converges to the batch answer."""
+    import pytest
+
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_upgrade_")
+    ck_v1 = tempfile.mkdtemp(prefix="zes_upgrade_ck1_")
+    raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
+    half = e.agg(F.expr("max(event_id) div 2")).first()[0]
+    (raw.filter(F.col("event_id") <= half).coalesce(1)
+        .write.mode("overwrite").parquet(f"{srcdir}/f1"))
+
+    def stream():
+        return (spark.readStream.schema(EVENTS_SCHEMA)
+                .option("recursiveFileLookup", "true").parquet(srcdir)
+                .select("user_id",
+                        F.expr("ts div 1000").alias("ts_us")))
+
+    def drain(maintain, ck):
+        rows = []
+        q = (maintain(stream())
+             .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+             .outputMode("update").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return rows
+
+    v1 = _mk_maxts_maintain(with_count=False)
+    v2 = _mk_maxts_maintain(with_count=True)
+    assert drain(v1, ck_v1), "v1 phase emitted nothing"
+
+    # second half lands; restarting the GROWN-state operator on the v1
+    # checkpoint must be rejected by the state schema check, not
+    # misread v1 rows
+    (raw.filter(F.col("event_id") > half).coalesce(1)
+        .write.mode("overwrite").parquet(f"{srcdir}/f2"))
+    with pytest.raises(Exception) as ei:
+        drain(v2, ck_v1)
+    assert "schema" in str(ei.value).lower(), str(ei.value)[:400]
+
+    # the rejected attempt must not have corrupted the checkpoint: v1
+    # resumes and processes the new file
+    p2 = drain(v1, ck_v1)
+    assert p2, "v1 could not resume after the rejected v2 attempt"
+
+    # supported upgrade: replay everything into a fresh checkpoint
+    ck_v2 = tempfile.mkdtemp(prefix="zes_upgrade_ck2_")
+    p_v2 = drain(v2, ck_v2)
+    want = {(r.user_id, r.mx) for r in
+            e.groupBy("user_id")
+             .agg(F.max(F.unix_micros("ts")).alias("mx")).collect()}
+    final = {}
+    for r in p_v2:
+        final[r.user_id] = max(final.get(r.user_id, -1), r.max_ts)
+    assert set(final.items()) == want

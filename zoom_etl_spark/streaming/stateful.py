@@ -463,26 +463,31 @@ BT_STATE_SCHEMA = StructType([
     StructField("tx_froms", ArrayType(LongType()), True),
     StructField("max_tx", LongType(), True),
     StructField("seq", LongType(), True),
+    # tx-lateness holding pen: assertions whose tx is still within the
+    # reorder tolerance of the key's max seen tx — applied (finalized)
+    # only once the tolerance window passes them
+    StructField("p_valids", ArrayType(LongType()), True),
+    StructField("p_values", ArrayType(LongType()), True),
+    StructField("p_txs", ArrayType(LongType()), True),
 ])
 
 
 class TransactionOrderError(RuntimeError):
-    """A micro-batch delivered an assertion with tx below the key's
-    high-water mark — bitemporal tx intervals would be wrong, so fail
-    loudly (the scd2_maintain ADVICE discipline) instead of recording a
-    corrupted belief history."""
+    """A micro-batch delivered an assertion with tx at or below the
+    key's FINALIZED high-water mark — older than the declared
+    ``tx_lateness`` tolerance, so its effect on already-final closed
+    rows can no longer be recorded. Fail loudly (the scd2_maintain
+    ADVICE discipline) instead of recording a corrupted belief
+    history. With ``tx_lateness=0`` (strict mode) this is any
+    out-of-tx-order arrival across batches."""
 
 
-def _bt_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+def _bt_apply(kid: int, valids: list, cur: dict, rows: list) -> list:
+    """Apply ``rows`` = [(valid_us, value, tx)] (MUST be tx-sorted) to
+    the (valids, cur) arrangement IN PLACE; return the closed-row
+    tuples the revisions produced. Shared by the finalize path (mutates
+    state) and the preview path (mutates a copy)."""
     from bisect import bisect_left, insort
-    if state.exists:
-        valids_l, values_l, txf_l, max_tx, seq = state.get
-        valids = list(valids_l)
-        cur = {v: (val, tf) for v, val, tf in zip(valids, values_l, txf_l)}
-    else:
-        valids, cur, max_tx, seq = [], {}, -1, 0
-    batch = pd.concat(list(pdfs)).sort_values("tx")
-    kid = int(key[0])
     closed: list[tuple] = []
 
     def succ(v):
@@ -490,32 +495,90 @@ def _bt_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         j = i + 1 if i < len(valids) and valids[i] == v else i
         return valids[j] if j < len(valids) else None
 
-    for r in batch.itertuples():
-        v = int(r.valid.value // 1000)  # pandas ns → micros
-        val, tx = int(r.value), int(r.tx)
-        if tx <= max_tx:
-            raise TransactionOrderError(
-                f"key {kid}: tx {tx} after high-water {max_tx}")
-        max_tx = tx
+    for v, val, tx in rows:
         if v in cur:
             old_val, old_from = cur[v]
-            closed.append((kid, "C", old_val, v, succ(v), old_from, tx, 0))
+            closed.append((kid, old_val, v, succ(v), old_from, tx))
             cur[v] = (val, tx)
             continue
         i = bisect_left(valids, v)
         if i > 0:
             pv = valids[i - 1]
             p_val, p_from = cur[pv]
-            closed.append((kid, "C", p_val, pv, succ(pv), p_from, tx, 0))
+            closed.append((kid, p_val, pv, succ(pv), p_from, tx))
             cur[pv] = (p_val, tx)
         insort(valids, v)
         cur[v] = (val, tx)
+    return closed
+
+
+def _bt_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+               tx_lateness: int = 0):
+    if state.exists:
+        (valids_l, values_l, txf_l, max_tx, seq,
+         pv_l, pval_l, ptx_l) = state.get
+        valids = list(valids_l)
+        cur = {v: (val, tf) for v, val, tf in zip(valids, values_l, txf_l)}
+        pending = {int(t): (int(v), int(val))
+                   for v, val, t in zip(pv_l, pval_l, ptx_l)}
+    else:
+        valids, cur, max_tx, seq, pending = [], {}, -1, 0, {}
+    batch = pd.concat(list(pdfs))
+    kid = int(key[0])
+
+    for r in batch.itertuples():
+        v = int(r.valid.value // 1000)  # pandas ns → micros
+        val, tx = int(r.value), int(r.tx)
+        if tx <= max_tx:
+            raise TransactionOrderError(
+                f"key {kid}: tx {tx} at/behind finalized high-water "
+                f"{max_tx} (tx_lateness={tx_lateness})")
+        if tx in pending:
+            continue  # redelivered assertion: idempotent no-op
+        pending[tx] = (v, val)
+    if not pending and not valids:
+        return
+
+    # finalize the pending prefix the reorder tolerance has passed:
+    # an assertion may still arrive with tx > max seen - tx_lateness,
+    # so only tx <= that bound are immutable
+    key_max = max(pending) if pending else max_tx
+    bound = key_max - int(tx_lateness)
+    final_txs = sorted(t for t in pending if t <= bound)
+    final_rows = [(pending[t][0], pending[t][1], t) for t in final_txs]
+    closed = [c + (0,) for c in _bt_apply(kid, valids, cur, final_rows)]
+    if final_txs:
+        max_tx = final_txs[-1]
+        for t in final_txs:
+            del pending[t]
+
+    # optimistic preview of the still-buffered tail on a COPY: late
+    # arrivals re-run it, so its closes/opens re-emit sequenced and
+    # the finalize fold keeps only the last snapshot
     seq = int(seq) + 1
+    p_valids, p_cur = list(valids), dict(cur)
+    tail = [(pending[t][0], pending[t][1], t) for t in sorted(pending)]
+    preview = [c + (seq,) for c in _bt_apply(kid, p_valids, p_cur, tail)]
+
+    ptxs = sorted(pending)
     state.update((valids, [cur[v][0] for v in valids],
-                  [cur[v][1] for v in valids], int(max_tx), seq))
-    opens = [(kid, "O", cur[v][0], v, succ(v), cur[v][1], None, seq)
-             for v in valids]
-    rows = closed + opens
+                  [cur[v][1] for v in valids], int(max_tx), seq,
+                  [pending[t][0] for t in ptxs],
+                  [pending[t][1] for t in ptxs], ptxs))
+
+    def succ(v):
+        from bisect import bisect_left
+        i = bisect_left(p_valids, v)
+        j = i + 1 if i < len(p_valids) and p_valids[i] == v else i
+        return p_valids[j] if j < len(p_valids) else None
+
+    opens = [(kid, "O", p_cur[v][0], v, succ(v), p_cur[v][1], None, seq)
+             for v in p_valids]
+    rows = ([(c[0], "C", c[1], c[2], c[3], c[4], c[5], c[6])
+             for c in closed]
+            + [(c[0], "P", c[1], c[2], c[3], c[4], c[5], c[6])
+               for c in preview]
+            + opens)
     if rows:
         df = pd.DataFrame(rows, columns=[
             "user_id", "op", "value", "valid_from", "valid_to",
@@ -525,32 +588,53 @@ def _bt_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         yield df
 
 
-def bitemporal_maintain(events_stream: DataFrame) -> DataFrame:
+def bitemporal_maintain(events_stream: DataFrame,
+                        tx_lateness: int = 0) -> DataFrame:
     """Continuously-maintained bitemporal SCD (the streaming twin of
-    ``operators/bitemporal.py``): closed belief rows emit append-only
-    the moment a revision closes them; the open-row snapshot re-emits
-    sequenced per batch (converged view = closed rows + last snapshot).
-    State per key = the key's current version arrangement + a tx
-    high-water mark; assertions must arrive in tx order across batches
-    (enforced loudly via :class:`TransactionOrderError` — the
-    out-of-order fix is the scd2-style watermark buffer, ROADMAP)."""
+    ``operators/bitemporal.py``): finalized closed belief rows emit
+    append-only exactly once; the open-row snapshot re-emits sequenced
+    per batch (converged view = closed rows + last snapshot,
+    ``bitemporal_finalize``).
+
+    OUT-OF-ORDER tx is tolerated up to ``tx_lateness`` (ROADMAP item 7
+    remaining): assertions buffer in a per-key holding pen — the
+    streaming analog of the reference's staging table
+    (/root/reference/src/db/load.py:193-235, late rows held before the
+    merge) — and only those whose tx the reorder tolerance has passed
+    (tx <= key's max seen - tx_lateness) are APPLIED to the durable
+    arrangement, so their closed rows are final the moment they emit.
+    The still-buffered tail is previewed on a copy each batch (op 'P'
+    closes + the open snapshot), re-emitted and superseded by seq until
+    it finalizes — a late assertion therefore lands inside the window
+    it reorders with no retraction of any final row. State per key =
+    arrangement + holding pen, so state size is bounded by per-key
+    churn within the tolerance window. An arrival at/behind the
+    FINALIZED high-water raises :class:`TransactionOrderError` loudly;
+    ``tx_lateness=0`` (default) keeps the strict historical behavior:
+    everything finalizes immediately and any cross-batch reorder
+    raises."""
+    import functools
+    fn = functools.partial(_bt_update, tx_lateness=int(tx_lateness))
     return (events_stream
             .groupBy("user_id")
-            .applyInPandasWithState(_bt_update, BT_OUTPUT_SCHEMA,
+            .applyInPandasWithState(fn, BT_OUTPUT_SCHEMA,
                                     BT_STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))
 
 
 def bitemporal_finalize(emitted: DataFrame) -> DataFrame:
-    """Converged bitemporal rows from the update log: all closed rows
-    (append-only, emitted exactly once) plus the open rows of each
-    key's LAST snapshot."""
+    """Converged bitemporal rows from the update log: all finalized
+    closed rows (op 'C', append-only, emitted exactly once), plus each
+    key's LAST preview — the op 'P' closes and op 'O' opens of its
+    final snapshot seq (earlier previews were superseded by a late
+    arrival re-running the buffered tail)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     closed = emitted.filter(F.col("op") == "C").drop("op", "seq")
     w = Window.partitionBy("user_id")
-    opens = (emitted.filter(F.col("op") == "O")
-             .withColumn("_mx", F.max("seq").over(w))
-             .filter(F.col("seq") == F.col("_mx"))
-             .drop("op", "seq", "_mx"))
-    return closed.unionByName(opens)
+    last = (emitted.filter(F.col("op") != "C")
+            .withColumn("_mx", F.max(F.when(F.col("op") == "O", F.col("seq")))
+                        .over(w))
+            .filter(F.col("seq") == F.col("_mx"))
+            .drop("op", "seq", "_mx"))
+    return closed.unionByName(last)

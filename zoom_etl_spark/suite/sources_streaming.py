@@ -829,6 +829,80 @@ def stream_bitemporal_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("user_id", "value", "valid_from", "valid_to"))
 
 
+@query("stream_bitemporal_late", oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS tcap FROM events),
+f AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events, t WHERE event_id <= t.tcap
+),
+l AS (
+  SELECT user_id, ts, vm FROM (
+    SELECT f.*, row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) AS rn
+    FROM f) WHERE rn = 1
+)
+SELECT user_id, vm AS value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM l
+""")
+def stream_bitemporal_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_bitemporal_ivm` under OUT-OF-ORDER tx delivery (ROADMAP
+    item 7's remaining half): the middle tx third arrives LAST — a late
+    backfill file behind two newer ones — and the drain runs with a
+    ``tx_lateness`` holding pen covering the reorder, so the low range
+    finalizes immediately while the high range sits previewed in state
+    until the stragglers land and re-run it. Same oracle as the
+    in-order query: the converged belief history is a deterministic
+    function of the assertion SET, and tolerance must not change it.
+    The strict default aborts on exactly this delivery
+    (tests/test_stateful_streaming.py::
+    test_bitemporal_ivm_out_of_order_raises)."""
+    import os
+    import tempfile
+    import time
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+    from ..streaming.stateful import bitemporal_finalize, bitemporal_maintain
+
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("event_id")).first()[0]
+    raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
+    srcdir = tempfile.mkdtemp(prefix="zes_bt_late_")
+    cuts = (mx // 3, 2 * mx // 3)
+    parts = [  # ages order the file listing: low, HIGH, then mid (late)
+        ("f_low", raw.filter(F.col("event_id") <= cuts[0]), 300),
+        ("f_high", raw.filter(F.col("event_id") > cuts[1]), 200),
+        ("f_mid", raw.filter((F.col("event_id") > cuts[0])
+                             & (F.col("event_id") <= cuts[1])), 100),
+    ]
+    now = time.time()
+    for sub, p, age in parts:
+        d = f"{srcdir}/{sub}"
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now - age, now - age))
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    assertions = stream.select(
+        "user_id", F.col("ts").alias("valid"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.col("event_id").alias("tx"))
+    run_available_now(
+        bitemporal_maintain(assertions, tx_lateness=2 * mx // 3 + 2),
+        "stream_bt_late_log", output_mode="update", n_state_partitions=16)
+    bt = bitemporal_finalize(spark.table("stream_bt_late_log"))
+    tcap = e.agg(F.expr("max(event_id) div 2").alias("tcap"))
+    return (bt.crossJoin(F.broadcast(tcap))
+              .filter((F.col("tx_from") <= F.col("tcap"))
+                      & (F.col("tx_to").isNull()
+                         | (F.col("tx_to") > F.col("tcap"))))
+              .select("user_id", "value", "valid_from", "valid_to"))
+
+
 @query("stream_alert_route")  # rows-only: fired alerts are driver-side
 # listener artifacts (StreamingQueryListener progress), outside ANSI
 # SQL by nature; determinism is pinned by tests/test_monitor_alerts.py
