@@ -37,7 +37,7 @@ SKIP_PREFIXES = (
     "staging_merge", "merge_upsert", "merge_three_clause",
     "sink_partitioned_write", "split_leakage_free", "lang_id_ngram",
     "holt_linear", "ewma_smooth", "graph_pagerank", "graph_bfs",
-    "graph_triangles", "lineage_flagship", "heavy_hitters",
+    "graph_triangles", "graph_sssp", "lineage_flagship", "heavy_hitters",
     "join_auto_skew", "join_bucketed", "incremental_scan",
     "agg_max_watermark", "analyze_table_stats", "dq_checks",
     "quality_adaptive", "curation_joint", "mv_incremental",

@@ -62,3 +62,58 @@ def test_triangles_tie_degrees(spark):
     edges |= {(i, (i + 2) % n) for i in range(n)}
     edges = {(min(a, b), max(a, b)) for a, b in edges}
     _check(spark, edges)
+
+
+def _brute_bf(edges, seeds, k):
+    """k full Bellman-Ford relaxation sweeps (the oracle semantics):
+    dist = min over paths of <= k edges."""
+    dist = dict(seeds)
+    for _ in range(k):
+        nd = dict(dist)
+        for u, v, w in edges:
+            if u in dist and (v not in nd or dist[u] + w < nd[v]):
+                nd[v] = dist[u] + w
+        dist = nd
+    return dist
+
+
+def _check_sssp(spark, edges, seeds, k):
+    from zoom_etl_spark.operators.graphalgo import sssp_bounded
+    e = spark.createDataFrame(sorted(edges), "u BIGINT, v BIGINT, w BIGINT")
+    s = spark.createDataFrame(sorted(seeds), "id BIGINT, dist BIGINT")
+    got = {r.id: r.dist for r in sssp_bounded(e, s, k).collect()}
+    assert got == _brute_bf(edges, seeds, k)
+
+
+def test_sssp_random_graphs(spark):
+    """Delta-frontier Bellman-Ford == k full sweeps on random directed
+    weighted graphs, across densities and radii — including nodes the
+    radius never reaches and re-improvements (a longer-hop cheaper path
+    arriving after a shorter-hop expensive one landed)."""
+    rng = random.Random(11)
+    for p, k in [(0.08, 2), (0.2, 3), (0.4, 5)]:
+        n = 24
+        edges = {(a, b, rng.randint(1, 9)) for a in range(n)
+                 for b in range(n) if a != b and rng.random() < p}
+        seeds = [(0, 0), (7, 0)]
+        _check_sssp(spark, edges, seeds, k)
+
+
+def test_sssp_reimprovement_and_shapes(spark):
+    """Adversarial shapes: a direct heavy edge beaten by a longer light
+    path (the frontier must re-open the settled node and propagate the
+    correction), a hub star, a disconnected shard that must stay
+    unreached, and a seed with nonzero starting distance."""
+    # 0->3 direct w=100; 0->1->2->3 total w=3: node 3 improves at round
+    # 3 and must then re-relax its out-edge to 4
+    edges = {(0, 3, 100), (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1),
+             # hub star
+             (0, 10, 5), (0, 11, 5), (0, 12, 5),
+             # disconnected shard
+             (20, 21, 1), (21, 22, 1)}
+    _check_sssp(spark, edges, [(0, 0)], 5)
+    got = _brute_bf(edges, [(0, 0)], 5)
+    assert 20 not in got and 4 in got and got[3] == 3 and got[4] == 4
+    # nonzero seed distances compose (multi-seed min)
+    _check_sssp(spark, edges, [(0, 0), (2, 0)], 3)
+    _check_sssp(spark, edges, [(0, 7), (20, 0)], 4)

@@ -151,3 +151,34 @@ def test_neighbor_join_seam_cell_divisor(spark):
         (7, 10.0, 50.0), (8, 10.0, 60.0),      # ~1094 km: outside
     ]
     _check(spark, pts, 700_000.0)
+
+
+def test_equalarea_banding_is_monotonic_and_balanced():
+    """The integer Bhaskara sine that DEFINES geo_equalarea_rollup's
+    bands must be (a) monotonic over the full centidegree latitude
+    range (a non-monotonic cell id would tear bands), (b) within its
+    documented ~1.6e-3 error of true sine, and (c) produce 12 bands
+    each covering 1/12 of sin-lat space within 1% — the equal-area
+    property itself."""
+    import math
+
+    def isin(y):
+        t = abs(y) * (18000 - abs(y))
+        s = (4 * t * 1000000) // (405000000 - t)
+        return -s if y < 0 else s
+
+    prev, maxerr, bands = None, 0.0, {}
+    for y in range(-9000, 9000):
+        s = isin(y)
+        assert prev is None or s >= prev, y
+        prev = s
+        maxerr = max(maxerr, abs(s / 1e6 - math.sin(math.radians(y / 100))))
+        b = (12 * (s + 1000000)) // 2000000
+        lo, hi = bands.get(b, (y, y))
+        bands[b] = (min(lo, y), max(hi, y))
+    assert maxerr < 1.7e-3
+    assert sorted(bands) == list(range(12))
+    for lo, hi in bands.values():
+        frac = (math.sin(math.radians((hi + 1) / 100))
+                - math.sin(math.radians(lo / 100))) / 2
+        assert abs(frac - 1 / 12) < 1 / 1200

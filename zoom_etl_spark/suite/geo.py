@@ -366,6 +366,83 @@ def geo_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum("cents").alias("balance_cents")))
 
 
+# ---------------------------------------------------------------------------
+# Equal-area cells — latitude bands uniform in sin(lat) (Lambert
+# cylindrical equal-area), longitude columns uniform in degrees: every
+# (band, col) cell covers the same sphere area. The sine is Bhaskara I's
+# rational approximation evaluated in EXACT INTEGER arithmetic
+# (4a(18000-a)·1e6 // (405000000 - a(18000-a)) for |lat| centidegrees a;
+# max error ~0.0016, monotonic on the quarter wave) — the approximation
+# IS the cell definition, so Spark and DuckDB agree bit-for-bit where a
+# libm sin would diverge in the last ulp and flip boundary points.
+_EA_T = "(abs(y) * (18000 - abs(y)))"
+_EA_SIN_DUCK = (f"(CASE WHEN y < 0 THEN -1 ELSE 1 END"
+                f" * ((4 * {_EA_T} * 1000000) // (405000000 - {_EA_T})))")
+_EA_SIN_SPARK = (f"(CASE WHEN y < 0 THEN -1 ELSE 1 END"
+                 f" * ((4 * {_EA_T} * 1000000) div (405000000 - {_EA_T})))")
+_EA_BANDS, _EA_COLS = 12, 24
+
+
+@query("geo_equalarea_rollup", oracle=f"""
+WITH pts AS (
+  SELECT {_Y} AS y, {_X} AS x,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+cells AS (
+  SELECT ({_EA_BANDS} * ({_EA_SIN_DUCK} + 1000000)) // 2000000 AS band,
+         (x + 18000) // 1500 AS col, cents
+  FROM pts
+),
+fine AS (
+  SELECT band, col, count(*) AS n, sum(cents) AS cents
+  FROM cells GROUP BY 1, 2
+)
+SELECT res, cell_band, cell_col, CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS balance_cents
+FROM (
+  SELECT 1 AS res, band AS cell_band, col AS cell_col, n, cents FROM fine
+  UNION ALL
+  SELECT 2, band // 2, col // 2, n, cents FROM fine
+) pyr GROUP BY res, cell_band, cell_col
+""")
+def geo_equalarea_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUAL-AREA cell rollup (roadmap: beyond degree tiles): latitude
+    bands uniform in sin(lat) — the Lambert cylindrical equal-area
+    construction behind H3/S2-style balanced cells — so a polar cell
+    holds the same sphere area as an equatorial one, where the 1-degree
+    grid's polar tiles shrink toward zero and skew every density
+    comparison. 12 bands x 24 columns at the fine level; the coarse
+    level floor-divides band/col by 2 (adjacent equal-area cells merge
+    pairwise, so coarse cells are equal-area too) and derives from the
+    FINE partials, the `geo_multires_rollup` partial-reuse shape.
+    sin(lat) is Bhaskara I's rational approximation in exact integer
+    arithmetic (monotonic, ~1.6e-3 max error — it DEFINES the banding,
+    making the cell ids engine-exact; a libm sine would flip boundary
+    points between engines). Plan: one scan, row-local integer cell
+    ids, one fine map-combined aggregate; the pyramid level shuffles
+    cell-count-sized partials only."""
+    p = _points(spark, sf_dir).select(
+        "y", "x",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"))
+    band = F.expr(f"({_EA_BANDS} * ({_EA_SIN_SPARK} + 1000000)) div 2000000")
+    col = F.expr("(x + 18000) div 1500")
+    fine = (p.select(band.alias("band"), col.alias("col"), "cents")
+             .groupBy("band", "col")
+             .agg(F.count("*").alias("n"), F.sum("cents").alias("cents")))
+    levels = [
+        fine.select(F.lit(1).alias("res"), F.col("band").alias("cell_band"),
+                    F.col("col").alias("cell_col"), "n", "cents"),
+        fine.select(F.lit(2).alias("res"),
+                    F.expr("band div 2").alias("cell_band"),
+                    F.expr("col div 2").alias("cell_col"), "n", "cents"),
+    ]
+    return (levels[0].unionByName(levels[1])
+            .groupBy("res", "cell_band", "cell_col")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("cents").alias("balance_cents")))
+
+
 @query("geo_neighbor_haversine")  # rows-only: trig differs across
 # engines in the last ulp, so the gate is tests/test_spatial.py — exact
 # pair-set equality + rtol distances vs the brute-force O(n^2) oracle

@@ -222,6 +222,90 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SSSP_K = 4
+
+
+def _sssp_oracle() -> str:
+    head = """
+WITH ew AS (
+  SELECT o_custkey AS c, l_suppkey AS s,
+         CAST(min(l_quantity) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+eds AS (
+  SELECT c * 2 AS u, s * 2 + 1 AS v, w FROM ew
+  UNION ALL
+  SELECT s * 2 + 1, c * 2, w FROM ew
+),
+r0 AS (
+  SELECT s_suppkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS dist
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'GERMANY'
+)"""
+    iters = []
+    for k in range(1, _SSSP_K + 1):
+        p = k - 1
+        iters.append(f""",
+r{k} AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM r{p}
+    UNION ALL
+    SELECT e.v AS id, r.dist + e.w AS dist
+    FROM r{p} r JOIN eds e ON e.u = r.id
+  ) GROUP BY id
+)""")
+    tail = f"""
+SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+       id // 2 AS node_id, dist
+FROM r{_SSSP_K}
+"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_sssp_weighted", oracle=_sssp_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source (multi-seed) shortest paths over the
+    undirected bipartite purchase graph — the cheapest-route sibling of
+    `graph_bfs_hops`' min-HOP search: edge cost = the minimum order
+    quantity ever shipped on that (customer, supplier) relationship
+    (integral, so distances are exact bigints in both engines), seeds =
+    German suppliers at distance 0, {k} Bellman-Ford rounds (distances
+    over paths of <= {k} edges — bounded-radius SSSP, the form a
+    cluster actually runs; unbounded SSSP is the same loop driven to
+    fixpoint).
+
+    The Spark loop is `operators/graphalgo.py::sssp_bounded` —
+    DELTA-frontier Bellman-Ford (each round relaxes only edges leaving
+    nodes whose distance IMPROVED last round; after k rounds provably
+    identical to the oracle's k unrolled full relaxation sweeps),
+    property-gated against pure-Python Bellman-Ford on adversarial
+    random graphs. Node ids fold the bipartite keyspaces as 2k / 2k+1
+    so every join is a plain bigint equi-join.""".format(k=_SSSP_K)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ew = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+           .groupBy(F.col("o_custkey").alias("c"),
+                    F.col("l_suppkey").alias("s"))
+           .agg(F.min("l_quantity").cast("long").alias("w")))
+    fwd = ew.select((F.col("c") * 2).alias("u"),
+                    (F.col("s") * 2 + 1).alias("v"), "w")
+    rev = ew.select((F.col("s") * 2 + 1).alias("u"),
+                    (F.col("c") * 2).alias("v"), "w")
+    eds = fwd.unionByName(rev).localCheckpoint(eager=False)
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier")
+    seeds = (supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+                 .filter(F.col("n_name") == "GERMANY")
+                 .select((F.col("s_suppkey") * 2 + 1).alias("id"),
+                         F.lit(0).cast("long").alias("dist")))
+    from ..operators.graphalgo import sssp_bounded
+    dist = sssp_bounded(eds, seeds, _SSSP_K)
+    return dist.select(
+        F.when(F.col("id") % 2 == 0, "c").otherwise("s").alias("kind"),
+        F.expr("id div 2").alias("node_id"), "dist")
+
+
 @query("graph_triangles", oracle="""
 WITH co AS (
   SELECT s1, s2, count(*) AS support
