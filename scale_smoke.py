@@ -71,6 +71,16 @@ QUERIES = [
     # (10x data -> 100x candidates) — an artifact of the replicator,
     # not the operator.
     "graph_triangles", "geo_neighbor_haversine", "attribution_multi_touch",
+    # closing wave (session 3): ray-cast containment (fence areas fixed,
+    # candidates ∝ local density → linear), equal-area pyramid (cell
+    # domain fixed → near-flat agg over a linear scan), delta-frontier
+    # SSSP (each copy is a disconnected component with its own German
+    # seeds → frontier work linear, round count fixed), KM survival
+    # (subjects 10x, day domain unchanged → the fold stays
+    # constant-size), and the temperature grid (corpus 10x under the
+    # fixed 9-cell broadcast grid)
+    "geo_polygon_raycast", "geo_equalarea_rollup", "graph_sssp_weighted",
+    "survival_km", "mixture_grid_calibrate",
 ]
 
 KEYED = {

@@ -1169,3 +1169,130 @@ def pipeline_analytics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(unix_micros(t1) - unix_micros(t0))"
                         " DIV (1000000 * count(*)) AS BIGINT)")
                   .alias("avg_sess_sec")))
+
+
+@query("survival_km", oracle="""
+WITH RECURSIVE b AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+  FROM events
+),
+h AS (SELECT d0 + CAST((d1 - d0) // 2 AS INT) AS hz FROM b),
+fc AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY 1
+),
+entered AS (
+  SELECT fc.user_id, fc.t0, h.hz FROM fc CROSS JOIN h
+  WHERE CAST(fc.t0 AS DATE) <= h.hz
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN entered s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+    AND CAST(e.ts AS DATE) <= s.hz
+  GROUP BY 1
+),
+subj AS (
+  SELECT s.user_id,
+         CAST(CASE WHEN fp.tp IS NOT NULL
+              THEN CAST(fp.tp AS DATE) - CAST(s.t0 AS DATE)
+              ELSE s.hz - CAST(s.t0 AS DATE) END
+              AS INT) AS dur,
+         (fp.tp IS NOT NULL) AS ev
+  FROM entered s LEFT JOIN fp ON s.user_id = fp.user_id
+),
+tab AS (
+  SELECT dur AS t,
+         CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1
+),
+risk AS (
+  SELECT t, n_events, n_censored,
+         CAST(sum(n_events + n_censored) OVER (ORDER BY t DESC)
+              AS BIGINT) AS n_risk,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM tab
+),
+rec AS (
+  SELECT rn, t, n_events, n_censored, n_risk,
+         (1000000 * (n_risk - n_events)) // n_risk AS surv_ppm
+  FROM risk WHERE rn = 1
+  UNION ALL
+  SELECT q.rn, q.t, q.n_events, q.n_censored, q.n_risk,
+         (r.surv_ppm * (q.n_risk - q.n_events)) // q.n_risk
+  FROM risk q JOIN rec r ON q.rn = r.rn + 1
+)
+SELECT t, n_events, n_censored, n_risk, surv_ppm FROM rec
+""")
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival with right censoring — time from a user's
+    first click to their first subsequent purchase, with the study
+    SNAPSHOT at the timeline midpoint: subjects entering after the
+    horizon are excluded, conversions after it are unobserved, and
+    unconverted subjects censor at horizon - entry (the
+    time-to-convert curve naive conversion RATES get wrong by silently
+    dropping the not-yet-converted). Output is the full KM table per
+    day t: events d_t, censored c_t, at-risk n_t (reverse cumulative
+    sum), and the product-limit estimate S(t) = prod (1 - d/n) kept
+    EXACT in parts-per-million by the integer recurrence s_k =
+    (s_{k-1} * (n_k - d_k)) div n_k — the oracle runs it as a
+    recursive CTE (the `holt_linear` bit-identical-fold discipline),
+    the Spark side as a single `aggregate()` lambda over the sorted
+    day array: the KM table is DAY-bounded, not corpus-bounded, so
+    folding it inside one row is the scale-correct plan (the corpus
+    work — two keyed min-aggregates, one left join, one groupBy(dur) —
+    is all map-combined shuffles).
+
+    Generalizes the reference's meeting-duration intent
+    (sql/create_tables.sql duration columns) to censored
+    time-to-event."""
+    e = table(spark, sf_dir, "events")
+    b = e.agg(F.to_date(F.min("ts")).alias("d0"),
+              F.to_date(F.max("ts")).alias("d1"))
+    h = b.select(F.date_add(
+        F.col("d0"),
+        F.expr("CAST(datediff(d1, d0) div 2 AS INT)")).alias("hz"))
+    fc = (e.filter(F.col("event_type") == "click")
+           .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    entered = (fc.crossJoin(F.broadcast(h))
+                 .filter(F.to_date("t0") <= F.col("hz")))
+    fp = (e.filter(F.col("event_type") == "purchase")
+           .join(entered, "user_id")
+           .filter((F.col("ts") >= F.col("t0"))
+                   & (F.to_date("ts") <= F.col("hz")))
+           .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    subj = (entered.join(fp, "user_id", "left")
+              .select(
+                  F.when(F.col("tp").isNotNull(),
+                         F.datediff(F.to_date("tp"), F.to_date("t0")))
+                   .otherwise(F.datediff(F.col("hz"), F.to_date("t0")))
+                   .cast("int").alias("dur"),
+                  F.col("tp").isNotNull().alias("ev")))
+    tab = (subj.groupBy(F.col("dur").alias("t"))
+               .agg(F.sum(F.when(F.col("ev"), 1).otherwise(0))
+                     .alias("n_events"),
+                    F.sum(F.when(F.col("ev"), 0).otherwise(1))
+                     .alias("n_censored")))
+    w_desc = Window.orderBy(F.desc("t"))
+    risk = tab.select(
+        "t", "n_events", "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc)
+         .alias("n_risk"))
+    arr = risk.agg(F.sort_array(F.collect_list(
+        F.struct("t", "n_events", "n_censored", "n_risk"))).alias("a"))
+    folded = arr.select(F.explode(F.expr("""
+        aggregate(a,
+          CAST(array() AS
+               ARRAY<STRUCT<t: INT, n_events: BIGINT, n_censored: BIGINT,
+                            n_risk: BIGINT, surv_ppm: BIGINT>>),
+          (acc, x) -> concat(acc, array(named_struct(
+            't', x.t, 'n_events', x.n_events, 'n_censored', x.n_censored,
+            'n_risk', x.n_risk,
+            'surv_ppm',
+            ((CASE WHEN size(acc) = 0 THEN 1000000L
+                   ELSE element_at(acc, -1).surv_ppm END)
+             * (x.n_risk - x.n_events)) div x.n_risk))))
+        """)).alias("r"))
+    return folded.select("r.t", "r.n_events", "r.n_censored", "r.n_risk",
+                         "r.surv_ppm")

@@ -536,3 +536,148 @@ def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("term", "freq",
                          F.round(F.col("freq").cast("double") / F.col("c"), 6)
                           .alias("share")))
+
+
+@query("mixture_grid_calibrate", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, len({_TOKSQL}) AS n_tok FROM documents
+),
+q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+docs AS (
+  SELECT t.doc_id, t.source, t.n_tok, q.quality
+  FROM tok t JOIN q USING (doc_id)
+),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM docs),
+cuts AS (
+  SELECT 0.1 AS qp, round(quantile_cont(quality, 0.1), 4) AS cutoff
+  FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 0.3, round(quantile_cont(quality, 0.3), 4)
+  FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 0.5, round(quantile_cont(quality, 0.5), 4)
+  FROM docs WHERE doc_id % 7 = 0
+),
+grid AS (SELECT CAST(qp AS DOUBLE) AS qp, cutoff, CAST(tau AS DOUBLE) AS tau
+         FROM cuts, (VALUES (1.0), (0.5), (0.25)) t(tau)),
+src AS (
+  SELECT g.qp, g.tau, g.cutoff, d.source, CAST(sum(d.n_tok) AS BIGINT) AS n
+  FROM docs d CROSS JOIN grid g
+  WHERE d.quality >= g.cutoff
+  GROUP BY 1, 2, 3, 4
+),
+sc AS (
+  SELECT *, CASE WHEN tau = 1.0 THEN n
+                 WHEN tau = 0.5
+                   THEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                 ELSE CAST(floor(sqrt(floor(sqrt(CAST(n AS DOUBLE)))))
+                           AS BIGINT)
+            END AS s
+  FROM src
+),
+al AS (
+  SELECT *, (10000000 * s) // sum(s) OVER w AS base,
+         (10000000 * s) % sum(s) OVER w AS rem
+  FROM sc
+  WINDOW w AS (PARTITION BY qp, tau)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY qp, tau
+                               ORDER BY rem DESC, source) AS rn,
+         10000000 - sum(base) OVER (PARTITION BY qp, tau) AS leftover
+  FROM al
+),
+alloc AS (
+  SELECT qp, tau, cutoff, source, n,
+         base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS a
+  FROM rk
+),
+cells AS (
+  SELECT qp, tau, cutoff,
+         CAST(sum(n) AS BIGINT) AS retained_tok,
+         CAST(min(a) AS BIGINT) AS min_alloc,
+         CAST(max(a) AS BIGINT) AS max_alloc
+  FROM alloc GROUP BY 1, 2, 3
+),
+feas AS (
+  SELECT c.*, (2 * c.retained_tok >= t.tt) AS feasible
+  FROM cells c CROSS JOIN tot t
+)
+SELECT qp, tau, cutoff, retained_tok, min_alloc, max_alloc, feasible,
+       feasible AND row_number() OVER (
+         ORDER BY feasible DESC, max_alloc - min_alloc ASC, qp, tau) = 1
+         AS chosen
+FROM feas
+""")
+def mixture_grid_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture TEMPERATURE folded into the calibration grid (ROADMAP
+    5's named remainder): evaluate quality-percentile ∈ {10,30,50} ×
+    tau ∈ {1, 1/2, 1/4} as ONE policy surface — each cell filters the
+    corpus at its quality cutoff, temperature-reweights the surviving
+    per-source token masses (s = n^tau), and splits the 10M-token
+    budget by the exact largest-remainder allocation of
+    `mixture_temperature_alloc` — then pick the FLATTEST feasible
+    mixture: among cells retaining ≥ half the corpus tokens, minimize
+    the max-min allocation spread (lower tau flattens the mix but a
+    tight quality cut can starve a source; the knobs interact, which
+    is why they calibrate jointly). The tau grid is {1, 1/2, 1/4}
+    deliberately: n^(1/2) and n^(1/4) evaluate as one and two IEEE
+    correctly-rounded sqrts (floor(sqrt(floor(sqrt(n)))) ==
+    floor(n^(1/4)) on integers), so scores are engine-identical where
+    a pow(n, 0.7) chain would drift. Plan: per-doc stats once, a 9-row
+    broadcast grid × conditional aggregation in one map-combined
+    corpus shuffle, then every window runs on (cells × sources) rows;
+    nothing per-row leaves codegen."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.size(_toks()).alias("n_tok"),
+                    F.round(quality_expr(), 4).alias("quality"))
+    tot = docs.agg(F.sum("n_tok").cast("long").alias("tt"))
+    cal = docs.filter(F.col("doc_id") % 7 == 0)
+    cuts1 = cal.agg(
+        F.round(F.percentile("quality", F.lit(0.1)), 4).alias("c10"),
+        F.round(F.percentile("quality", F.lit(0.3)), 4).alias("c30"),
+        F.round(F.percentile("quality", F.lit(0.5)), 4).alias("c50"))
+    cuts = cuts1.selectExpr(
+        "stack(3, 0.1D, c10, 0.3D, c30, 0.5D, c50) as (qp, cutoff)")
+    taus = spark.createDataFrame([(1.0,), (0.5,), (0.25,)], ["tau"])
+    grid = cuts.crossJoin(taus)
+    src = (docs.crossJoin(F.broadcast(grid))
+           .filter(F.col("quality") >= F.col("cutoff"))
+           .groupBy("qp", "tau", "cutoff", "source")
+           .agg(F.sum("n_tok").cast("long").alias("n")))
+    s = (F.when(F.col("tau") == 1.0, F.col("n"))
+          .when(F.col("tau") == 0.5,
+                F.floor(F.sqrt(F.col("n").cast("double"))))
+          .otherwise(F.floor(F.sqrt(
+              F.floor(F.sqrt(F.col("n").cast("double"))).cast("double"))))
+          .cast("long"))
+    w = Window.partitionBy("qp", "tau")
+    al = (src.withColumn("s", s)
+          .withColumn("stot", F.sum("s").over(w))
+          .withColumn("base", F.expr("(10000000 * s) div stot"))
+          .withColumn("rem", F.expr("(10000000 * s) % stot")))
+    w_rank = (Window.partitionBy("qp", "tau")
+              .orderBy(F.desc("rem"), "source"))
+    rk = (al.withColumn("rn", F.row_number().over(w_rank))
+          .withColumn("leftover", F.lit(10000000) - F.sum("base").over(w)))
+    alloc = rk.select(
+        "qp", "tau", "cutoff", "source", "n",
+        (F.col("base")
+         + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0))
+        .alias("a"))
+    cells = (alloc.groupBy("qp", "tau", "cutoff")
+             .agg(F.sum("n").cast("long").alias("retained_tok"),
+                  F.min("a").cast("long").alias("min_alloc"),
+                  F.max("a").cast("long").alias("max_alloc")))
+    feas = (cells.crossJoin(F.broadcast(tot))
+            .withColumn("feasible",
+                        2 * F.col("retained_tok") >= F.col("tt")))
+    w_choose = Window.orderBy(
+        F.desc("feasible"), F.col("max_alloc") - F.col("min_alloc"),
+        "qp", "tau")
+    return (feas
+            .withColumn("chosen",
+                        F.col("feasible")
+                        & (F.row_number().over(w_choose) == 1))
+            .select("qp", "tau", "cutoff", "retained_tok", "min_alloc",
+                    "max_alloc", "feasible", "chosen"))
