@@ -124,8 +124,11 @@ def main():
 
     from zoom_etl_spark import plans
     specs = all_queries()
-    fns = {name: specs[name].fn for name in QUERIES}
-    fns["flagship_topk_revenue"] = plans.flagship
+    only = os.environ.get("SMOKE_ONLY")
+    names = only.split(",") if only else QUERIES
+    fns = {name: specs[name].fn for name in names}
+    if not only:
+        fns["flagship_topk_revenue"] = plans.flagship
     timings = {}
     for name, fn in fns.items():
         t0 = time.time()
