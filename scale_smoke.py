@@ -81,6 +81,12 @@ QUERIES = [
     # fixed 9-cell broadcast grid)
     "geo_polygon_raycast", "geo_equalarea_rollup", "graph_sssp_weighted",
     "survival_km", "mixture_grid_calibrate",
+    # session-3 statistics wave: the Gini two-level order statistic
+    # (band offsets + per-band ranks must hold as customers go 10x),
+    # Mann-Whitney (distinct-(type,cents) collapse is value-domain
+    # bounded → near-flat window, linear scan), and the CUSUM fold
+    # (day domain unchanged at 10x → near-flat past the groupBy(day))
+    "revenue_gini", "ab_mann_whitney", "changepoint_cusum",
 ]
 
 KEYED = {

@@ -302,3 +302,126 @@ def test_welch_formula_against_pure_python(spark, sf_dir):
         assert g.na == len(a) and g.nb == len(b)
         assert abs(g.t_stat - t) < 5e-4, (et, g.t_stat, t)
         assert abs(g.df - df) < 5e-2, (et, g.df, df)
+
+
+def test_gini_formula_against_pure_python(spark, sf_dir):
+    """revenue_gini's two-level banded rank + integer formula must
+    equal a pure-Python Gini computed from a plain sort of the same
+    integer cents — validates both the formula transcription AND that
+    band-offset + local row_number reproduces the global order
+    statistic (the scale-critical claim)."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = all_queries()["revenue_gini"].fn(spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per = {}
+    for r in o.collect():
+        per[r.o_custkey] = (per.get(r.o_custkey, 0)
+                            + math.floor(r.o_totalprice * 100 + 0.5))
+    xs = [c for _, c in sorted(per.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    num = 2 * srx - (n + 1) * sx
+    gini_ppm = (2 * 1000000 * num + n * sx) // (2 * n * sx)
+    assert got.n == n and got.total_cents == sx
+    assert got.gini_ppm == gini_ppm
+    assert 0 <= got.gini_ppm < 1000000
+
+
+def test_benford_domain_complete_and_shares_sum(spark, sf_dir):
+    """dq_benford must emit all nine digit rows (absent digits as
+    cnt = 0) and its half-away ppm shares must sum to 1e6 within the
+    rounding slack (<= 4 ppm for 9 half-away roundings); deviations
+    must equal |obs - exp| recomputed in Python."""
+    from zoom_etl_spark.registry import all_queries
+
+    rows = {r.digit: r for r in
+            all_queries()["dq_benford"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    tot = sum(r.cnt for r in rows.values())
+    for r in rows.values():
+        assert r.obs_ppm == (2000000 * r.cnt + tot) // (2 * tot)
+        assert r.dev_ppm == abs(r.obs_ppm - r.exp_ppm)
+    assert abs(sum(r.obs_ppm for r in rows.values()) - 1000000) <= 4
+
+
+def test_mann_whitney_against_pure_python(spark, sf_dir):
+    """ab_mann_whitney's doubled-U, tie correction, and z must equal a
+    pure-Python rank-based reference (average ranks over the pooled
+    sample) — validates the counting identity u2 = 2*(rank_sum_A -
+    n1(n1+1)/2) independently of the window construction."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {r.event_type: r for r in
+           all_queries()["ab_mann_whitney"].fn(spark, sf_dir).collect()}
+    e = table(spark, sf_dir, "events")
+    pools = {}
+    for r in e.select("event_type", "user_id", "value").collect():
+        cents = math.floor(r.value * 100 + 0.5)
+        pools.setdefault(r.event_type, []).append((r.user_id % 2, cents))
+    for et, pool in pools.items():
+        pool.sort(key=lambda t: t[1])
+        # average ranks doubled to stay integer
+        rank2 = {}
+        i = 0
+        while i < len(pool):
+            j = i
+            while j < len(pool) and pool[j][1] == pool[i][1]:
+                j += 1
+            r2 = (i + 1) + j  # 2 * average rank of the tie run
+            for k in range(i, j):
+                rank2[k] = r2
+            i = j
+        n1 = sum(1 for g, _ in pool if g == 0)
+        n2 = len(pool) - n1
+        ranksum2_a = sum(rank2[k] for k, (g, _) in enumerate(pool)
+                         if g == 0)
+        u2 = ranksum2_a - n1 * (n1 + 1)
+        g = got[et]
+        assert (g.n1, g.n2, g.u2) == (n1, n2, u2), (et, g, n1, n2, u2)
+        n = n1 + n2
+        var = (n1 * n2 / 12.0) * ((n + 1) - g.tie_cubes / (n * (n - 1)))
+        z = (u2 - n1 * n2) / (2 * math.sqrt(var))
+        assert abs(g.z - z) < 5e-6, (et, g.z, z)
+
+
+def test_cusum_against_pure_python(spark, sf_dir):
+    """changepoint_cusum's fold must equal a pure-Python CUSUM over
+    the same integer daily series, and a planted sustained shift must
+    alarm: appending the fold's own mean + 2k for enough days drives
+    S+ over h (sanity that the alarm can fire at all)."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    rows = sorted(all_queries()["changepoint_cusum"].fn(spark, sf_dir)
+                  .collect(), key=lambda r: r.day)
+    o = table(spark, sf_dir, "orders")
+    per = {}
+    for r in o.select("o_orderdate", "o_totalprice").collect():
+        d = r.o_orderdate.date()
+        per[d] = per.get(d, 0) + math.floor(r.o_totalprice * 100 + 0.5)
+    days = sorted(per)
+    n, tot = len(days), sum(per.values())
+    mu = (2 * tot + n) // (2 * n)
+    k, h = mu // 20, mu // 4
+    hi = lo = 0
+    for r, d in zip(rows, days):
+        hi = max(0, hi + per[d] - mu - k)
+        lo = max(0, lo + mu - per[d] - k)
+        assert (r.day, r.daily_cents) == (d, per[d])
+        assert (r.cusum_hi, r.cusum_lo) == (hi, lo), d
+        assert r.alarm_hi == (hi > h) and r.alarm_lo == (lo > h)
+    # planted drift: mean + 2k per day must alarm within h/k days
+    s, steps = 0, 0
+    while s <= h:
+        s = s + (mu + 2 * k) - mu - k
+        steps += 1
+    assert steps <= (h // k) + 1

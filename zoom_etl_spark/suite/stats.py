@@ -403,3 +403,225 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("event_type", "na", "nb", "sa", "sb",
                     F.expr(_WELCH_EXPRS["t_stat"]).alias("t_stat"),
                     F.expr(_WELCH_EXPRS["df"]).alias("df"))
+
+
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181,
+                66947, 57992, 51153, 45757]
+
+
+@query("dq_benford", oracle=f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1
+),
+dom AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+t AS (SELECT sum(cnt) AS tot FROM d),
+j AS (
+  SELECT dom.digit, COALESCE(d.cnt, 0) AS cnt,
+         ([{','.join(str(p) for p in _BENFORD_PPM)}])[dom.digit]
+           AS exp_ppm
+  FROM dom LEFT JOIN d ON dom.digit = d.digit
+)
+SELECT j.digit, j.cnt,
+       CAST((2000000 * j.cnt + t.tot) // (2 * t.tot) AS BIGINT) AS obs_ppm,
+       CAST(j.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(abs((2000000 * j.cnt + t.tot) // (2 * t.tot) - j.exp_ppm)
+            AS BIGINT) AS dev_ppm
+FROM j, t
+""")
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mix data-quality screen: observed
+    first-significant-digit frequencies vs the log10(1 + 1/d)
+    expectation, one row per digit 1-9 (digits absent from the data
+    still appear with cnt = 0 via the digit-domain left join).
+    Engine-exact throughout: the first digit is taken from the decimal
+    string of integer cents (x100 never changes the leading digit),
+    observed shares are half-away integer ppm, and the Benford
+    expectation enters as nine precomputed integer-ppm literals, so no
+    engine ever evaluates a log. Plan: one scan -> 9-group
+    map-combined aggregate; the total and digit-domain joins are
+    broadcast 9-row/1-row frames. Generalizes the reference's
+    validation intent (transform.py required-field checks) from
+    per-row presence to distribution-level plausibility."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.select(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                   .alias("cents"))
+          .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                   .cast("int").alias("digit"))
+          .groupBy("digit").agg(F.count("*").alias("cnt")))
+    dom = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    t = d.agg(F.sum("cnt").alias("tot"))
+    exp_arr = F.array(*[F.lit(p) for p in _BENFORD_PPM])
+    j = (dom.join(F.broadcast(d), "digit", "left")
+            .select("digit",
+                    F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+                    F.element_at(exp_arr, F.col("digit")).cast("long")
+                     .alias("exp_ppm")))
+    return (j.crossJoin(F.broadcast(t))
+             .select("digit", "cnt",
+                     F.expr("CAST((2000000 * cnt + tot) div (2 * tot) "
+                            "AS BIGINT)").alias("obs_ppm"),
+                     "exp_ppm",
+                     F.expr("CAST(abs((2000000 * cnt + tot) div (2 * tot) "
+                            "- exp_ppm) AS BIGINT)").alias("dev_ppm")))
+
+
+@query("revenue_gini", oracle="""
+WITH r AS (
+  SELECT o_custkey AS k,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, k) AS i FROM r
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(cents) AS sx,
+         sum(CAST(i AS HUGEINT) * cents) AS srx
+  FROM q
+)
+SELECT n, CAST(sx AS BIGINT) AS total_cents,
+       CAST((2 * 1000000 * (2 * srx - (n + 1) * sx) + n * sx)
+            // (2 * n * sx) AS BIGINT) AS gini_ppm
+FROM m
+""")
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the single-number
+    inequality complement to revenue_concentration's quintile table
+    (0 = every customer spends alike, ->1 = one whale carries it all).
+    Exact integer form G = (2*Sum(i*x_i) - (n+1)*Sum(x))/(n*Sum(x))
+    over ranks i of the UNIQUE (cents, custkey) ascending order,
+    half-away on the ppm grid; the rank-weighted sum accumulates in
+    decimal(38) (DuckDB HUGEINT) because Sum(i*x) crosses int64 near
+    ~1e7 customers — the int64-overflow lesson the 10x smoke taught
+    on synthetic positions, applied at design time. Scale posture:
+    ranks come from the TWO-LEVEL order statistic (the
+    token_budget_pack discipline), not one global sort task — rows
+    band by cents div 1e6 (domain-bounded band count), a tiny
+    band-count window prefix-sums band populations, and row_number
+    runs per-band in parallel; global rank = band offset + local rank
+    reproduces row_number() over the full order exactly."""
+    o = table(spark, sf_dir, "orders")
+    # the customer rollup feeds the band census AND the rank join —
+    # localCheckpoint runs the orders scan/shuffle once, not twice
+    # (the graph-suite reuse pattern)
+    r = (o.groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("cents"))
+          .withColumn("band", F.expr("cents div 1000000"))
+          .localCheckpoint(eager=False))
+    bands = r.groupBy("band").agg(F.count("*").alias("bn"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bands.select(
+        "band", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"))
+    wl = Window.partitionBy("band").orderBy("cents", "k")
+    q = (r.join(F.broadcast(offs), "band")
+          .select("cents",
+                  (F.col("off") + F.row_number().over(wl)).alias("i")))
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum((F.col("i").cast("decimal(20,0)") * F.col("cents"))
+               .cast("decimal(38,0)")).alias("srx"))
+    # nd/sxd route the FINAL arithmetic through decimal(38): 2*n*sx
+    # crosses int64 already at ~1.5e5 customers x $2.5e11 revenue (the
+    # 10x smoke caught the long-overflow); the oracle side is HUGEINT
+    # throughout because DuckDB's sum(BIGINT) widens automatically.
+    m = m.withColumn("nd", F.col("n").cast("decimal(20,0)")) \
+         .withColumn("sxd", F.col("sx").cast("decimal(20,0)"))
+    return m.select(
+        "n", F.col("sx").cast("long").alias("total_cents"),
+        F.expr("CAST((2 * 1000000 * (2 * srx - (nd + 1) * sxd) "
+               "+ nd * sxd) div (2 * nd * sxd) AS BIGINT)")
+         .alias("gini_ppm"))
+
+
+_MW_Z = (
+    "round((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)"
+    " / (2 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)"
+    " * ((n1 + n2 + 1)"
+    " - CAST(tie_cubes AS DOUBLE)"
+    " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6)"
+)
+
+
+@query("ab_mann_whitney", oracle=f"""
+WITH obs AS (
+  SELECT event_type, user_id % 2 AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+v AS (
+  SELECT event_type, cents,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM obs GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, cents, na, nb,
+         COALESCE(sum(nb) OVER (
+           PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumb_less
+  FROM v
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(na) AS BIGINT) AS n1,
+         CAST(sum(nb) AS BIGINT) AS n2,
+         CAST(sum(na * (2 * cumb_less + nb)) AS BIGINT) AS u2,
+         CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb))
+              AS BIGINT) AS tie_cubes
+  FROM c GROUP BY 1
+)
+SELECT event_type, n1, n2, u2, tie_cubes, {_MW_Z} AS z
+FROM g
+""")
+def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per event type (arms = the same deterministic
+    user-parity split as ab_welch_ttest) — the rank-sum complement to
+    Welch's t: distribution-free, so it reads location shift even
+    where cents are heavy-tailed and the t-test's normality lean is
+    wrong. Exactness: U is accumulated DOUBLED (u2 = 2U = sum over
+    distinct values of na*(2*#{b<a} + #{b=a})) so half-credit ties
+    stay integer; tie_cubes = sum(t^3 - t) ships the exact tie
+    correction; the normal-approximation z is then one shared-text
+    IEEE chain over those integers (the Welch discipline). u2 <= 2*n1*n2
+    holds int64 to ~10^9 per arm per type. Scale: ranks are NEVER
+    materialized per row — the corpus collapses to distinct (type,
+    cents) counts first (value-domain-bounded), and the cumulative
+    count of below-value B-observations comes from the per-type
+    ordered window over that bounded table; at a wider value domain
+    the revenue_gini two-level band trick applies verbatim. The
+    oracle is the same construction in SQL (engine-exact integers +
+    shared z text)."""
+    e = table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type", (F.col("user_id") % 2).alias("grp"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    g0 = F.col("grp") == 0
+    v = obs.groupBy("event_type", "cents").agg(
+        F.sum(F.when(g0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~g0, 1).otherwise(0)).alias("nb"))
+    w = (Window.partitionBy("event_type").orderBy("cents")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    c = v.withColumn("cumb_less",
+                     F.coalesce(F.sum("nb").over(w), F.lit(0)))
+    g = c.groupBy("event_type").agg(
+        F.sum("na").alias("n1"),
+        F.sum("nb").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("cumb_less") + F.col("nb")))
+         .alias("u2"),
+        F.sum((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb"))
+              * (F.col("na") + F.col("nb"))
+              - (F.col("na") + F.col("nb"))).alias("tie_cubes"))
+    return g.select("event_type", "n1", "n2", "u2", "tie_cubes",
+                    F.expr(_MW_Z).alias("z"))

@@ -282,3 +282,84 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            / F.col("exact_users"))
     return day.select("event_type", "day", "n_hours", "approx_users",
                       "exact_users", F.round(err, 4).alias("rel_err"))
+
+
+@query("changepoint_cusum", oracle="""
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT (2 * sum(c) + count(*)) // (2 * count(*)) AS mu FROM d
+),
+r AS (
+  SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM d
+),
+rec AS (
+  SELECT r.rn, r.day, r.c,
+         greatest(0, r.c - p.mu - p.mu // 20) AS hi,
+         greatest(0, p.mu - r.c - p.mu // 20) AS lo,
+         p.mu
+  FROM r, p WHERE r.rn = 1
+  UNION ALL
+  SELECT q.rn, q.day, q.c,
+         greatest(0, rec.hi + q.c - rec.mu - rec.mu // 20),
+         greatest(0, rec.lo + rec.mu - q.c - rec.mu // 20),
+         rec.mu
+  FROM r q JOIN rec ON q.rn = rec.rn + 1
+)
+SELECT day, c AS daily_cents,
+       CAST(hi AS BIGINT) AS cusum_hi, CAST(lo AS BIGINT) AS cusum_lo,
+       (hi > mu // 4) AS alarm_hi, (lo > mu // 4) AS alarm_lo
+FROM rec
+""")
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection on the daily revenue
+    series — the classic sequential drift alarm (Page 1954): S+_t =
+    max(0, S+_{t-1} + x_t - mu - k) and its mirror accumulate
+    sustained departures from the in-control mean and alarm when
+    either crosses h, catching slow drifts a fixed per-day threshold
+    misses. Restated on exact integers: x_t is the day's revenue in
+    cents, mu the half-away integer mean of daily cents, slack k =
+    mu div 20 (5%) and threshold h = mu div 4 — so the recurrence is
+    pure int64 arithmetic and both engines agree bit-for-bit (the
+    holt_linear recursive-fold discipline: DuckDB runs it as a
+    recursive CTE, Spark as one aggregate() lambda over the sorted
+    day array). Scale: the corpus work is ONE map-combined
+    groupBy(day); the fold runs on the day-bounded series (|days|,
+    never |orders|), which is the correct plan for any horizon a
+    CUSUM is meaningful over. Days absent from the data contribute no
+    step (gap days are skipped, not zero-filled — zero days would
+    alarm low immediately; gapfill_locf_hourly is the gap-filling
+    primitive if wanted)."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("c")))
+    p = d.agg(F.expr("(2 * sum(c) + count(*)) div (2 * count(*))")
+               .alias("mu"))
+    arr = (d.agg(F.sort_array(F.collect_list(F.struct("day", "c")))
+                  .alias("a"))
+             .crossJoin(F.broadcast(p)))
+    folded = arr.select("mu", F.explode(F.expr("""
+        aggregate(a,
+          CAST(array() AS
+               ARRAY<STRUCT<day: DATE, c: BIGINT, hi: BIGINT, lo: BIGINT>>),
+          (acc, x) -> concat(acc, array(named_struct(
+            'day', x.day, 'c', x.c,
+            'hi', greatest(0L,
+              (CASE WHEN size(acc) = 0 THEN 0L
+                    ELSE element_at(acc, -1).hi END)
+              + x.c - mu - mu div 20),
+            'lo', greatest(0L,
+              (CASE WHEN size(acc) = 0 THEN 0L
+                    ELSE element_at(acc, -1).lo END)
+              + mu - x.c - mu div 20)))))
+        """)).alias("r"))
+    return folded.select(
+        F.col("r.day").alias("day"), F.col("r.c").alias("daily_cents"),
+        F.col("r.hi").alias("cusum_hi"), F.col("r.lo").alias("cusum_lo"),
+        (F.col("r.hi") > F.expr("mu div 4")).alias("alarm_hi"),
+        (F.col("r.lo") > F.expr("mu div 4")).alias("alarm_lo"))
