@@ -87,6 +87,11 @@ QUERIES = [
     # bounded → near-flat window, linear scan), and the CUSUM fold
     # (day domain unchanged at 10x → near-flat past the groupBy(day))
     "revenue_gini", "ab_mann_whitney", "changepoint_cusum",
+    # ACF (day-bounded lag self-join → near-flat past groupBy(day)) and
+    # quantile normalization (lattice-bounded CDF/grid; corpus work is
+    # one scan + per-source rank windows → linear, sources the
+    # parallel unit)
+    "acf_daily_revenue", "quality_quantile_normalize",
 ]
 
 KEYED = {

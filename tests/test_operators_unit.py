@@ -425,3 +425,60 @@ def test_cusum_against_pure_python(spark, sf_dir):
         s = s + (mu + 2 * k) - mu - k
         steps += 1
     assert steps <= (h // k) + 1
+
+
+def test_acf_against_numpy(spark, sf_dir):
+    """acf_daily_revenue must match the standard estimator r_k =
+    sum((x_t-mean)(x_{t+k}-mean)) / sum((x_t-mean)^2) computed in
+    float by numpy — validates the n^2-multiplied integer restatement
+    against the textbook formula (to ppm-grid tolerance)."""
+    import math
+
+    import numpy as np
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {r.lag: r for r in
+           all_queries()["acf_daily_revenue"].fn(spark, sf_dir).collect()}
+    o = table(spark, sf_dir, "orders")
+    per = {}
+    for r in o.select("o_orderdate", "o_totalprice").collect():
+        d = r.o_orderdate.date()
+        per[d] = per.get(d, 0) + math.floor(r.o_totalprice * 100 + 0.5)
+    x = np.array([per[d] for d in sorted(per)], dtype=float)
+    dev = x - x.mean()
+    den = (dev * dev).sum()
+    for k in range(1, 15):
+        ref = (dev[:-k] * dev[k:]).sum() / den
+        g = got[k]
+        assert g.n_pairs == len(x) - k
+        assert abs(g.acf_ppm / 1e6 - ref) < 2e-6, (k, g.acf_ppm, ref)
+        assert -1000000 <= g.acf_ppm <= 1000000
+
+
+def test_quantile_normalize_properties(spark, sf_dir):
+    """quality_quantile_normalize invariants: (1) normalization is
+    monotone within a source (higher raw q4 never maps below a lower
+    one); (2) every norm_q4 is an actually-occurring global score;
+    (3) the within-source top doc maps to the top of the global scale
+    and the bottom to the bottom decile's values; (4) every doc
+    appears exactly once."""
+    from zoom_etl_spark.registry import all_queries
+
+    rows = all_queries()["quality_quantile_normalize"].fn(
+        spark, sf_dir).collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert len(rows) == n_docs
+    global_scores = sorted({r.q4 for r in rows})
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.pr_m <= 1000
+        assert r.norm_q4 in set(global_scores)
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.q4, r.doc_id))
+        for a, b in zip(rs, rs[1:]):
+            assert a.pr_m <= b.pr_m and a.norm_q4 <= b.norm_q4, src
+        assert rs[-1].pr_m == 1000 and rs[-1].norm_q4 == global_scores[-1]
+        assert rs[0].pr_m == 0 and rs[0].norm_q4 == global_scores[0]

@@ -14,7 +14,7 @@ per-iteration work is joins — no per-row Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -838,3 +838,100 @@ def mixture_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0))
     return ranked.select("source", "n_tok", "score",
                          alloc.cast("bigint").alias("alloc_tok"))
+
+
+@query("quality_quantile_normalize", oracle="""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         CAST(floor(round(0.5 * least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+               + 0.5 * (1.0 - coalesce(
+                   CAST(len(list_filter(toks,
+                        x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+                   / nullif(len(toks), 0), 1.0)), 4) * 10000 + 0.5)
+              AS BIGINT) AS q4
+  FROM tok
+),
+src AS (
+  SELECT doc_id, source, q4,
+         row_number() OVER (PARTITION BY source ORDER BY q4, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM feats
+),
+docs AS (
+  SELECT doc_id, source, q4,
+         CASE WHEN ns = 1 THEN 500
+              ELSE (2000 * (rn - 1) + (ns - 1)) // (2 * (ns - 1)) END
+           AS pr_m
+  FROM src
+),
+cdf AS (
+  SELECT q4, CAST(count(*) AS BIGINT) AS cnt FROM feats GROUP BY 1
+),
+cdfc AS (
+  SELECT q4, sum(cnt) OVER (ORDER BY q4) AS cum FROM cdf
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+grid AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 1001)),
+qt AS (
+  SELECT grid.g, min(cdfc.q4) AS norm_q4
+  FROM grid, nn, cdfc
+  WHERE cdfc.cum >= 1 + (2 * grid.g * (nn.n - 1) + 1000) // 2000
+  GROUP BY 1
+)
+SELECT d.doc_id, d.source, d.q4, CAST(d.pr_m AS BIGINT) AS pr_m,
+       qt.norm_q4
+FROM docs d JOIN qt ON d.pr_m = qt.g
+""")
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of document quality — the
+    cross-source calibration step a mixture pipeline needs before ONE
+    quality threshold can mean the same thing for every source (a
+    score of 0.6 from a clean source and a noisy one sit at very
+    different percentiles; after normalization each doc carries the
+    GLOBAL score at its within-source percentile). Construction is
+    grid-quantile: quality on its 1e-4 integer lattice (q4, the
+    quality_filter_pctl boundedness trick), within-source percent
+    rank half-away on the milli-grid over the unique (q4, doc_id)
+    order, global nearest-rank quantile table evaluated ONLY at the
+    1001 grid points from the value-domain-bounded CDF (<=10001 rows),
+    then an equi-join docs.pr_m = grid.g — every division nonnegative
+    so Spark div == DuckDB //. Scale: sources are the parallel unit
+    for the rank windows (a single giant source would take the
+    revenue_gini two-level banding verbatim); the CDF window and the
+    grid x CDF min-join are lattice-bounded, never corpus-bounded;
+    the only corpus-sized ops are one scan, one groupBy(q4), and one
+    broadcast equi-join."""
+    d = table(spark, sf_dir, "documents")
+    feats = (d.select("doc_id", "source",
+                      F.floor(F.round(quality_expr(), 4) * 10000 + 0.5)
+                       .cast("long").alias("q4"))
+               .localCheckpoint(eager=False))
+    ws = Window.partitionBy("source").orderBy("q4", "doc_id")
+    wn = Window.partitionBy("source")
+    docs = (feats
+            .withColumn("rn", F.row_number().over(ws))
+            .withColumn("ns", F.count("*").over(wn))
+            .select("doc_id", "source", "q4",
+                    F.expr("CASE WHEN ns = 1 THEN 500L ELSE "
+                           "(2000 * (rn - 1) + (ns - 1)) "
+                           "div (2 * (ns - 1)) END").alias("pr_m")))
+    cdf = feats.groupBy("q4").agg(F.count("*").alias("cnt"))
+    cdfc = cdf.select("q4", F.sum("cnt").over(
+        Window.orderBy("q4").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"))
+    nn = feats.agg(F.count("*").alias("n"))
+    grid = spark.range(0, 1001).select(F.col("id").alias("g"))
+    qt = (grid.crossJoin(F.broadcast(nn))
+              .join(F.broadcast(cdfc),
+                    F.col("cum") >= F.expr(
+                        "1 + (2 * g * (n - 1) + 1000) div 2000"))
+              .groupBy("g").agg(F.min("q4").alias("norm_q4")))
+    return (docs.join(F.broadcast(qt), docs.pr_m == qt.g)
+                .select("doc_id", "source", "q4",
+                        F.col("pr_m").cast("long").alias("pr_m"),
+                        "norm_q4"))

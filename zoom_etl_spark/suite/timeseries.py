@@ -363,3 +363,79 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.hi").alias("cusum_hi"), F.col("r.lo").alias("cusum_lo"),
         (F.col("r.hi") > F.expr("mu div 4")).alias("alarm_hi"),
         (F.col("r.lo") > F.expr("mu div 4")).alias("alarm_lo"))
+
+
+@query("acf_daily_revenue", oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY day) AS t FROM d
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS tot FROM r
+),
+den AS (
+  SELECT sum((s.n * r.c - s.tot) * (s.n * r.c - s.tot)) AS den
+  FROM r, s
+),
+lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 15)),
+num AS (
+  SELECT lags.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum((s.n * a.c - s.tot) * (s.n * b.c - s.tot)) AS num
+  FROM lags
+  JOIN r a ON TRUE
+  JOIN r b ON b.t = a.t + lags.lag
+  CROSS JOIN s
+  GROUP BY 1
+)
+SELECT num.lag, num.n_pairs,
+       CAST((2 * 1000000 * (num.num + den.den) + den.den)
+            // (2 * den.den) - 1000000 AS BIGINT) AS acf_ppm
+FROM num, den
+""")
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series, lags 1-14
+    — the seasonality detector behind forecasting-model choice (a
+    weekly cycle shows as a lag-7/14 ridge). Exactness: with mean
+    tot/n kept RATIONAL, r_k = sum((n*x_t - tot)(n*x_{t+k} - tot)) /
+    sum((n*x_t - tot)^2) multiplies the classic estimator through by
+    n^2 so numerator and denominator are exact integers; they cross
+    int64 (~5e25 per term at daily-revenue magnitudes) so both
+    accumulate in decimal(38)/HUGEINT. The ppm result dodges the
+    negative-quotient trap (Spark `div` truncates, DuckDB `//`
+    floors — they diverge below zero, the attribution_multi_touch
+    lesson): |num| <= den by Cauchy-Schwarz, so shifting by +den
+    keeps the half-away division nonnegative, then -1e6 recenters.
+    Scale: the series is day-bounded (|days|, never |orders|) — the
+    lag self-join and windows run on ~2.4k rows; corpus work is one
+    map-combined groupBy(day)."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("c"))
+          .localCheckpoint(eager=False))
+    r = d.select("c", F.row_number().over(Window.orderBy("day")).alias("t"))
+    s = r.agg(F.count("*").alias("n"), F.sum("c").alias("tot"))
+    # DECIMAL(19): dev ~ n*c ≈ 7e12, so the product's static type
+    # d(19)*d(19) -> d(38,0) is exact with no precision-cap truncation
+    rs = r.crossJoin(F.broadcast(s)).withColumn(
+        "dev", F.expr("CAST(n * c - tot AS DECIMAL(19,0))"))
+    den = rs.agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
+    a = rs.select(F.col("t").alias("ta"), F.col("dev").alias("deva"))
+    b = rs.select(F.col("t").alias("tb"), F.col("dev").alias("devb"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+              .join(b, F.col("tb") == F.col("ta") + F.col("lag")))
+    num = (pairs.groupBy("lag")
+                .agg(F.count("*").alias("n_pairs"),
+                     F.sum(F.col("deva") * F.col("devb")).alias("num")))
+    return (num.crossJoin(F.broadcast(den))
+               .select("lag", "n_pairs",
+                       F.expr("CAST((2 * 1000000 * (num + den) + den) "
+                              "div (2 * den) - 1000000 AS BIGINT)")
+                        .alias("acf_ppm")))
