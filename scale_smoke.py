@@ -92,6 +92,10 @@ QUERIES = [
     # one scan + per-source rank windows → linear, sources the
     # parallel unit)
     "acf_daily_revenue", "quality_quantile_normalize",
+    # seasonal DOW anomalies (7 weekday cohorts of the day-bounded
+    # series → near-flat past groupBy(day)) and mixture entropy
+    # (source-keyed map-combined aggregate → near-flat past the scan)
+    "anomaly_seasonal_dow", "mixture_entropy",
 ]
 
 KEYED = {

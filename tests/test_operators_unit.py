@@ -482,3 +482,62 @@ def test_quantile_normalize_properties(spark, sf_dir):
             assert a.pr_m <= b.pr_m and a.norm_q4 <= b.norm_q4, src
         assert rs[-1].pr_m == 1000 and rs[-1].norm_q4 == global_scores[-1]
         assert rs[0].pr_m == 0 and rs[0].norm_q4 == global_scores[0]
+
+
+def test_seasonal_dow_against_pure_python(spark, sf_dir):
+    """anomaly_seasonal_dow must equal a pure-Python replay: weekday
+    cohorts, lower nearest-rank median and MAD, 3-MAD integer flag."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    rows = {r.day: r for r in
+            all_queries()["anomaly_seasonal_dow"].fn(spark, sf_dir)
+            .collect()}
+    o = table(spark, sf_dir, "orders")
+    per = {}
+    for r in o.select("o_orderdate", "o_totalprice").collect():
+        d = r.o_orderdate.date()
+        per[d] = per.get(d, 0) + math.floor(r.o_totalprice * 100 + 0.5)
+    cohorts = {}
+    for d, c in per.items():
+        cohorts.setdefault(d.weekday(), []).append((c, d))
+    for dw, vals in cohorts.items():
+        vals.sort()
+        nw = len(vals)
+        med = vals[(nw + 1) // 2 - 1][0]
+        devs = sorted((abs(c - med), d) for c, d in vals)
+        mad = devs[(nw + 1) // 2 - 1][0]
+        for c, d in vals:
+            g = rows[d]
+            assert (g.dw, g.daily_cents) == (dw, c)
+            assert (g.med_cents, g.mad_cents) == (med, mad), (d, g)
+            assert g.dev_cents == abs(c - med)
+            assert g.is_anomaly == (abs(c - med) > 3 * mad)
+
+
+def test_mixture_entropy_against_pure_python(spark, sf_dir):
+    """mixture_entropy must match float Shannon entropy over the same
+    per-source token masses (to micro-nat quantization tolerance) and
+    respect 0 <= H <= ln(k), 1 <= exp(H) <= k."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = all_queries()["mixture_entropy"].fn(spark, sf_dir).collect()[0]
+    d = table(spark, sf_dir, "documents")
+    masses = {}
+    for r in d.select("source", "text").collect():
+        n = len([t for t in r.text.split(" ") if t])
+        masses[r.source] = masses.get(r.source, 0) + n
+    masses = {s: n for s, n in masses.items() if n > 0}
+    N = sum(masses.values())
+    H = -sum((n / N) * math.log(n / N) for n in masses.values())
+    k = len(masses)
+    assert got.n_sources == k and got.total_tokens == N
+    assert abs(got.entropy_e6 / 1e6 - H) < 1e-4
+    assert 0 <= got.entropy_e6 <= math.log(k) * 1e6 + 1
+    assert 1000 <= got.effective_sources_e3 <= k * 1000 + 1
+    assert abs(got.effective_sources_e3 / 1000 - math.exp(H)) < 1e-2

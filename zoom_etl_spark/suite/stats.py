@@ -625,3 +625,79 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
               - (F.col("na") + F.col("nb"))).alias("tie_cubes"))
     return g.select("event_type", "n1", "n2", "u2", "tie_cubes",
                     F.expr(_MW_Z).alias("z"))
+
+
+@query("anomaly_seasonal_dow", oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day, c, CAST(isodow(day) - 1 AS INT) AS dw FROM d
+),
+med AS (
+  SELECT day, c, dw,
+         max(CASE WHEN rw = (nw + 1) // 2 THEN c END) OVER
+           (PARTITION BY dw) AS med
+  FROM (
+    SELECT day, c, dw,
+           row_number() OVER (PARTITION BY dw ORDER BY c, day) AS rw,
+           CAST(count(*) OVER (PARTITION BY dw) AS BIGINT) AS nw
+    FROM w)
+),
+dev AS (
+  SELECT day, c, dw, med, abs(c - med) AS dev FROM med
+),
+mad AS (
+  SELECT day, c, dw, med, dev,
+         max(CASE WHEN rd = (nw + 1) // 2 THEN dev END) OVER
+           (PARTITION BY dw) AS mad
+  FROM (
+    SELECT day, c, dw, med, dev,
+           row_number() OVER (PARTITION BY dw ORDER BY dev, day) AS rd,
+           CAST(count(*) OVER (PARTITION BY dw) AS BIGINT) AS nw
+    FROM dev)
+)
+SELECT day, c AS daily_cents, dw, med AS med_cents, mad AS mad_cents,
+       dev AS dev_cents, (dev > 3 * mad) AS is_anomaly
+FROM mad
+""")
+def anomaly_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily-revenue anomalies: each day is judged
+    against its own DAY-OF-WEEK cohort (median + MAD), so a quiet
+    Sunday isn't flagged low and a busy Monday isn't flagged high —
+    the adjustment plain anomaly_zscore/anomaly_mad lack. Exactness:
+    weekday is Spark weekday() == DuckDB isodow()-1 (both Mon=0 —
+    dayofweek() disagrees between the engines and is avoided);
+    medians are the LOWER nearest-rank statistic at (n+1) div 2 over
+    unique (value, day) orders, so median and MAD stay exact integers
+    in cents and the 3-MAD flag is a pure integer compare (a
+    zero-MAD cohort — >=half its days identical — flags any
+    deviation, the standard hypersensitive-MAD caveat). Scale: one
+    map-combined groupBy(day); every window partitions by the 7
+    weekday cohorts of the DAY-bounded series."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("c"))
+          .withColumn("dw", F.weekday("day").cast("int")))
+    wp = Window.partitionBy("dw")
+    med = (d.withColumn("rw", F.row_number().over(
+                wp.orderBy("c", "day")))
+            .withColumn("nw", F.count("*").over(wp))
+            .withColumn("med", F.max(F.when(
+                F.col("rw") == F.expr("(nw + 1) div 2"),
+                F.col("c"))).over(wp))
+            .withColumn("dev", F.abs(F.col("c") - F.col("med"))))
+    mad = (med.withColumn("rd", F.row_number().over(
+                wp.orderBy("dev", "day")))
+              .withColumn("mad", F.max(F.when(
+                  F.col("rd") == F.expr("(nw + 1) div 2"),
+                  F.col("dev"))).over(wp)))
+    return mad.select(
+        "day", F.col("c").alias("daily_cents"), "dw",
+        F.col("med").alias("med_cents"), F.col("mad").alias("mad_cents"),
+        F.col("dev").alias("dev_cents"),
+        (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"))
