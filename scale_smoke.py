@@ -96,6 +96,10 @@ QUERIES = [
     # series → near-flat past groupBy(day)) and mixture entropy
     # (source-keyed map-combined aggregate → near-flat past the scan)
     "anomaly_seasonal_dow", "mixture_entropy",
+    # RFM (customer-bounded ntile windows over the rollup — linear in
+    # customers) and the naive-7 backtest (day-bounded self-join →
+    # near-flat past groupBy(day))
+    "rfm_segments", "forecast_backtest_naive7",
 ]
 
 KEYED = {

@@ -541,3 +541,67 @@ def test_mixture_entropy_against_pure_python(spark, sf_dir):
     assert 0 <= got.entropy_e6 <= math.log(k) * 1e6 + 1
     assert 1000 <= got.effective_sources_e3 <= k * 1000 + 1
     assert abs(got.effective_sources_e3 / 1000 - math.exp(H)) < 1e-2
+
+
+def test_rfm_segment_rules_and_quintiles(spark, sf_dir):
+    """rfm_segments: quintile sizes differ by at most 1 per dimension,
+    scores are 1..5, and the segment label re-derives from the scores
+    by the documented first-match-wins rules for every customer."""
+    from zoom_etl_spark.registry import all_queries
+
+    rows = all_queries()["rfm_segments"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            s = getattr(r, dim)
+            assert 1 <= s <= 5
+            sizes[s] = sizes.get(s, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (dim, sizes)
+        assert sum(sizes.values()) == n
+    for r in rows:
+        if r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4:
+            want = "champion"
+        elif r.f_score >= 4:
+            want = "loyal"
+        elif r.m_score >= 4:
+            want = "big_spender"
+        elif r.r_score <= 2 and r.f_score <= 2:
+            want = "hibernating"
+        elif r.r_score <= 2:
+            want = "at_risk"
+        else:
+            want = "regular"
+        assert r.segment == want, (r.k, r.segment, want)
+
+
+def test_naive7_backtest_against_pure_python(spark, sf_dir):
+    """forecast_backtest_naive7 must equal a pure-Python replay of the
+    join + integer-ppm error chain."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = all_queries()["forecast_backtest_naive7"].fn(
+        spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders")
+    per = {}
+    for r in o.select("o_orderdate", "o_totalprice").collect():
+        d = r.o_orderdate.date()
+        per[d] = per.get(d, 0) + math.floor(r.o_totalprice * 100 + 0.5)
+    import datetime
+    aes, apes, sapes = [], [], []
+    for d, a in per.items():
+        f = per.get(d - datetime.timedelta(days=7))
+        if f is None:
+            continue
+        ae = abs(a - f)
+        aes.append(ae)
+        apes.append((2000000 * ae + a) // (2 * a))
+        sapes.append((4000000 * ae + (a + f)) // (2 * (a + f)))
+    n = len(aes)
+    assert got.n_days == n
+    assert got.mae_cents == (2 * sum(aes) + n) // (2 * n)
+    assert got.mape_ppm == (2 * sum(apes) + n) // (2 * n)
+    assert got.smape_ppm == (2 * sum(sapes) + n) // (2 * n)

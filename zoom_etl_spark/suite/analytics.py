@@ -1296,3 +1296,149 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         """)).alias("r"))
     return folded.select("r.t", "r.n_events", "r.n_censored", "r.n_risk",
                          "r.surv_ppm")
+
+
+@query("rfm_segments", oracle="""
+WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+c AS (
+  SELECT o_custkey AS k,
+         CAST(a.anchor - max(CAST(o_orderdate AS DATE)) AS INT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS monetary_cents
+  FROM orders, a GROUP BY 1, a.anchor
+),
+s AS (
+  SELECT k, recency_days, frequency, monetary_cents,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, k) AS INT)
+           AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency, k) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents, k) AS INT)
+           AS m_score
+  FROM c
+)
+SELECT k, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            WHEN r_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM s
+""")
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-warehouse
+    rollup: per customer, Recency (days since last order, vs the
+    corpus max-date anchor so the query is reproducible), Frequency
+    (order count) and Monetary (exact cents), each cut into quintile
+    scores 1..5 where 5 is best (recency ntile runs DESC so the most
+    recent customers land in the top score), then a fixed
+    first-match-wins CASE labels the segments (champion / loyal /
+    big_spender / at_risk / hibernating / regular). Engine-exact:
+    quintile membership via ntile over UNIQUE (metric, custkey)
+    orders — the revenue_concentration discipline — and all three
+    metrics are integers. Scale: one customer rollup, then three
+    customer-count-bounded sort windows (|customers|, never |orders|;
+    a billion-customer corpus would swap each for the revenue_gini
+    two-level band rank)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    c = (o.crossJoin(F.broadcast(a))
+          .groupBy(F.col("o_custkey").alias("k"), "anchor")
+          .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
+               F.count("*").alias("frequency"),
+               F.sum(F.expr(
+                   "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("monetary_cents"))
+          .select(
+              "k",
+              F.datediff("anchor", "last_day").cast("int")
+               .alias("recency_days"),
+              "frequency", "monetary_cents"))
+    s = (c.withColumn("r_score", F.ntile(5).over(
+              Window.orderBy(F.col("recency_days").desc(), "k"))
+              .cast("int"))
+          .withColumn("f_score", F.ntile(5).over(
+              Window.orderBy("frequency", "k")).cast("int"))
+          .withColumn("m_score", F.ntile(5).over(
+              Window.orderBy("monetary_cents", "k")).cast("int")))
+    seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+                  & (F.col("m_score") >= 4), "champion")
+            .when(F.col("f_score") >= 4, "loyal")
+            .when(F.col("m_score") >= 4, "big_spender")
+            .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+                  "hibernating")
+            .when(F.col("r_score") <= 2, "at_risk")
+            .otherwise("regular"))
+    return s.select("k", "recency_days", "frequency", "monetary_cents",
+                    "r_score", "f_score", "m_score",
+                    seg.alias("segment"))
+
+
+@query("forecast_backtest_naive7", oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT a.day, a.c AS actual, f.c AS forecast,
+         abs(a.c - f.c) AS ae
+  FROM d a JOIN d f ON f.day = a.day - 7
+),
+e AS (
+  SELECT day, actual, forecast, ae,
+         (2000000 * ae + actual) // (2 * actual) AS ape_ppm,
+         (4000000 * ae + (actual + forecast))
+           // (2 * (actual + forecast)) AS sape_ppm
+  FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST((2 * sum(ae) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mae_cents,
+       CAST((2 * sum(ape_ppm) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mape_ppm,
+       CAST((2 * sum(sape_ppm) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS smape_ppm
+FROM e
+""")
+def forecast_backtest_naive7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecaster (predict each day
+    with the same weekday one week earlier) on daily revenue — the
+    baseline every real forecasting deployment must beat, and the
+    evaluation loop `holt_linear_smooth`/`trend_linefit` lack: MAE in
+    exact cents, MAPE and symmetric MAPE in exact half-away ppm (the
+    per-day percentage errors are integer-ppm FIRST, then averaged
+    with half-away integer division — so no float accumulates
+    anywhere and both engines agree bit-for-bit; sMAPE uses the
+    2|a-f|/(a+f) convention). Days without a t-7 ancestor drop out of
+    the join (the standard burn-in). Scale: one map-combined
+    groupBy(day), then a day-bounded self-join + one tiny aggregate —
+    |days|-sized, never |orders|-sized."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("c"))
+          .localCheckpoint(eager=False))
+    a = d.select(F.col("day"), F.col("c").alias("actual"))
+    f = d.select(F.date_add("day", 7).alias("day"),
+                 F.col("c").alias("forecast"))
+    j = (a.join(f, "day")
+          .withColumn("ae", F.abs(F.col("actual") - F.col("forecast"))))
+    e = (j.withColumn("ape_ppm", F.expr(
+             "(2000000 * ae + actual) div (2 * actual)"))
+          .withColumn("sape_ppm", F.expr(
+             "(4000000 * ae + (actual + forecast)) "
+             "div (2 * (actual + forecast))")))
+    return e.agg(
+        F.count("*").alias("n_days"),
+        F.expr("CAST((2 * sum(ae) + count(*)) div (2 * count(*)) "
+               "AS BIGINT)").alias("mae_cents"),
+        F.expr("CAST((2 * sum(ape_ppm) + count(*)) div (2 * count(*)) "
+               "AS BIGINT)").alias("mape_ppm"),
+        F.expr("CAST((2 * sum(sape_ppm) + count(*)) div (2 * count(*)) "
+               "AS BIGINT)").alias("smape_ppm"))
