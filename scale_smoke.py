@@ -100,6 +100,9 @@ QUERIES = [
     # customers) and the naive-7 backtest (day-bounded self-join →
     # near-flat past groupBy(day))
     "rfm_segments", "forecast_backtest_naive7",
+    # KS (value-domain-bounded like Mann-Whitney) and CUPED (one
+    # user-keyed moment aggregate → linear scan, 1-row fold)
+    "ab_ks_test", "ab_cuped_adjust",
 ]
 
 KEYED = {

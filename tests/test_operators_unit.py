@@ -605,3 +605,83 @@ def test_naive7_backtest_against_pure_python(spark, sf_dir):
     assert got.mae_cents == (2 * sum(aes) + n) // (2 * n)
     assert got.mape_ppm == (2 * sum(apes) + n) // (2 * n)
     assert got.smape_ppm == (2 * sum(sapes) + n) // (2 * n)
+
+
+def test_ks_against_pure_python(spark, sf_dir):
+    """ab_ks_test's cross-multiplied D numerator must equal a pure-
+    Python two-sample ECDF sweep, and d_e6 must be the half-away ppm
+    of D = d_num/(n1*n2)."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {r.event_type: r for r in
+           all_queries()["ab_ks_test"].fn(spark, sf_dir).collect()}
+    e = table(spark, sf_dir, "events")
+    pools = {}
+    for r in e.select("event_type", "user_id", "value").collect():
+        cents = math.floor(r.value * 100 + 0.5)
+        pools.setdefault(r.event_type, []).append((r.user_id % 2, cents))
+    for et, pool in pools.items():
+        a = sorted(c for g, c in pool if g == 0)
+        b = sorted(c for g, c in pool if g == 1)
+        n1, n2 = len(a), len(b)
+        d_num = 0
+        for v in sorted(set(a) | set(b)):
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            d_num = max(d_num, abs(ca * n2 - cb * n1))
+        g = got[et]
+        assert (g.n1, g.n2, g.d_num) == (n1, n2, d_num), et
+        assert g.d_e6 == (2000000 * d_num + n1 * n2) // (2 * n1 * n2)
+        lam2 = (d_num / (n1 * n2)) ** 2 * (n1 * n2 / (n1 + n2))
+        assert abs(g.p_asym - 2 * math.exp(-2 * lam2)) < 5e-6
+
+
+def test_cuped_against_pure_python(spark, sf_dir):
+    """ab_cuped_adjust must equal a pure-Python replay: midpoint split
+    on the micros grid, per-user integer pre/post sums, theta =
+    cov/var from raw moments, adjusted delta, and var_reduction =
+    corr^2; var_reduction must also bound the adjusted-estimator
+    variance claim 0 <= r2 < 1."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = all_queries()["ab_cuped_adjust"].fn(spark, sf_dir).collect()[0]
+    e = table(spark, sf_dir, "events")
+    rows = e.select("user_id", "ts", "value").collect()
+    us = [int(r.ts.timestamp() * 1_000_000) for r in rows]
+    mid = min(us) + (max(us) - min(us)) // 2
+    per = {}
+    for r, t in zip(rows, us):
+        cents = math.floor(r.value * 100 + 0.5)
+        x, y = per.setdefault(r.user_id, [0, 0])
+        if t < mid:
+            per[r.user_id][0] = x + cents
+        else:
+            per[r.user_id][1] = y + cents
+    n = len(per)
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    g0 = {u: v for u, v in per.items() if u % 2 == 0}
+    g1 = {u: v for u, v in per.items() if u % 2 == 1}
+    d = (sum(v[1] for v in g1.values()) / len(g1)
+         - sum(v[1] for v in g0.values()) / len(g0))
+    dx = (sum(v[0] for v in g1.values()) / len(g1)
+          - sum(v[0] for v in g0.values()) / len(g0))
+    r2 = ((n * sxy - sx * sy) ** 2
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert (got.n_users, got.n0, got.n1) == (n, len(g0), len(g1))
+    assert abs(got.theta - theta) < 5e-6
+    assert abs(got.delta_cents - d) < 5e-4
+    assert abs(got.delta_adj_cents - (d - theta * dx)) < 5e-4
+    assert abs(got.var_reduction - r2) < 5e-6
+    assert 0 <= got.var_reduction < 1

@@ -701,3 +701,204 @@ def anomaly_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med").alias("med_cents"), F.col("mad").alias("mad_cents"),
         F.col("dev").alias("dev_cents"),
         (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"))
+
+
+_KS_P = (
+    "round(2 * exp(-2 * (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))"
+    " * (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))"
+    " * (CAST(n1 AS DOUBLE) * n2 / (n1 + n2))), 6)"
+)
+
+
+@query("ab_ks_test", oracle=f"""
+WITH obs AS (
+  SELECT event_type, user_id % 2 AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+v AS (
+  SELECT event_type, cents,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM obs GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, cents, na, nb,
+         sum(na) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         sum(nb) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb,
+         sum(na) OVER (PARTITION BY event_type) AS n1,
+         sum(nb) OVER (PARTITION BY event_type) AS n2
+  FROM v
+),
+g AS (
+  SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+         CAST(max(n2) AS BIGINT) AS n2,
+         CAST(max(abs(cuma * n2 - cumb * n1)) AS BIGINT) AS d_num
+  FROM c GROUP BY 1
+)
+SELECT event_type, n1, n2, d_num,
+       CAST((2000000 * d_num + n1 * n2) // (2 * n1 * n2) AS BIGINT)
+         AS d_e6,
+       {_KS_P} AS p_asym
+FROM g
+""")
+def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov per event type (same user-parity
+    arms as ab_welch_ttest/ab_mann_whitney) — the SHAPE-sensitive
+    companion: Welch reads mean shift, Mann-Whitney stochastic
+    ordering, KS any ECDF divergence (variance change, bimodality).
+    Exactness: D = max|ECDF_a - ECDF_b| never divides — the statistic
+    is kept as the exact integer CROSS-MULTIPLIED numerator d_num =
+    max|cumA*n2 - cumB*n1| over distinct values (the supremum over
+    the full real line is attained at a jump point, i.e. an observed
+    value, so scanning distinct cents is exact); d_e6 is one half-away
+    integer division and the asymptotic p-value 2*exp(-2*lambda^2) one
+    shared-text IEEE chain. Scale: identical posture to
+    ab_mann_whitney — corpus collapses to distinct (type, cents)
+    counts, cumulative windows run on that value-domain-bounded
+    table."""
+    e = table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type", (F.col("user_id") % 2).alias("grp"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    g0 = F.col("grp") == 0
+    v = obs.groupBy("event_type", "cents").agg(
+        F.sum(F.when(g0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~g0, 1).otherwise(0)).alias("nb"))
+    wcum = (Window.partitionBy("event_type").orderBy("cents")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("event_type")
+    c = (v.withColumn("cuma", F.sum("na").over(wcum))
+          .withColumn("cumb", F.sum("nb").over(wcum))
+          .withColumn("n1", F.sum("na").over(wall))
+          .withColumn("n2", F.sum("nb").over(wall)))
+    g = c.groupBy("event_type").agg(
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+        F.max(F.abs(F.col("cuma") * F.col("n2")
+                    - F.col("cumb") * F.col("n1"))).alias("d_num"))
+    return g.select(
+        "event_type", "n1", "n2", "d_num",
+        # decimal routing: 2e6*n1*n2 crosses int64 near ~7e7 rows per
+        # arm (the revenue_gini 10x-smoke lesson, applied at design
+        # time); the oracle side is HUGEINT automatically
+        F.expr("CAST((2000000 * CAST(d_num AS DECIMAL(28,0)) "
+               "+ CAST(n1 AS DECIMAL(19,0)) * n2) "
+               "div (2 * CAST(n1 AS DECIMAL(19,0)) * n2) AS BIGINT)")
+         .alias("d_e6"),
+        F.expr(_KS_P).alias("p_asym"))
+
+
+# CUPED finals: one shared-text IEEE chain over exact integer moments
+# (cast to decimal(38) first — n*Sxy crosses int64 at ~10x bench scale).
+_CUPED = {
+    "theta": "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+             " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)",
+    "delta": "round(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0, 4)",
+    "delta_adj": "round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)"
+                 " - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                 " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+                 " * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0), 4)",
+    "var_reduction": "round(((CAST(n AS DOUBLE) * sxy"
+                     " - CAST(sx AS DOUBLE) * sy)"
+                     " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))"
+                     " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                     " * (CAST(n AS DOUBLE) * syy"
+                     " - CAST(sy AS DOUBLE) * sy)), 6)",
+}
+
+
+@query("ab_cuped_adjust", oracle=f"""
+WITH b AS (
+  SELECT min(ts) AS t0, max(ts) AS t1 FROM events
+),
+h AS (SELECT make_timestamp(epoch_us(t0)
+        + (epoch_us(t1) - epoch_us(t0)) // 2) AS mid FROM b),
+u AS (
+  SELECT e.user_id, e.user_id % 2 AS grp,
+         CAST(sum(CASE WHEN e.ts < h.mid
+                  THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN e.ts >= h.mid
+                  THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events e, h
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+  FROM u
+)
+SELECT CAST(n AS BIGINT) AS n_users, n0, n1,
+       {_CUPED['theta']} AS theta,
+       {_CUPED['delta']} AS delta_cents,
+       {_CUPED['delta_adj']} AS delta_adj_cents,
+       {_CUPED['var_reduction']} AS var_reduction
+FROM m
+""")
+def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al. 2013,
+    the industry-standard pre-period adjustment): each user's
+    experiment-period metric y is adjusted by theta * (x - mean(x))
+    where x is the SAME user's pre-period spend (timeline split at
+    its midpoint) — because assignment is independent of x, the
+    adjusted arm difference is unbiased but its variance shrinks by
+    the squared x,y correlation (reported as var_reduction). The
+    whole statistic reduces to ONE map-combined aggregate of exact
+    integer per-user moments (n, Σx, Σy, Σxy, Σx², Σy², per-arm
+    splits) accumulated in HUGEINT/decimal (n·Σxy crosses int64 near
+    10x bench scale), then theta / delta / adjusted delta /
+    var_reduction are shared-text IEEE chains over those integers —
+    the ab_welch_ttest discipline extended to covariance. The
+    midpoint split rides min/max(ts) (integer microsecond arithmetic,
+    both engines truncate the /2 identically on the micros grid).
+    Scale: one scan + one user-keyed aggregate + one 1-row fold;
+    nothing else."""
+    e = table(spark, sf_dir, "events")
+    b = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    h = b.select(F.expr(
+        "timestamp_micros(unix_micros(t0) "
+        "+ (unix_micros(t1) - unix_micros(t0)) div 2)").alias("mid"))
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    u = (e.crossJoin(F.broadcast(h))
+          .groupBy("user_id", (F.col("user_id") % 2).alias("grp"))
+          .agg(F.sum(F.when(F.col("ts") < F.col("mid"), cents)
+                      .otherwise(0)).alias("x"),
+               F.sum(F.when(F.col("ts") >= F.col("mid"), cents)
+                      .otherwise(0)).alias("y")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = u.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        dec(F.sum("x")).alias("sx"), dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("x")).otherwise(0))
+         .alias("sx0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x")).otherwise(0))
+         .alias("sx1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0))
+         .alias("sy0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y")).otherwise(0))
+         .alias("sy1"))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"), "n0", "n1",
+        F.expr(_CUPED["theta"]).alias("theta"),
+        F.expr(_CUPED["delta"]).alias("delta_cents"),
+        F.expr(_CUPED["delta_adj"]).alias("delta_adj_cents"),
+        F.expr(_CUPED["var_reduction"]).alias("var_reduction"))
