@@ -103,6 +103,10 @@ QUERIES = [
     # KS (value-domain-bounded like Mann-Whitney) and CUPED (one
     # user-keyed moment aggregate → linear scan, 1-row fold)
     "ab_ks_test", "ab_cuped_adjust",
+    # privacy family: QI-domain-bounded aggregates (k-anonymity audit
+    # linear in the orders rollup; the ladder's 5-way fan-out is one
+    # bounded shuffle)
+    "dq_k_anonymity", "privacy_generalize_ladder",
 ]
 
 KEYED = {

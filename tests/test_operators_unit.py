@@ -685,3 +685,73 @@ def test_cuped_against_pure_python(spark, sf_dir):
     assert abs(got.delta_adj_cents - (d - theta * dx)) < 5e-4
     assert abs(got.var_reduction - r2) < 5e-6
     assert 0 <= got.var_reduction < 1
+
+
+def test_k_anonymity_against_pure_python(spark, sf_dir):
+    """dq_k_anonymity classes, sizes, l-diversity and flags must equal
+    a pure-Python replay (dominant priority with max-count then
+    lexicographic tie-break, +shift nonneg band division)."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {(r.nationkey, r.segment, r.bal_band): r for r in
+           all_queries()["dq_k_anonymity"].fn(spark, sf_dir).collect()}
+    o = table(spark, sf_dir, "orders")
+    cnt = {}
+    for r in o.select("o_custkey", "o_orderpriority").collect():
+        cnt[(r.o_custkey, r.o_orderpriority)] = \
+            cnt.get((r.o_custkey, r.o_orderpriority), 0) + 1
+    dom = {}
+    for (k, pri), n in cnt.items():
+        best = dom.get(k)
+        if best is None or (-n, pri) < (-best[0], best[1]):
+            dom[k] = (n, pri)
+    classes = {}
+    c = table(spark, sf_dir, "customer")
+    for r in c.collect():
+        band = (math.floor(r.c_acctbal * 100 + 0.5) + 100000) // 100000
+        key = (r.c_nationkey, r.c_mktsegment, band)
+        sens = dom.get(r.c_custkey, (0, "NONE"))[1]
+        classes.setdefault(key, []).append(sens)
+    assert set(classes) == set(got)
+    for key, sens in classes.items():
+        g = got[key]
+        assert g.class_size == len(sens)
+        assert g.l_diversity == len(set(sens))
+        assert g.k_violation == (len(sens) < 5)
+        assert g.l_violation == (len(set(sens)) < 2)
+
+
+def test_generalize_ladder_picks_finest_feasible(spark, sf_dir):
+    """privacy_generalize_ladder must release at the FINEST rung whose
+    min class size reaches k=5 (or the coarsest if none), and the
+    released class counts must equal a pure-Python re-banding."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+    from zoom_etl_spark.suite.privacy import _K, _LADDER, _SHIFT
+
+    rows = all_queries()["privacy_generalize_ladder"].fn(
+        spark, sf_dir).collect()
+    widths = {r.width for r in rows}
+    assert len(widths) == 1
+    width = widths.pop()
+    c = table(spark, sf_dir, "customer").collect()
+    per_w = {}
+    for w in _LADDER:
+        cl = {}
+        for r in c:
+            sc = math.floor(r.c_acctbal * 100 + 0.5) + _SHIFT
+            key = (r.c_nationkey, r.c_mktsegment, sc // (w * 100))
+            cl[key] = cl.get(key, 0) + 1
+        per_w[w] = cl
+    feasible = [w for w in _LADDER if min(per_w[w].values()) >= _K]
+    want = min(feasible) if feasible else max(_LADDER)
+    assert width == want
+    got = {(r.nationkey, r.segment, r.band): r.k for r in rows}
+    assert got == per_w[width]
+    if feasible:
+        assert min(got.values()) >= _K

@@ -74,6 +74,7 @@ def _load_suite() -> None:
         merge,
         mining,
         northstar,
+        privacy,
         relational,
         retrieval,
         scalars_wide,
