@@ -107,6 +107,9 @@ QUERIES = [
     # linear in the orders rollup; the ladder's 5-way fan-out is one
     # bounded shuffle)
     "dq_k_anonymity", "privacy_generalize_ladder",
+    # DP release (cell-bounded, row-local noise) and the Zipf fit
+    # (vocab rollup + fixed 1000-row head)
+    "privacy_dp_counts", "term_zipf_fit",
 ]
 
 KEYED = {

@@ -755,3 +755,67 @@ def test_generalize_ladder_picks_finest_feasible(spark, sf_dir):
     assert got == per_w[width]
     if feasible:
         assert min(got.values()) >= _K
+
+
+def test_dp_counts_mechanism_replay_and_utility(spark, sf_dir):
+    """privacy_dp_counts: the seeded discrete-Laplace noise must replay
+    exactly in pure Python (hash -> uniform -> floor(-ln(1-u)) pair),
+    n_released must clamp at zero, and the mechanism must have usable
+    utility (mean |noise| across cells within the e^-1 geometric's
+    expected band — catches a broken uniform that degenerates to huge
+    or zero noise everywhere)."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    rows = all_queries()["privacy_dp_counts"].fn(spark, sf_dir).collect()
+    c = table(spark, sf_dir, "customer")
+    true = {}
+    for r in c.select("c_nationkey", "c_mktsegment").collect():
+        key = (r.c_nationkey, r.c_mktsegment)
+        true[key] = true.get(key, 0) + 1
+    assert len(rows) == len(true)
+    etas = []
+    for r in rows:
+        n = true[(r.nationkey, r.segment)]
+        ck = r.nationkey * 131 + ord(r.segment[0]) * 7 + len(r.segment)
+        def geo(mult):
+            u = ((ck * mult) % 4294967296 + 0.5) / 4294967296.0
+            return math.floor(-math.log(1.0 - u))
+        eta = geo(2654435761) - geo(2246822519)
+        assert r.n_noisy == n + eta, (r, n, eta)
+        assert r.n_released == max(n + eta, 0)
+        etas.append(eta)
+    # E|G1-G2| for alpha=e^-1 is ~0.77; a broken hash would blow this up
+    mean_abs = sum(abs(e) for e in etas) / len(etas)
+    assert mean_abs <= 4.0, etas
+
+
+def test_zipf_fit_against_numpy(spark, sf_dir):
+    """term_zipf_fit must match a numpy least-squares on the same
+    (ln rank, ln freq) points, slope must be negative (monotone
+    rank-frequency), and r2 in [0, 1]."""
+    import numpy as np
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = all_queries()["term_zipf_fit"].fn(spark, sf_dir).collect()[0]
+    d = table(spark, sf_dir, "documents")
+    tf = {}
+    for r in d.select("text").collect():
+        for t in r.text.split(" "):
+            if t:
+                tf[t] = tf.get(t, 0) + 1
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.log(np.arange(1, len(ranked) + 1))
+    y = np.log(np.array([f for _, f in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got.n_terms == len(ranked)
+    assert abs(got.slope - slope) < 1e-4
+    assert abs(got.intercept - intercept) < 1e-3
+    assert abs(got.r2 - r * r) < 1e-4
+    assert got.slope < 0
+    assert 0 <= got.r2 <= 1

@@ -169,3 +169,69 @@ def privacy_generalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (g.join(F.broadcast(pick), "w")
              .select(F.col("w").alias("width"), "nationkey", "segment",
                      "band", "k"))
+
+
+# discrete-Laplace release at epsilon = 1: alpha = e^-1, so the inverse
+# geometric CDF collapses to floor(-ln(1-u)) — no alpha constant to
+# transcribe. Two independent uniforms per cell come from Knuth
+# multiplicative hashes of a cell fingerprint on the 2^32 grid.
+_DP_U = ("(CAST((ck * {mult}) % 4294967296 AS DOUBLE) + 0.5) "
+         "/ 4294967296.0")
+_DP_G = "CAST(floor(-ln(1.0 - ({u}))) AS BIGINT)"
+
+
+@query("privacy_dp_counts", oracle=f"""
+WITH cell AS (
+  SELECT CAST(c_nationkey AS INT) AS nationkey,
+         c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+keyed AS (
+  SELECT nationkey, segment, n,
+         CAST(nationkey * 131 + ascii(substr(segment, 1, 1)) * 7
+              + length(segment) AS BIGINT) AS ck
+  FROM cell
+),
+noise AS (
+  SELECT nationkey, segment, n,
+         {_DP_G.format(u=_DP_U.format(mult=2654435761))}
+           - {_DP_G.format(u=_DP_U.format(mult=2246822519))} AS eta
+  FROM keyed
+)
+SELECT nationkey, segment, n + eta AS n_noisy,
+       greatest(n + eta, 0) AS n_released
+FROM noise
+""")
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private customer counts per (nation, segment) —
+    epsilon = 1 discrete Laplace via the two-sided-geometric identity
+    X = Geom(1-e^-eps) - Geom'(1-e^-eps) (Ghosh-Roughgarden-Sundararajan:
+    the discrete Laplace is the universally utility-maximizing
+    eps-DP mechanism for counts), inverse-CDF sampled as
+    floor(-ln(1-u)) because eps = 1 makes ln(alpha) = -1 exactly. The
+    uniforms are DETERMINISTIC Knuth multiplicative hashes of a cell
+    fingerprint on the 2^32 grid (the sample_stratified
+    reproducibility discipline; integer hash then ONE shared-text ln
+    per draw — engine-exact, no RNG layout dependence). A production
+    release rotates the hash seed per release and drops n from the
+    output; n stays here so the oracle and the noise-distribution
+    test can audit the mechanism (the released columns are n_noisy
+    and its nonnegative clamp). Plan: one cell-domain-bounded
+    aggregate; noise is row-local arithmetic on the cells frame —
+    adding DP to any rollup costs zero extra shuffles."""
+    c = table(spark, sf_dir, "customer")
+    cell = (c.groupBy(F.col("c_nationkey").cast("int").alias("nationkey"),
+                      F.col("c_mktsegment").alias("segment"))
+             .agg(F.count("*").alias("n")))
+    keyed = cell.withColumn("ck", F.expr(
+        "CAST(nationkey * 131 + ascii(substr(segment, 1, 1)) * 7 "
+        "+ length(segment) AS BIGINT)"))
+    g1 = _DP_G.format(u=_DP_U.format(mult=2654435761))
+    g2 = _DP_G.format(u=_DP_U.format(mult=2246822519))
+    noise = keyed.withColumn("eta", F.expr(f"{g1} - {g2}"))
+    return noise.select(
+        "nationkey", "segment",
+        (F.col("n") + F.col("eta")).alias("n_noisy"),
+        F.greatest(F.col("n") + F.col("eta"), F.lit(0))
+         .alias("n_released"))

@@ -745,3 +745,86 @@ def mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({_ENTROPY_H} AS BIGINT)").alias("entropy_e6"),
         F.expr(f"CAST(round(exp({_ENTROPY_H} / 1000000.0) * 1000, 0) "
                "AS BIGINT)").alias("effective_sources_e3"))
+
+
+_ZIPF = {
+    # x6 and y6 are BOTH micro-scaled, so the slope is unitless (the
+    # 1e6 factors cancel); only the intercept de-scales by 1e6
+    "slope": "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+             " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)",
+    "intercept": "round((CAST(sy AS DOUBLE) / n - ((CAST(n AS DOUBLE) * sxy"
+                 " - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx"
+                 " - CAST(sx AS DOUBLE) * sx)) * (CAST(sx AS DOUBLE) / n))"
+                 " / 1000000.0, 6)",
+    "r2": "round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+          " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))"
+          " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+          " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)",
+}
+
+
+@query("term_zipf_fit", oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKSQL}) AS term FROM documents
+),
+tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq
+  FROM tok GROUP BY 1
+),
+rk AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term) AS rank
+  FROM tf
+),
+q AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS x6,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS y6
+  FROM rk WHERE rank <= 1000
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x6) AS HUGEINT) AS sx, CAST(sum(y6) AS HUGEINT) AS sy,
+         CAST(sum(x6 * y6) AS HUGEINT) AS sxy,
+         CAST(sum(x6 * x6) AS HUGEINT) AS sxx,
+         CAST(sum(y6 * y6) AS HUGEINT) AS syy
+  FROM q
+)
+SELECT n AS n_terms, {_ZIPF['slope']} AS slope,
+       {_ZIPF['intercept']} AS intercept, {_ZIPF['r2']} AS r2
+FROM m
+""")
+def term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS
+    of ln(freq) on ln(rank) over the top 1000 terms — slope ≈ -1 is
+    the natural-language signature; a corpus of boilerplate or
+    machine-generated spam bends it, making this a corpus-level
+    quality fingerprint next to the per-doc gopher rules. Exactness:
+    ln(rank)/ln(freq) are quantized to INTEGER micro-units per term
+    (one ln per term, the mixture_entropy discipline), so the OLS
+    moment sums are exact integers in both engines (no accumulation
+    order) and slope/intercept/r² are shared-text IEEE chains over
+    them. Scale: term counting is the map-combined vocabulary rollup
+    every retrieval query here shares; the rank window runs on the
+    vocab-bounded table and the fit on its k=1000 head."""
+    d = table(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(_toks()).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("freq")))
+    rk = tf.select("term", "freq", F.row_number().over(
+        Window.orderBy(F.col("freq").desc(), "term")).alias("rank"))
+    q = (rk.filter(F.col("rank") <= 1000)
+           .select(
+               F.expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 "
+                      "+ 0.5) AS BIGINT)").alias("x6"),
+               F.expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 "
+                      "+ 0.5) AS BIGINT)").alias("y6")))
+    m = q.agg(F.count("*").alias("n"),
+              F.sum("x6").alias("sx"), F.sum("y6").alias("sy"),
+              F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+              F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+              F.sum(F.col("y6") * F.col("y6")).alias("syy"))
+    return m.select(F.col("n").alias("n_terms"),
+                    F.expr(_ZIPF["slope"]).alias("slope"),
+                    F.expr(_ZIPF["intercept"]).alias("intercept"),
+                    F.expr(_ZIPF["r2"]).alias("r2"))
