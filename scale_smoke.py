@@ -110,6 +110,9 @@ QUERIES = [
     # DP release (cell-bounded, row-local noise) and the Zipf fit
     # (vocab rollup + fixed 1000-row head)
     "privacy_dp_counts", "term_zipf_fit",
+    # online CUSUM drain: linear in events like every event-grain IVM;
+    # the fold is the vectorized closed prefix form
+    "stream_cusum_ivm",
 ]
 
 KEYED = {

@@ -819,3 +819,85 @@ def test_checkpoint_state_schema_upgrade(spark, sf_dir):
     for r in p_v2:
         final[r.user_id] = max(final.get(r.user_id, -1), r.max_ts)
     assert set(final.items()) == want
+
+
+def test_cusum_ivm_inorder_multibatch_matches_single_batch(spark, sf_dir):
+    """CUSUM state must carry across micro-batches: three in-event-time-
+    order slices (maxFilesPerTrigger=1) must produce exactly the same
+    per-event S±/alarm log as the single-batch drain — the fold is
+    order-dependent, so this is the cross-batch state-carry proof the
+    single-file oracle run cannot give."""
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.streaming.ingest import (EVENTS_SCHEMA,
+                                                 read_events_stream,
+                                                 run_available_now)
+    from zoom_etl_spark.streaming.stateful import cusum_maintain
+
+    e = table(spark, sf_dir, "events")
+    targets = {"view": 5000, "click": 5000, "purchase": 20000,
+               "signup": 1000, "error": 1000}
+    # single-batch reference
+    ref_out = cusum_maintain(read_events_stream(spark, sf_dir), targets)
+    run_available_now(ref_out, "cusum_ref_log", output_mode="append",
+                      n_state_partitions=4)
+    ref = {(r.event_type, r.event_id): (r.cusum_hi, r.cusum_lo,
+                                        r.alarm_hi, r.alarm_lo)
+           for r in spark.table("cusum_ref_log").collect()}
+    # three ordered slices
+    srcdir = tempfile.mkdtemp(prefix="zes_cusum_ord_")
+    thirds = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    raw = (e.withColumn("g", thirds)
+            .withColumn("ts", F.unix_micros("ts") * 1000))
+    for g in (1, 2, 3):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    out = cusum_maintain(stream, targets)
+    q = (out.writeStream.format("memory").queryName("cusum_ord_log")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.event_type, r.event_id): (r.cusum_hi, r.cusum_lo,
+                                        r.alarm_hi, r.alarm_lo)
+           for r in spark.table("cusum_ord_log").collect()}
+    assert got == ref
+    assert len(got) == e.count()
+
+
+def test_cusum_ivm_planted_drift_alarms(spark, tmp_path):
+    """A series sitting at the in-control mean never alarms; after a
+    sustained +30% shift the high-side CUSUM must cross h = mu/2
+    within h/(shift-k) events and stay in alarm; the mirror side
+    stays silent."""
+    import pandas as pd
+
+    from zoom_etl_spark.streaming.ingest import (read_events_stream,
+                                                 run_available_now)
+    from zoom_etl_spark.streaming.stateful import cusum_maintain
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    for i in range(40):
+        v = 1.00 if i < 20 else 1.30   # mu=100 cents, then +30 drift
+        rows.append((i, base + pd.Timedelta(minutes=i), 1, "view", v, "{}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    src = str(tmp_path / "cusum_src")
+    (spark.createDataFrame(pdf).coalesce(1)
+     .write.parquet(f"{src}/events.parquet"))
+    out = cusum_maintain(read_events_stream(spark, src), {"view": 100})
+    run_available_now(out, "cusum_drift_log", output_mode="append",
+                      n_state_partitions=4)
+    got = sorted(spark.table("cusum_drift_log").collect(),
+                 key=lambda r: r.event_id)
+    # mu=100, k=5, h=50; in-control: v-mu-k = -5 -> S+ pinned at 0
+    for r in got[:20]:
+        assert r.cusum_hi == 0 and not r.alarm_hi and not r.alarm_lo
+    # drift: each event adds 30-5=25; alarm from the 3rd drift event on
+    drift = got[20:]
+    assert [r.alarm_hi for r in drift[:4]] == [False, False, True, True]
+    assert all(r.alarm_hi for r in drift[2:])
+    assert not any(r.alarm_lo for r in drift)

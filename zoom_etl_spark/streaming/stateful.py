@@ -638,3 +638,72 @@ def bitemporal_finalize(emitted: DataFrame) -> DataFrame:
             .filter(F.col("seq") == F.col("_mx"))
             .drop("op", "seq", "_mx"))
     return closed.unionByName(last)
+
+
+# ------------------------------------------------------- online CUSUM IVM
+
+CUSUM_OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType(), True),
+    StructField("event_id", LongType(), True),
+    StructField("cusum_hi", LongType(), True),
+    StructField("cusum_lo", LongType(), True),
+    StructField("alarm_hi", BooleanType(), True),
+    StructField("alarm_lo", BooleanType(), True),
+])
+
+CUSUM_STATE_SCHEMA = StructType([
+    StructField("hi", LongType(), True),
+    StructField("lo", LongType(), True),
+])
+
+
+def cusum_maintain(events_stream: DataFrame,
+                   targets: dict[str, int]) -> DataFrame:
+    """Online two-sided CUSUM per event type — the streaming twin of
+    the batch ``changepoint_cusum`` fold, at EVENT grain: each event
+    advances S+ = max(0, S+ + v - mu - k) / S- mirror for its type and
+    is emitted with the post-update statistics and h-crossing alarms.
+    ``targets`` maps event_type -> calibrated in-control mean mu in
+    integer cents (slack k = mu div 20, threshold h = mu div 2 derive
+    from it); the dict is |types|-bounded and closes over the state
+    function (the lang_id_ngram bounded-collect precedent) — a real
+    deployment calibrates it on pre-deployment history, exactly as the
+    registered query does on the timeline's first half. State: two
+    BIGINTs per type, O(1) forever. Append mode: a verdict is final
+    when scored (prefix semantics). Requires per-key event-time order
+    across batches (single-file availableNow guarantees it; an
+    out-of-order source needs the scd2-style watermark buffer)."""
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState):
+        mu = int(targets.get(key[0], 0))
+        k, h = mu // 20, mu // 2
+        hi, lo = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["ts", "event_id"])
+        v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+
+        def fold(s0, d):
+            # S_i = max(0, S_{i-1} + d_i) has the closed prefix form
+            # S_i = Q_i - min(0, min_{j<=i} Q_j) with Q = s0 + cumsum(d)
+            # (Q_0 = s0) - vectorized, no per-event Python loop
+            q = np.concatenate(([s0], s0 + np.cumsum(d)))
+            m = np.minimum.accumulate(np.minimum(q, 0))
+            return (q - m)[1:]
+
+        his = fold(int(hi), v - mu - k)
+        los = fold(int(lo), mu - v - k)
+        state.update((int(his[-1]), int(los[-1])))
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(v),
+            "event_id": batch["event_id"].to_numpy(),
+            "cusum_hi": his,
+            "cusum_lo": los,
+            "alarm_hi": his > h,
+            "alarm_lo": los > h,
+        })
+
+    return (events_stream
+            .groupBy("event_type")
+            .applyInPandasWithState(update, CUSUM_OUTPUT_SCHEMA,
+                                    CUSUM_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -956,3 +956,77 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(a.rule, a.severity, int(a.batch_id)) for a in alerts],
         "rule STRING, severity STRING, batch_id INT")
+
+
+@query("stream_cusum_ivm", oracle="""
+WITH RECURSIVE b AS (
+  SELECT min(ts) AS t0, max(ts) AS t1 FROM events
+),
+hzn AS (
+  SELECT make_timestamp(epoch_us(t0)
+         + (epoch_us(t1) - epoch_us(t0)) // 2) AS mid FROM b
+),
+cal AS (
+  SELECT event_type,
+         (2 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) + count(*))
+           // (2 * count(*)) AS mu
+  FROM events, hzn WHERE ts < mid GROUP BY 1
+),
+q AS (
+  SELECT e.event_type, e.event_id,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v,
+         coalesce(cal.mu, 0) AS mu,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM events e LEFT JOIN cal ON e.event_type = cal.event_type
+),
+rec AS (
+  SELECT event_type, event_id, rn, mu,
+         greatest(0, v - mu - mu // 20) AS hi,
+         greatest(0, mu - v - mu // 20) AS lo
+  FROM q WHERE rn = 1
+  UNION ALL
+  SELECT q.event_type, q.event_id, q.rn, q.mu,
+         greatest(0, rec.hi + q.v - q.mu - q.mu // 20),
+         greatest(0, rec.lo + q.mu - q.v - q.mu // 20)
+  FROM q JOIN rec ON q.event_type = rec.event_type
+                 AND q.rn = rec.rn + 1
+)
+SELECT event_type, event_id,
+       CAST(hi AS BIGINT) AS cusum_hi, CAST(lo AS BIGINT) AS cusum_lo,
+       (hi > mu // 2) AS alarm_hi, (lo > mu // 2) AS alarm_lo
+FROM rec
+""")
+def stream_cusum_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online change detection as a streaming IVM: per-type two-sided
+    CUSUM advanced per EVENT, in-control target mu CALIBRATED on the
+    timeline's first half (the pre-deployment history a real detector
+    trains on; a |types|-bounded collect ships the targets into state
+    — the lang_id profile precedent), slack mu/20 and threshold mu/2
+    derived. Each event is emitted once with post-update S± and alarm
+    flags — append-mode prefix semantics, so the drained log matches
+    the batch construction BITWISE and this streaming operator earns
+    a full value-hash gate (the oracle runs the same fold as a
+    per-type recursive CTE; the batch ``changepoint_cusum`` is the
+    day-grain twin). State per type: two BIGINTs, O(1) forever —
+    the cheapest possible online-detector state."""
+    from ..streaming.stateful import cusum_maintain
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    mid = bounds.select(F.expr(
+        "timestamp_micros(unix_micros(t0) "
+        "+ (unix_micros(t1) - unix_micros(t0)) div 2)").alias("mid"))
+    cal = (e.crossJoin(F.broadcast(mid))
+            .filter(F.col("ts") < F.col("mid"))
+            .groupBy("event_type")
+            .agg(F.expr(
+                "(2 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+                "+ count(*)) div (2 * count(*))").alias("mu")))
+    targets = {r.event_type: int(r.mu) for r in cal.collect()}
+    stream = read_events_stream(spark, sf_dir)
+    out = cusum_maintain(stream, targets)
+    run_available_now(out, "stream_cusum_log", output_mode="append",
+                      n_state_partitions=16)
+    return spark.table("stream_cusum_log").select(
+        "event_type", "event_id", "cusum_hi", "cusum_lo",
+        "alarm_hi", "alarm_lo")
