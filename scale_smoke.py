@@ -113,6 +113,9 @@ QUERIES = [
     # online CUSUM drain: linear in events like every event-grain IVM;
     # the fold is the vectorized closed prefix form
     "stream_cusum_ivm",
+    # log-rank (survival_km corpus work + day-bounded terms) and BH
+    # (the KS frame + an m-bounded layer)
+    "survival_logrank", "ab_fdr_bh",
 ]
 
 KEYED = {

@@ -819,3 +819,89 @@ def test_zipf_fit_against_numpy(spark, sf_dir):
     assert abs(got.r2 - r * r) < 1e-4
     assert got.slope < 0
     assert 0 <= got.r2 <= 1
+
+
+def test_logrank_against_pure_python(spark, sf_dir):
+    """survival_logrank must equal a pure-Python replay of the study
+    construction and the micro-quantized hypergeometric term sums;
+    the z must match the float log-rank statistic to quantization
+    tolerance; O1+O2 must equal total events."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = all_queries()["survival_logrank"].fn(spark, sf_dir).collect()[0]
+    e = table(spark, sf_dir, "events")
+    rows = e.select("user_id", "ts", "event_type").collect()
+    days = [r.ts.date() for r in rows]
+    d0, d1 = min(days), max(days)
+    import datetime
+    hz = d0 + datetime.timedelta(days=(d1 - d0).days // 2)
+    fc, fp = {}, {}
+    for r in rows:
+        if r.event_type == "click":
+            if r.user_id not in fc or r.ts < fc[r.user_id]:
+                fc[r.user_id] = r.ts
+    entered = {u: t for u, t in fc.items() if t.date() <= hz}
+    for r in rows:
+        if (r.event_type == "purchase" and r.user_id in entered
+                and r.ts >= entered[r.user_id] and r.ts.date() <= hz):
+            if r.user_id not in fp or r.ts < fp[r.user_id]:
+                fp[r.user_id] = r.ts
+    subj = []
+    for u, t0 in entered.items():
+        if u in fp:
+            subj.append((u % 2, (fp[u].date() - t0.date()).days, True))
+        else:
+            subj.append((u % 2, (hz - t0.date()).days, False))
+    assert got.n_arm0 == sum(1 for a, _, _ in subj if a == 0)
+    assert got.n_arm1 == sum(1 for a, _, _ in subj if a == 1)
+    grid = {}
+    for a, dur, ev in subj:
+        g = grid.setdefault(dur, [0, 0, 0, 0])  # d1, d, x1, x
+        if ev:
+            g[1] += 1
+            if a == 1:
+                g[0] += 1
+        g[3] += 1
+        if a == 1:
+            g[2] += 1
+    se = sv = o1 = o2 = 0
+    n1 = n = 0
+    for t in sorted(grid, reverse=True):
+        d1_, d_, x1_, x_ = grid[t]
+        n1 += x1_
+        n += x_
+        if d_ >= 1:
+            o1 += d1_
+            o2 += d_ - d1_
+            se += (2 * 1000000 * d_ * n1 + n) // (2 * n)
+            if n > 1:
+                num = 2 * 1000000 * d_ * n1 * (n - n1) * (n - d_)
+                den = 2 * n * n * (n - 1)
+                sv += (num + n * n * (n - 1)) // den
+    assert (got.o1, got.o2, got.e1_e6, got.v_e6) == (o1, o2, se, sv)
+    import math
+    z = (1000000 * o1 - se) / math.sqrt(1000000 * sv)
+    assert abs(got.z - z) < 5e-6
+
+
+def test_bh_stepup_semantics(spark, sf_dir):
+    """ab_fdr_bh: rejection set must be exactly ranks 1..k* where k*
+    is the largest rank with p <= rank*q/m (recomputed in Python),
+    and the step-up property holds (a rejected rank may individually
+    exceed nothing — monotone set, no gaps)."""
+    from zoom_etl_spark.registry import all_queries
+
+    rows = sorted(all_queries()["ab_fdr_bh"].fn(spark, sf_dir).collect(),
+                  key=lambda r: r.rnk)
+    m, q = 5, 0.10
+    assert [r.rnk for r in rows] == list(range(1, m + 1))
+    ps = [r.p_asym for r in rows]
+    assert ps == sorted(ps)
+    kstar = 0
+    for i, p in enumerate(ps, 1):
+        if p <= round(i * q / m, 6):
+            kstar = i
+    for r in rows:
+        assert r.bh_thresh == round(r.rnk * q / m, 6)
+        assert r.rejected == (r.rnk <= kstar)

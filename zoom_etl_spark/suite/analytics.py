@@ -1442,3 +1442,160 @@ def forecast_backtest_naive7(spark: SparkSession, sf_dir: str) -> DataFrame:
                "AS BIGINT)").alias("mape_ppm"),
         F.expr("CAST((2 * sum(sape_ppm) + count(*)) div (2 * count(*)) "
                "AS BIGINT)").alias("smape_ppm"))
+
+
+_LOGRANK_Z = ("round((1000000 * CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE))"
+              " / sqrt(1000000 * CAST(sv AS DOUBLE)), 6)")
+
+
+@query("survival_logrank", oracle=f"""
+WITH b AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+  FROM events
+),
+h AS (SELECT d0 + CAST((d1 - d0) // 2 AS INT) AS hz FROM b),
+fc AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY 1
+),
+entered AS (
+  SELECT fc.user_id, fc.user_id % 2 AS arm, fc.t0, h.hz
+  FROM fc CROSS JOIN h
+  WHERE CAST(fc.t0 AS DATE) <= h.hz
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN entered s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+    AND CAST(e.ts AS DATE) <= s.hz
+  GROUP BY 1
+),
+subj AS (
+  SELECT s.arm,
+         CAST(CASE WHEN fp.tp IS NOT NULL
+              THEN CAST(fp.tp AS DATE) - CAST(s.t0 AS DATE)
+              ELSE s.hz - CAST(s.t0 AS DATE) END AS INT) AS dur,
+         (fp.tp IS NOT NULL) AS ev
+  FROM entered s LEFT JOIN fp ON s.user_id = fp.user_id
+),
+tab AS (
+  SELECT dur AS t, arm,
+         CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM subj GROUP BY 1, 2
+),
+grid AS (
+  SELECT t,
+         CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(d) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS x1,
+         CAST(sum(x) AS BIGINT) AS x
+  FROM tab GROUP BY 1
+),
+risk AS (
+  SELECT t, d1, d,
+         CAST(sum(x1) OVER (ORDER BY t DESC) AS HUGEINT) AS n1,
+         CAST(sum(x) OVER (ORDER BY t DESC) AS HUGEINT) AS n
+  FROM grid
+),
+terms AS (
+  SELECT t, d1, d, n1, n,
+         (2 * 1000000 * d * n1 + n) // (2 * n) AS e6,
+         CASE WHEN n > 1 THEN
+           (2 * 1000000 * d * n1 * (n - n1) * (n - d) + n * n * (n - 1))
+             // (2 * n * n * (n - 1))
+         ELSE 0 END AS v6
+  FROM risk WHERE d >= 1
+),
+m AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(d - d1) AS BIGINT) AS o2,
+         CAST(sum(e6) AS BIGINT) AS se,
+         CAST(sum(v6) AS BIGINT) AS sv
+  FROM terms
+),
+arms AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0
+  FROM subj
+)
+SELECT arms.na0 AS n_arm0, arms.na1 AS n_arm1, m.o1, m.o2,
+       m.se AS e1_e6, m.sv AS v_e6, {_LOGRANK_Z} AS z
+FROM m, arms
+""")
+def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the two user-parity arms' Kaplan-Meier
+    curves (Mantel-Cox — THE standard censored-data A/B readout; the
+    same study design as `survival_km`: first click → first
+    subsequent purchase, snapshot at the timeline midpoint, right
+    censoring at horizon − entry). Per event day the hypergeometric
+    expectation d·n1/n and variance d·n1(n−n1)(n−d)/(n²(n−1)) are
+    HALF-AWAY-quantized to integer micro-units (the mixture_entropy
+    no-float-accumulation discipline — each term is one exact integer
+    division, so the day sums are exact in both engines; the variance
+    numerator crosses int64 and rides HUGEINT/decimal(38)); z is one
+    shared-text chain over (O1, Σe6, Σv6). Scale: corpus work is the
+    same two keyed min-aggregates + one join as survival_km; the
+    at-risk reverse cumsums and term sums run on the DAY-bounded
+    grid."""
+    e = table(spark, sf_dir, "events")
+    b = e.agg(F.to_date(F.min("ts")).alias("d0"),
+              F.to_date(F.max("ts")).alias("d1"))
+    h = b.select(F.date_add(
+        F.col("d0"),
+        F.expr("CAST(datediff(d1, d0) div 2 AS INT)")).alias("hz"))
+    fc = (e.filter(F.col("event_type") == "click")
+           .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    entered = (fc.crossJoin(F.broadcast(h))
+                 .filter(F.to_date("t0") <= F.col("hz"))
+                 .withColumn("arm", F.col("user_id") % 2))
+    fp = (e.filter(F.col("event_type") == "purchase")
+           .join(entered, "user_id")
+           .filter((F.col("ts") >= F.col("t0"))
+                   & (F.to_date("ts") <= F.col("hz")))
+           .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    subj = (entered.join(fp, "user_id", "left")
+              .select(
+                  "arm",
+                  F.when(F.col("tp").isNotNull(),
+                         F.datediff(F.to_date("tp"), F.to_date("t0")))
+                   .otherwise(F.datediff(F.col("hz"), F.to_date("t0")))
+                   .cast("int").alias("dur"),
+                  F.col("tp").isNotNull().alias("ev"))
+              .localCheckpoint(eager=False))
+    tab = (subj.groupBy(F.col("dur").alias("t"), "arm")
+               .agg(F.sum(F.when(F.col("ev"), 1).otherwise(0)).alias("d"),
+                    F.count("*").alias("x")))
+    a1 = F.col("arm") == 1
+    grid = (tab.groupBy("t")
+               .agg(F.sum(F.when(a1, F.col("d")).otherwise(0)).alias("d1"),
+                    F.sum("d").alias("d"),
+                    F.sum(F.when(a1, F.col("x")).otherwise(0)).alias("x1"),
+                    F.sum("x").alias("x")))
+    wd = Window.orderBy(F.desc("t"))
+    risk = grid.select(
+        "t", "d1", "d",
+        F.sum("x1").over(wd).cast("decimal(38,0)").alias("n1"),
+        F.sum("x").over(wd).cast("decimal(38,0)").alias("n"))
+    terms = (risk.filter(F.col("d") >= 1)
+                 .select(
+                     "d1", "d",
+                     F.expr("(2 * 1000000 * d * n1 + n) div (2 * n)")
+                      .alias("e6"),
+                     F.expr("CASE WHEN n > 1 THEN "
+                            "(2 * 1000000 * d * n1 * (n - n1) * (n - d) "
+                            "+ n * n * (n - 1)) div (2 * n * n * (n - 1)) "
+                            "ELSE 0 END").alias("v6")))
+    m = terms.agg(F.sum("d1").cast("long").alias("o1"),
+                  F.sum(F.col("d") - F.col("d1")).cast("long").alias("o2"),
+                  F.sum("e6").cast("long").alias("se"),
+                  F.sum("v6").cast("long").alias("sv"))
+    arms = subj.agg(
+        F.sum(F.when(a1, 1).otherwise(0)).alias("na1"),
+        F.sum(F.when(~a1, 1).otherwise(0)).alias("na0"))
+    return (m.crossJoin(F.broadcast(arms))
+             .select(F.col("na0").alias("n_arm0"),
+                     F.col("na1").alias("n_arm1"), "o1", "o2",
+                     F.col("se").alias("e1_e6"),
+                     F.col("sv").alias("v_e6"),
+                     F.expr(_LOGRANK_Z).alias("z")))

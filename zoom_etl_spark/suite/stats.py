@@ -710,7 +710,7 @@ _KS_P = (
 )
 
 
-@query("ab_ks_test", oracle=f"""
+_KS_SQL = f"""
 WITH obs AS (
   SELECT event_type, user_id % 2 AS grp,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -745,7 +745,10 @@ SELECT event_type, n1, n2, d_num,
          AS d_e6,
        {_KS_P} AS p_asym
 FROM g
-""")
+"""
+
+
+@query("ab_ks_test", oracle=_KS_SQL)
 def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov per event type (same user-parity
     arms as ab_welch_ttest/ab_mann_whitney) — the SHAPE-sensitive
@@ -902,3 +905,61 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CUPED["delta"]).alias("delta_cents"),
         F.expr(_CUPED["delta_adj"]).alias("delta_adj_cents"),
         F.expr(_CUPED["var_reduction"]).alias("var_reduction"))
+
+
+_BH_M, _BH_Q100 = 5, 10  # m hypotheses, q = 0.10
+
+
+@query("ab_fdr_bh", oracle=f"""
+WITH ks AS ({_KS_SQL}),
+rk AS (
+  SELECT event_type, p_asym,
+         CAST(row_number() OVER (ORDER BY p_asym, event_type) AS BIGINT)
+           AS rnk
+  FROM ks
+),
+fl AS (
+  SELECT event_type, p_asym, rnk,
+         round(CAST(rnk AS DOUBLE) * {_BH_Q100} / (100.0 * {_BH_M}), 6)
+           AS bh_thresh,
+         (p_asym <= round(CAST(rnk AS DOUBLE) * {_BH_Q100}
+                          / (100.0 * {_BH_M}), 6)) AS under
+  FROM rk
+),
+k AS (
+  SELECT coalesce(max(CASE WHEN under THEN rnk END), 0) AS kstar FROM fl
+)
+SELECT fl.event_type, fl.p_asym, fl.rnk, fl.bh_thresh,
+       (fl.rnk <= k.kstar) AS rejected
+FROM fl, k
+""")
+def ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over the per-type KS
+    p-values (q = 0.10) — the multiple-testing guard every
+    experimentation platform needs once it reads out one test per
+    segment: sort the m = 5 p-values, find the LARGEST k with
+    p_(k) <= k·q/m, and reject hypotheses 1..k (the step-up may
+    reject a p ABOVE its own threshold when a later one qualifies —
+    the part naive per-row thresholding gets wrong). Composes the
+    registered `ab_ks_test` frame directly (same construction, same
+    shared-text p chain); ranks over the unique (p, type) order and
+    the k* fold run on the m-bounded frame, so the multiple-testing
+    layer adds zero data-sized work. Thresholds are rounded to the
+    1e-6 grid in BOTH engines before comparison so boundary
+    membership is engine-exact."""
+    ks = ab_ks_test(spark, sf_dir)
+    rk = ks.select(
+        "event_type", "p_asym",
+        F.row_number().over(Window.orderBy("p_asym", "event_type"))
+         .cast("long").alias("rnk"))
+    thr = F.round(F.col("rnk").cast("double") * _BH_Q100 / (100.0 * _BH_M),
+                  6)
+    fl = rk.select("event_type", "p_asym", "rnk",
+                   thr.alias("bh_thresh"),
+                   (F.col("p_asym") <= thr).alias("under"))
+    k = fl.agg(F.coalesce(
+        F.max(F.when(F.col("under"), F.col("rnk"))), F.lit(0))
+        .alias("kstar"))
+    return (fl.crossJoin(F.broadcast(k))
+              .select("event_type", "p_asym", "rnk", "bh_thresh",
+                      (F.col("rnk") <= F.col("kstar")).alias("rejected")))
