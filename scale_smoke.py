@@ -116,6 +116,9 @@ QUERIES = [
     # log-rank (survival_km corpus work + day-bounded terms) and BH
     # (the KS frame + an m-bounded layer)
     "survival_logrank", "ab_fdr_bh",
+    # survivorship (the clusters pipeline + cluster-keyed windows) and
+    # the additive decomposition (day-bounded)
+    "dedup_survivorship", "seasonal_decompose_ma",
 ]
 
 KEYED = {

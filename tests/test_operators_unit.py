@@ -905,3 +905,68 @@ def test_bh_stepup_semantics(spark, sf_dir):
     for r in rows:
         assert r.bh_thresh == round(r.rnk * q / m, 6)
         assert r.rejected == (r.rnk <= kstar)
+
+
+def test_survivorship_rules_and_idempotence(spark, sf_dir):
+    """dedup_survivorship invariants: every document lands in exactly
+    one cluster; the text rule picks (max n_chars, min doc_id); lang
+    is the deterministic majority; singletons survive as themselves;
+    and re-running yields the identical golden set (idempotence)."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    fn = all_queries()["dedup_survivorship"].fn
+    rows = fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r for r in
+            table(spark, sf_dir, "documents").collect()}
+    assert sum(r.n_members for r in rows) == len(docs)
+    assert len({r.cluster for r in rows}) == len(rows)
+    for r in rows:
+        d = docs[r.text_doc_id]
+        assert d.n_chars == r.n_chars_max
+        if r.n_members == 1:
+            assert r.cluster == r.text_doc_id
+            assert r.lang_majority == docs[r.cluster].lang
+    again = {(r.cluster, r.n_members, r.n_sources, r.lang_majority,
+              r.text_doc_id, r.n_chars_max) for r in fn(spark, sf_dir)
+             .collect()}
+    assert again == {(r.cluster, r.n_members, r.n_sources,
+                      r.lang_majority, r.text_doc_id, r.n_chars_max)
+                     for r in rows}
+
+
+def test_seasonal_decompose_identity_and_python(spark, sf_dir):
+    """seasonal_decompose_ma: trend + seasonal + residual must equal
+    the observed value on every emitted day (additive identity), and
+    trend/seasonal must equal a pure-Python replay of the centered
+    7-point MA + shifted per-weekday mean."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    rows = {r.day: r for r in
+            all_queries()["seasonal_decompose_ma"].fn(spark, sf_dir)
+            .collect()}
+    o = table(spark, sf_dir, "orders")
+    per = {}
+    for r in o.select("o_orderdate", "o_totalprice").collect():
+        d = r.o_orderdate.date()
+        per[d] = per.get(d, 0) + math.floor(r.o_totalprice * 100 + 0.5)
+    days = sorted(per)
+    cs = [per[d] for d in days]
+    C = 1000000000000
+    trend, det_by_dw = {}, {}
+    for i in range(3, len(days) - 3):
+        ws = sum(cs[i - 3:i + 4])
+        trend[days[i]] = (2 * ws + 7) // 14
+        det = cs[i] - trend[days[i]]
+        det_by_dw.setdefault(days[i].weekday(), []).append(det)
+    seas = {dw: (2 * (sum(v) + len(v) * C) + len(v)) // (2 * len(v)) - C
+            for dw, v in det_by_dw.items()}
+    assert set(rows) == set(trend)
+    for d, r in rows.items():
+        assert r.trend_cents == trend[d]
+        assert r.seasonal_cents == seas[d.weekday()]
+        assert (r.trend_cents + r.seasonal_cents + r.residual_cents
+                == r.daily_cents)

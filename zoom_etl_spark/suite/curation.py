@@ -935,3 +935,92 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "source", "q4",
                         F.col("pr_m").cast("long").alias("pr_m"),
                         "norm_q4"))
+
+
+@query("dedup_survivorship", oracle=f"""
+WITH RECURSIVE {_PAIRS_SQL},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster
+  FROM reach GROUP BY u
+),
+mem AS (
+  SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster,
+         d.lang, d.source, d.n_chars
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+),
+txt AS (
+  SELECT cluster, doc_id AS text_doc_id, n_chars AS n_chars_max
+  FROM (
+    SELECT cluster, doc_id, n_chars,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM mem) WHERE rn = 1
+),
+lng AS (
+  SELECT cluster, lang AS lang_majority FROM (
+    SELECT cluster, lang,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY count(*) DESC, lang) AS rn
+    FROM mem GROUP BY cluster, lang) WHERE rn = 1
+),
+agg AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM mem GROUP BY 1
+)
+SELECT agg.cluster, agg.n_members, agg.n_sources,
+       lng.lang_majority, txt.text_doc_id,
+       CAST(txt.n_chars_max AS BIGINT) AS n_chars_max
+FROM agg JOIN lng USING (cluster) JOIN txt USING (cluster)
+""")
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record SURVIVORSHIP over the transitive dedup clusters —
+    the MDM step after `dedup_clusters` answers 'which rows are the
+    same entity': per cluster (singletons survive as themselves via
+    the left join), field-level merge policies pick the canonical
+    values — longest-text rule for the content field (max n_chars,
+    min doc_id on ties), majority vote for lang (count desc, lexical
+    tie-break), plus member/source counts for lineage. Every rule is
+    a deterministic total order, so the merged record is engine-exact
+    and idempotent under re-runs (the property MDM survivorship
+    must have). Plan: the ngram-candidate + CC pipeline of
+    dedup_clusters (df-capped candidates, localCheckpointed pairs,
+    diameter-bounded iterations), then cluster-keyed windows/
+    aggregates — all parallel by cluster, nothing corpus-serial.
+    Oracle: the same recursive-CTE closure + window construction."""
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text",
+                                k=3, threshold=0.2, max_df=50)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    mem = (d.join(cc.select(F.col("node").alias("doc_id"), "cluster"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster", "doc_id").alias("cluster"),
+                    "lang", "source", "n_chars"))
+    wt = Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(),
+                                               "doc_id")
+    txt = (mem.withColumn("rn", F.row_number().over(wt))
+              .filter(F.col("rn") == 1)
+              .select("cluster", F.col("doc_id").alias("text_doc_id"),
+                      F.col("n_chars").cast("long").alias("n_chars_max")))
+    lcnt = mem.groupBy("cluster", "lang").agg(F.count("*").alias("cnt"))
+    wl = Window.partitionBy("cluster").orderBy(F.col("cnt").desc(), "lang")
+    lng = (lcnt.withColumn("rn", F.row_number().over(wl))
+               .filter(F.col("rn") == 1)
+               .select("cluster", F.col("lang").alias("lang_majority")))
+    agg = mem.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("source").alias("n_sources"))
+    return (agg.join(lng, "cluster").join(txt, "cluster")
+               .select("cluster", "n_members", "n_sources",
+                       "lang_majority", "text_doc_id", "n_chars_max"))

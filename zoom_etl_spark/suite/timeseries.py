@@ -439,3 +439,77 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.expr("CAST((2 * 1000000 * (num + den) + den) "
                               "div (2 * den) - 1000000 AS BIGINT)")
                         .alias("acf_ppm")))
+
+
+@query("seasonal_decompose_ma", oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT day, c,
+         CAST(count(*) OVER w AS BIGINT) AS wn,
+         CAST(sum(c) OVER w AS BIGINT) AS ws
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t AS (
+  SELECT day, c, (2 * ws + 7) // 14 AS trend
+  FROM tr WHERE wn = 7
+),
+dt AS (
+  SELECT day, c, trend, c - trend AS det,
+         CAST(isodow(day) - 1 AS INT) AS dw
+  FROM t
+),
+se AS (
+  SELECT dw,
+         (2 * (sum(det) + count(*) * 1000000000000) + count(*))
+           // (2 * count(*)) - 1000000000000 AS seas
+  FROM dt GROUP BY 1
+)
+SELECT dt.day, dt.c AS daily_cents, CAST(dt.trend AS BIGINT) AS trend_cents,
+       CAST(se.seas AS BIGINT) AS seasonal_cents,
+       CAST(dt.det - se.seas AS BIGINT) AS residual_cents
+FROM dt JOIN se USING (dw)
+""")
+def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (trend = centered 7-point moving average, seasonal = per-weekday
+    mean of the detrended series, residual = the rest) — the
+    ratio-to-moving-average method underneath every 'remove the
+    weekly cycle before you alarm on it' pipeline, complementing
+    acf_daily_revenue (detects the cycle) and anomaly_seasonal_dow
+    (robust per-cohort flags). Exact integer arithmetic throughout:
+    the 7-point trend is a half-away division of the exact window
+    sum (rows with a full 7-row frame only — row-centered over the
+    observed sequence; calendar-centering would gapfill first), and
+    the seasonal means SHIFT the possibly-negative detrended sums by
+    n·1e12 before the half-away division because Spark `div`
+    truncates while DuckDB `//` floors on negatives (mean(x) =
+    mean(x+C) − C restores exactness). Scale: one map-combined
+    groupBy(day); every window and join runs on the day-bounded
+    series / 7-row weekday frame."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("c")))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = (d.withColumn("wn", F.count("*").over(w))
+          .withColumn("ws", F.sum("c").over(w))
+          .filter(F.col("wn") == 7)
+          .withColumn("trend", F.expr("(2 * ws + 7) div 14")))
+    dt = t.select("day", "c", "trend",
+                  (F.col("c") - F.col("trend")).alias("det"),
+                  F.weekday("day").cast("int").alias("dw"))
+    se = dt.groupBy("dw").agg(F.expr(
+        "(2 * (sum(det) + count(*) * 1000000000000) + count(*)) "
+        "div (2 * count(*)) - 1000000000000").alias("seas"))
+    return (dt.join(F.broadcast(se), "dw")
+              .select("day", F.col("c").alias("daily_cents"),
+                      F.col("trend").cast("long").alias("trend_cents"),
+                      F.col("seas").cast("long").alias("seasonal_cents"),
+                      (F.col("det") - F.col("seas")).cast("long")
+                       .alias("residual_cents")))
