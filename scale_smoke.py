@@ -119,6 +119,9 @@ QUERIES = [
     # survivorship (the clusters pipeline + cluster-keyed windows) and
     # the additive decomposition (day-bounded)
     "dedup_survivorship", "seasonal_decompose_ma",
+    # grid-DBSCAN (cell-bounded past the first groupBy; CC rounds ride
+    # the grid diameter) and RAKE (corpus-linear tokenize)
+    "geo_dbscan_grid", "text_keyphrase_rake",
 ]
 
 KEYED = {

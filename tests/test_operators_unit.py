@@ -970,3 +970,120 @@ def test_seasonal_decompose_identity_and_python(spark, sf_dir):
         assert r.seasonal_cents == seas[d.weekday()]
         assert (r.trend_cents + r.seasonal_cents + r.residual_cents
                 == r.daily_cents)
+
+
+def test_dbscan_grid_against_pure_python(spark, sf_dir):
+    """geo_dbscan_grid must equal a pure-Python grid-DBSCAN (cells,
+    3x3 density, CC over adjacent cores, min-label border, noise),
+    and at sf0.01 the parameterization must be non-degenerate (core,
+    border AND noise all present)."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    rows = {(r.cy, r.cx): r for r in
+            all_queries()["geo_dbscan_grid"].fn(spark, sf_dir).collect()}
+    c = table(spark, sf_dir, "customer").select("c_custkey").collect()
+    cells = {}
+    for r in c:
+        k = r.c_custkey
+        y = (k * 7919) % 18000 - 9000
+        x = ((k % 36000) * (k % 36000) * 31 + k * 104729) % 36000 - 18000
+        cell = (y // 500, x // 1000)
+        cells[cell] = cells.get(cell, 0) + 1
+    def nbsum(cy, cx):
+        return sum(cells.get((cy + dy, cx + dx), 0)
+                   for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    core = {c for c in cells if nbsum(*c) >= 12}
+    # CC over 8-adjacent cores
+    label = {c: (c[0] + 18) * 100 + c[1] + 18 for c in core}
+    changed = True
+    while changed:
+        changed = False
+        for (cy, cx) in core:
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    nb = (cy + dy, cx + dx)
+                    if nb in core and label[nb] < label[(cy, cx)]:
+                        label[(cy, cx)] = label[nb]
+                        changed = True
+    roles = {}
+    for cell, n in cells.items():
+        if cell in core:
+            roles[cell] = ("core", label[cell])
+        else:
+            adj = [label[(cell[0] + dy, cell[1] + dx)]
+                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                   if (cell[0] + dy, cell[1] + dx) in core]
+            roles[cell] = ("border", min(adj)) if adj else ("noise", None)
+    assert set(rows) == set(cells)
+    for cell, (role, cl) in roles.items():
+        g = rows[cell]
+        assert (g.role, g.cluster, g.n) == (role, cl, cells[cell]), cell
+    # non-degeneracy is proven on a PLANTED corpus (sf0.001 is too
+    # sparse to form cores): 40 custkeys whose synthetic positions
+    # pile into one cell neighborhood + a few isolated far keys
+    import tempfile
+    dense, sparse, k = [], [], 1
+    while (len(dense) < 40 or len(sparse) < 5) and k < 2_000_000:
+        y = (k * 7919) % 18000 - 9000
+        x = ((k % 36000) * (k % 36000) * 31 + k * 104729) % 36000 - 18000
+        cell = (y // 500, x // 1000)
+        if cell == (0, 0) and len(dense) < 40:
+            dense.append(k)
+        elif cell[0] > 10 and abs(cell[1]) > 10 and len(sparse) < 5:
+            sparse.append(k)
+        k += 1
+    assert len(dense) == 40 and len(sparse) == 5
+    src = tempfile.mkdtemp(prefix="zes_dbscan_")
+    (spark.createDataFrame(
+        [(int(kk), "x", 0, 0.0, "SEG") for kk in dense + sparse],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+     .coalesce(1).write.parquet(f"{src}/customer.parquet"))
+    planted = all_queries()["geo_dbscan_grid"].fn(spark, src).collect()
+    kinds = {r.role for r in planted}
+    assert "core" in kinds and "noise" in kinds, kinds
+    core_cells = [r for r in planted if r.role == "core"]
+    assert any(r.cy == 0 and r.cx == 0 for r in core_cells)
+
+
+def test_rake_against_pure_python(spark, sf_dir):
+    """text_keyphrase_rake must equal a pure-Python RAKE replay
+    (stopword-run phrases, degree/frequency micro-scores, phrase
+    sums, the unique top-50 order)."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = [(r.phrase, r.n_words, r.phrase_count, r.score_e6) for r in
+           all_queries()["text_keyphrase_rake"].fn(spark, sf_dir)
+           .collect()]
+    stops = {"the", "a", "of", "and", "in", "to"}
+    phrases = []
+    d = table(spark, sf_dir, "documents")
+    for r in d.select("text").collect():
+        run = []
+        for t in [t for t in r.text.split(" ") if t]:
+            if t in stops:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(run)
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    s6 = {w: (2 * 1000000 * deg[w] + freq[w]) // (2 * freq[w])
+          for w in freq}
+    agg = {}
+    for p in phrases:
+        key = " ".join(p)
+        cnt, _ = agg.get(key, (0, 0))
+        agg[key] = (cnt + 1, sum(s6[w] for w in p))
+    ranked = sorted(((ph, len(ph.split(" ")), cnt, sc)
+                     for ph, (cnt, sc) in agg.items()),
+                    key=lambda t: (-t[3], -t[2], t[0]))[:50]
+    assert got == ranked

@@ -463,3 +463,137 @@ def geo_neighbor_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = neighbor_join_haversine(p, radius_m=250_000.0)
     return pairs.select("id_a", "id_b",
                         F.round("dist_m", 0).alias("dist_m"))
+
+
+@query("geo_dbscan_grid", oracle=f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id, {{_Y}} AS y, {{_X}} AS x FROM customer
+),
+cells AS (
+  SELECT CAST(floor(y / 500.0) AS INT) AS cy,
+         CAST(floor(x / 1000.0) AS INT) AS cx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+nb AS (
+  SELECT a.cy, a.cx, a.n, CAST(sum(b.n) AS BIGINT) AS s
+  FROM cells a JOIN cells b
+    ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+  GROUP BY 1, 2, 3
+),
+core AS (
+  SELECT cy, cx, n, (cy + 18) * 100 + (cx + 18) AS nid
+  FROM nb WHERE s >= 12
+),
+edges AS (
+  SELECT a.nid AS u, b.nid AS v
+  FROM core a JOIN core b
+    ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+   AND a.nid <> b.nid
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS nid, least(u, min(v)) AS cluster FROM reach GROUP BY u
+),
+corec AS (
+  SELECT core.cy, core.cx, core.n,
+         coalesce(cc.cluster, core.nid) AS cluster
+  FROM core LEFT JOIN cc ON core.nid = cc.nid
+),
+border AS (
+  SELECT nb.cy, nb.cx, nb.n, min(corec.cluster) AS cluster
+  FROM nb JOIN corec
+    ON abs(nb.cy - corec.cy) <= 1 AND abs(nb.cx - corec.cx) <= 1
+  WHERE nb.s < 12
+  GROUP BY 1, 2, 3
+)
+SELECT cy, cx, n, 'core' AS role, CAST(cluster AS BIGINT) AS cluster
+FROM corec
+UNION ALL
+SELECT cy, cx, n, 'border', CAST(cluster AS BIGINT) FROM border
+UNION ALL
+SELECT nb.cy, nb.cx, nb.n, 'noise', CAST(NULL AS BIGINT)
+FROM nb
+WHERE nb.s < 12
+  AND NOT EXISTS (SELECT 1 FROM corec
+                  WHERE abs(nb.cy - corec.cy) <= 1
+                    AND abs(nb.cx - corec.cx) <= 1)
+""".format(_Y=_Y, _X=_X))
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering at CELL granularity — the
+    grid-DBSCAN scale recipe (bin points, then run DBSCAN on cell
+    counts): a cell is CORE when its 3x3 neighborhood holds >= 12
+    points, clusters are connected components over 8-adjacent core
+    cells (min-cell-id labels; isolated cores are their own cluster),
+    non-core cells adjacent to a core join its MINIMUM cluster label
+    as BORDER (deterministic tie-break), and the rest is NOISE — the
+    density paradigm k-means/IVF can't express (arbitrary-shape
+    clusters, explicit outliers). Exact integer geometry end to end:
+    cells divide the integer centi-degree grid, adjacency is integer
+    |delta| <= 1, labels are integer min-folds. Scale: the ONLY
+    point-sized work is the first groupBy(cell); every later step
+    (neighborhood join, CC iterations, border assignment) runs on the
+    cell-domain-bounded frame — the reason grid-DBSCAN scales where
+    point-pair DBSCAN cannot. Spark CC = the dedup label-propagation
+    operator (diameter-bounded, loud on non-convergence); oracle = a
+    recursive-CTE closure over the same edges."""
+    from ..dedup.cluster import connected_components
+    p = _points(spark, sf_dir)
+    cells = (p.groupBy(
+                F.floor(F.col("y") / 500.0).cast("int").alias("cy"),
+                F.floor(F.col("x") / 1000.0).cast("int").alias("cx"))
+              .agg(F.count("*").alias("n"))
+              .localCheckpoint(eager=False))
+    a = cells.select(F.col("cy").alias("acy"), F.col("cx").alias("acx"),
+                     F.col("n").alias("an"))
+    nb = (a.join(cells,
+                 (F.abs(F.col("acy") - F.col("cy")) <= 1)
+                 & (F.abs(F.col("acx") - F.col("cx")) <= 1))
+           .groupBy(F.col("acy").alias("cy"), F.col("acx").alias("cx"),
+                    F.col("an").alias("n"))
+           .agg(F.sum("n").alias("s"))
+           .localCheckpoint(eager=False))
+    core = (nb.filter(F.col("s") >= 12)
+              .withColumn("nid", (F.col("cy") + 18) * 100 + F.col("cx")
+                          + 18))
+    ca = core.select(F.col("cy").alias("acy"), F.col("cx").alias("acx"),
+                     F.col("nid").alias("id_a"))
+    edges = (ca.join(core,
+                     (F.abs(F.col("acy") - F.col("cy")) <= 1)
+                     & (F.abs(F.col("acx") - F.col("cx")) <= 1)
+                     & (F.col("id_a") != F.col("nid")))
+               .select("id_a", F.col("nid").alias("id_b")))
+    # the cell graph's diameter is bounded by grid rows + cols
+    # (36 + 36 here) regardless of corpus size — at 10x density the
+    # core graph spans the whole grid and the default 25 rounds
+    # trip the loud ConvergenceError (observed in the 10x smoke)
+    cc = connected_components(edges, max_iter=80)
+    corec = (core.join(cc.withColumnRenamed("node", "nid"), "nid", "left")
+                 .select("cy", "cx", "n",
+                         F.coalesce("cluster", "nid").cast("long")
+                          .alias("cluster"))
+                 .localCheckpoint(eager=False))
+    noncore = nb.filter(F.col("s") < 12)
+    na = noncore.select(F.col("cy").alias("acy"), F.col("cx").alias("acx"),
+                        F.col("n").alias("an"))
+    adj = (na.join(corec,
+                   (F.abs(F.col("acy") - F.col("cy")) <= 1)
+                   & (F.abs(F.col("acx") - F.col("cx")) <= 1))
+             .groupBy(F.col("acy").alias("cy"), F.col("acx").alias("cx"),
+                      F.col("an").alias("n"))
+             .agg(F.min("cluster").alias("cluster")))
+    border = adj.select("cy", "cx", "n", F.lit("border").alias("role"),
+                        "cluster")
+    noise = (noncore.join(adj.select(F.col("cy").alias("bcy"),
+                                     F.col("cx").alias("bcx")),
+                          (F.col("cy") == F.col("bcy"))
+                          & (F.col("cx") == F.col("bcx")), "left_anti")
+                    .select("cy", "cx", "n", F.lit("noise").alias("role"),
+                            F.lit(None).cast("long").alias("cluster")))
+    corout = corec.select("cy", "cx", "n", F.lit("core").alias("role"),
+                          "cluster")
+    return corout.unionByName(border).unionByName(noise)

@@ -828,3 +828,114 @@ def term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(_ZIPF["slope"]).alias("slope"),
                     F.expr(_ZIPF["intercept"]).alias("intercept"),
                     F.expr(_ZIPF["r2"]).alias("r2"))
+
+
+_RAKE_STOPS = "('the', 'a', 'of', 'and', 'in', 'to')"
+
+
+@query("text_keyphrase_rake", oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKSQL}) AS tok,
+         generate_subscripts({_TOKSQL}, 1) AS pos
+  FROM documents
+),
+fl AS (
+  SELECT doc_id, tok, pos,
+         CAST(sum(CASE WHEN tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run
+  FROM tk
+),
+ph AS (
+  SELECT doc_id, run,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM fl WHERE tok NOT IN {_RAKE_STOPS}
+  GROUP BY 1, 2
+),
+pw AS (
+  SELECT unnest(string_split(phrase, ' ')) AS word, n_words FROM ph
+),
+ws AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(n_words) AS BIGINT) AS deg
+  FROM pw GROUP BY 1
+),
+w6 AS (
+  SELECT word, (2 * 1000000 * deg + freq) // (2 * freq) AS s6 FROM ws
+),
+dp AS (
+  SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS phrase_count
+  FROM ph GROUP BY 1
+),
+dpw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM dp
+),
+sc AS (
+  SELECT dp.phrase, dp.n_words, dp.phrase_count,
+         CAST(sum(w6.s6) AS BIGINT) AS score_e6
+  FROM dp JOIN dpw ON dp.phrase = dpw.phrase
+          JOIN w6 ON dpw.word = w6.word
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, n_words, phrase_count, score_e6
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY score_e6 DESC, phrase_count DESC, phrase) AS rk
+  FROM sc
+) WHERE rk <= 50
+""")
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction at corpus level (Rose et al. 2010):
+    candidate phrases are maximal stopword-free token runs, each
+    word scores degree/frequency over the phrase cooccurrence graph
+    (degree = Σ length of phrases it appears in — favors words that
+    keep multi-word company), a phrase scores the sum of its word
+    scores, and the corpus's top 50 phrases ship ranked by (score,
+    support, lexical) — the unsupervised complement to
+    `text_tfidf_topk` (which needs a document focus) and `term_pmi`
+    (pairs only). Exactness: word scores are half-away integer
+    MICRO-quotients (one exact division per word — the
+    mixture_entropy discipline), phrase scores exact integer sums,
+    the rank a unique total order. Scale: tokenize/explode is the
+    corpus-linear part; word stats and phrase scores are
+    vocabulary-/phrase-domain-bounded aggregates, and the run-id
+    window partitions per document."""
+    d = table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.posexplode(_toks()).alias("pos0", "tok")) \
+          .select("doc_id", F.col("tok"), (F.col("pos0") + 1).alias("pos"))
+    stops = ["the", "a", "of", "and", "in", "to"]
+    wrun = (Window.partitionBy("doc_id").orderBy("pos")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    fl = tk.withColumn(
+        "run", F.sum(F.when(F.col("tok").isin(stops), 1).otherwise(0))
+                .over(wrun))
+    ph = (fl.filter(~F.col("tok").isin(stops))
+            .groupBy("doc_id", "run")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "tok"))),
+                         lambda s: s.tok), " ").alias("phrase"),
+                 F.count("*").alias("n_words"))
+            .localCheckpoint(eager=False))
+    pw = ph.select(F.explode(F.split("phrase", " ")).alias("word"),
+                   "n_words")
+    ws = pw.groupBy("word").agg(F.count("*").alias("freq"),
+                                F.sum("n_words").alias("deg"))
+    w6 = ws.select("word", F.expr(
+        "(2 * 1000000 * deg + freq) div (2 * freq)").alias("s6"))
+    dp = ph.groupBy("phrase").agg(F.max("n_words").alias("n_words"),
+                                  F.count("*").alias("phrase_count"))
+    dpw = dp.select("phrase", F.explode(F.split("phrase", " "))
+                    .alias("word"))
+    sc = (dp.join(dpw, "phrase").join(w6, "word")
+            .groupBy("phrase", "n_words", "phrase_count")
+            .agg(F.sum("s6").alias("score_e6")))
+    rk = sc.withColumn("rk", F.row_number().over(
+        Window.orderBy(F.col("score_e6").desc(),
+                       F.col("phrase_count").desc(), "phrase")))
+    return (rk.filter(F.col("rk") <= 50)
+              .select("phrase", "n_words", "phrase_count", "score_e6"))
