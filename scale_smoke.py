@@ -122,6 +122,8 @@ QUERIES = [
     # grid-DBSCAN (cell-bounded past the first groupBy; CC rounds ride
     # the grid diameter) and RAKE (corpus-linear tokenize)
     "geo_dbscan_grid", "text_keyphrase_rake",
+    # bucket-decomposed range lookup: one hash equi-join, linear
+    "join_range_lookup",
 ]
 
 KEYED = {

@@ -355,3 +355,26 @@ def test_geo_neighbor_join_is_cell_blocked(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_range_lookup_join_is_equi_not_nested_loop(spark, sf_dir):
+    """join_range_lookup's bucket decomposition must plan as a shuffled
+    (or broadcast-HASH) equi-join with the range predicate residual —
+    never BroadcastNestedLoop or CartesianProduct, which is what the
+    bare BETWEEN theta-join degenerates to."""
+    from zoom_etl_spark.registry import all_queries
+
+    plan = (all_queries()["join_range_lookup"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan, plan
+    # the blocks<->lookups join must be a HASH join keyed on the
+    # bucket with the range predicate residual on the same node
+    join_lines = [ln for ln in plan.splitlines()
+                  if "owner" in ln and "div 1000" in ln
+                  and ("HashJoin" in ln or "SortMergeJoin" in ln)]
+    assert join_lines, plan
+    assert all("start_addr" in ln and "end_addr" in ln
+               for ln in join_lines), join_lines
+    # the only nested-loop allowed is the 1-row space-constant attach
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoop" in ln]
+    assert len(bnl) <= 1, plan

@@ -360,3 +360,76 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     direction="nearest")
     return out.select("user_id", "event_id",
                       F.col("asof_click_id").alias("near_click"))
+
+
+@query("join_range_lookup", oracle="""
+WITH blocks AS (
+  SELECT c_custkey AS owner,
+         CAST(c_nationkey AS INT) AS nationkey,
+         c_custkey * 1000 AS start_addr,
+         c_custkey * 1000 + 200
+           + (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 700 + 700)
+             % 700 AS end_addr
+  FROM customer
+),
+lookups AS (
+  SELECT event_id,
+         (event_id * 7919) % ((SELECT max(c_custkey) + 1 FROM customer)
+                              * 1000) AS addr
+  FROM events
+),
+m AS (
+  SELECT l.event_id, b.nationkey
+  FROM lookups l LEFT JOIN blocks b
+    ON (l.addr // 1000) = b.owner
+   AND l.addr >= b.start_addr AND l.addr < b.end_addr
+)
+SELECT coalesce(nationkey, -1) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_lookups
+FROM m GROUP BY 1
+""")
+def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure RANGE-lookup join — the IP-geolocation / CIDR-block shape:
+    a large table of non-overlapping [start, end) blocks, a stream of
+    point addresses, no shared equi-key. Naively this is a
+    BroadcastNestedLoop/cartesian theta-join (quadratic — the plan
+    Spark falls into if you write only the BETWEEN predicate); the
+    scale technique is BUCKET DECOMPOSITION: quantize the address
+    space into fixed buckets, emit each block under every bucket it
+    touches (here blocks are stride-aligned and narrower than one
+    bucket, so the fan-out is exactly 1; a block spanning B buckets
+    emits B copies), map each point to its bucket, and the range
+    predicate becomes a residual filter on a plain shuffled
+    EQUI-join — linear, partitionable, the plan a billion-block
+    table needs (a plan test asserts no nested-loop node survives).
+    Blocks synthesize deterministically from customers (owner-strided
+    starts, balance-hashed widths → ~55% address coverage so both
+    match and miss paths are exercised; misses roll up under
+    nationkey −1). Exact integer address arithmetic; the width hash
+    double-mods ((x % 700 + 700) % 700) to stay nonnegative under
+    both engines' signed % semantics."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    blocks = c.select(
+        F.col("c_custkey").alias("owner"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        (F.col("c_custkey") * 1000).alias("start_addr"),
+        F.expr("c_custkey * 1000 + 200 "
+               "+ (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 700 "
+               "+ 700) % 700").alias("end_addr"))
+    # 1-value driver collect (bounded by construction — the
+    # lang_id/control-table precedent): inlining the space bound as a
+    # literal keeps the lookup side join-free
+    space = c.agg(((F.max("c_custkey") + 1) * 1000).alias("s")) \
+             .collect()[0].s
+    lookups = e.select(
+        "event_id",
+        ((F.col("event_id") * 7919) % F.lit(space)).alias("addr"))
+    m = lookups.join(
+        blocks,
+        (F.expr("addr div 1000") == F.col("owner"))
+        & (F.col("addr") >= F.col("start_addr"))
+        & (F.col("addr") < F.col("end_addr")),
+        "left")
+    return (m.groupBy(F.coalesce("nationkey", F.lit(-1)).alias("nationkey"))
+             .agg(F.count("*").alias("n_lookups")))
