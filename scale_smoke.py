@@ -124,6 +124,8 @@ QUERIES = [
     "geo_dbscan_grid", "text_keyphrase_rake",
     # bucket-decomposed range lookup: one hash equi-join, linear
     "join_range_lookup",
+    # privacy e2e (QI-bounded) and the ordered-funnel drain (linear)
+    "pipeline_privacy_e2e", "stream_funnel_ivm",
 ]
 
 KEYED = {

@@ -901,3 +901,54 @@ def test_cusum_ivm_planted_drift_alarms(spark, tmp_path):
     assert [r.alarm_hi for r in drift[:4]] == [False, False, True, True]
     assert all(r.alarm_hi for r in drift[2:])
     assert not any(r.alarm_lo for r in drift)
+
+
+def test_funnel_ivm_multibatch_and_ordering_semantics(spark, tmp_path):
+    """Funnel state must carry across micro-batches (a user completing
+    one stage per batch converges to stage 3), strict ordering must
+    hold (a click BEFORE the signup never counts), and a user with
+    only non-funnel events stays at stage 0."""
+    import pandas as pd
+
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+    from zoom_etl_spark.streaming.stateful import (funnel_finalize,
+                                                   funnel_maintain)
+
+    base = pd.Timestamp("2026-01-01")
+    mk = lambda eid, m, u, et: (eid, base + pd.Timedelta(minutes=m),
+                                u, et, 1.0, "{}")
+    batches = [
+        # u1 progresses one stage per batch; u2's click precedes its
+        # signup (must NOT count); u3 only views
+        [mk(1, 10, 1, "signup"), mk(2, 5, 2, "click"),
+         mk(3, 1, 3, "view")],
+        [mk(4, 20, 1, "click"), mk(5, 15, 2, "signup"),
+         mk(6, 2, 3, "view")],
+        [mk(7, 30, 1, "purchase"), mk(8, 25, 2, "purchase")],
+    ]
+    srcdir = str(tmp_path / "funnel_src")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=cols)
+        df = spark.createDataFrame(pdf).withColumn(
+            "ts", F.unix_micros("ts") * 1000)
+        df.coalesce(1).write.parquet(f"{srcdir}/b{i}")
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    out = funnel_maintain(stream)
+    q = (out.writeStream.format("memory").queryName("funnel_mb_log")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = {r.user_id: r.stage_reached for r in
+             funnel_finalize(spark.table("funnel_mb_log")).collect()}
+    # u1: signup(10) -> click(20) -> purchase(30) = 3
+    # u2: click(5) ignored (before signup 15); purchase(25) needs a
+    #     click after signup -> stuck at 1
+    # u3: views only -> 0
+    assert final == {1: 3, 2: 1, 3: 0}, final
+    # the update log must show u1 climbing monotonically
+    u1 = sorted((r.seq, r.stage_reached) for r in
+                spark.table("funnel_mb_log").collect() if r.user_id == 1)
+    assert [s for _, s in u1] == [1, 2, 3]

@@ -707,3 +707,68 @@ def cusum_maintain(events_stream: DataFrame,
             .applyInPandasWithState(update, CUSUM_OUTPUT_SCHEMA,
                                     CUSUM_STATE_SCHEMA, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+# --------------------------------------------------- ordered-funnel IVM
+
+FUNNEL_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("stage_reached", LongType(), True),
+    StructField("seq", LongType(), True),
+])
+
+FUNNEL_STATE_SCHEMA = StructType([
+    StructField("t0", LongType(), True),
+    StructField("t1", LongType(), True),
+    StructField("t2", LongType(), True),
+    StructField("seq", LongType(), True),
+])
+
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_maintain(events_stream: DataFrame) -> DataFrame:
+    """Ordered-funnel progression per user, maintained incrementally —
+    the streaming twin of the batch ``funnel_conversion`` chain
+    (signup → click-after-signup → purchase-after-click, strict
+    event-time order, FIRST qualifying event per stage): state is the
+    three first-completion micros (−1 = not reached), each batch
+    advances them by scanning the user's new events in (ts, event_id)
+    order, and the user's current stage is re-emitted with a per-key
+    sequence (update mode; converged view = max-seq row per user,
+    the lastwins_finalize pattern). O(1) state per user forever.
+    Requires per-key event-time order across batches (single-file
+    availableNow guarantees it)."""
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState):
+        t0, t1, t2, seq = state.get if state.exists else (-1, -1, -1, 0)
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (batch["ts"].astype("int64")).to_numpy()
+        types = batch["event_type"].to_numpy()
+        for tus, et in zip(ts_us, types):
+            tus = int(tus)
+            if et == _FUNNEL_STAGES[0] and t0 < 0:
+                t0 = tus
+            elif (et == _FUNNEL_STAGES[1] and t1 < 0 and 0 <= t0 < tus):
+                t1 = tus
+            elif (et == _FUNNEL_STAGES[2] and t2 < 0 and 0 <= t1 < tus):
+                t2 = tus
+        seq = int(seq) + 1
+        state.update((int(t0), int(t1), int(t2), seq))
+        stage = 3 if t2 >= 0 else 2 if t1 >= 0 else 1 if t0 >= 0 else 0
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "stage_reached": [stage], "seq": [seq]})
+
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(update, FUNNEL_OUTPUT_SCHEMA,
+                                    FUNNEL_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def funnel_finalize(emitted: DataFrame) -> DataFrame:
+    """Converged per-user funnel stage: the max-seq emission per key."""
+    from ..operators.windows import topk_per_group
+    from pyspark.sql import functions as F
+    return topk_per_group(emitted, keys=["user_id"],
+                          order=[F.col("seq").desc()], k=1)

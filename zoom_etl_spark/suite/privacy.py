@@ -235,3 +235,78 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") + F.col("eta")).alias("n_noisy"),
         F.greatest(F.col("n") + F.col("eta"), F.lit(0))
          .alias("n_released"))
+
+
+@query("pipeline_privacy_e2e", oracle=f"""
+WITH b AS (
+  SELECT c_custkey,
+         CAST(c_nationkey AS INT) AS nationkey,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + {_SHIFT} AS sc
+  FROM customer
+),
+l AS (
+  SELECT CAST(w AS BIGINT) AS w
+  FROM (VALUES ({'),('.join(str(w) for w in _LADDER)})) AS t(w)
+),
+g AS (
+  SELECT l.w, b.nationkey, b.segment, b.sc // (l.w * 100) AS band,
+         CAST(count(*) AS BIGINT) AS k
+  FROM b, l GROUP BY 1, 2, 3, 4
+),
+m AS (SELECT w, min(k) AS min_k FROM g GROUP BY 1),
+pick AS (
+  SELECT coalesce(min(w) FILTER (WHERE min_k >= {_K}),
+                  (SELECT max(w) FROM l)) AS w
+  FROM m
+),
+rel AS (
+  SELECT g.w AS width, g.nationkey, g.segment, g.band, g.k
+  FROM g JOIN pick ON g.w = pick.w
+),
+keyed AS (
+  SELECT *, CAST(nationkey * 131 + ascii(substr(segment, 1, 1)) * 7
+                 + length(segment) + band * 17 AS BIGINT) AS ck
+  FROM rel
+),
+noise AS (
+  SELECT width, nationkey, segment, band, k,
+         {_DP_G.format(u=_DP_U.format(mult=2654435761))}
+           - {_DP_G.format(u=_DP_U.format(mult=2246822519))} AS eta
+  FROM keyed
+)
+SELECT width, nationkey, segment, band, k,
+       k + eta AS k_noisy,
+       greatest(k + eta, 0) AS k_released,
+       (k < {_K}) AS suppressed
+FROM noise
+""")
+def pipeline_privacy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy release pipeline END TO END: generalize up the
+    band ladder to the finest k-feasible rung
+    (`privacy_generalize_ladder`), then release each surviving class
+    count under the ε=1 discrete-Laplace mechanism
+    (`privacy_dp_counts`' deterministic seeded form, cell fingerprint
+    extended with the band), with classes still under k flagged
+    `suppressed` (only possible when NO rung was feasible and the
+    coarsest shipped — generalization and suppression are the two
+    Samarati knobs, and the flag makes the residual risk explicit
+    instead of silent). One composed plan: the ladder's single
+    fan-out shuffle, a 5-row rung pick, and row-local noise — the
+    full compliance flow costs one QI-bounded shuffle more than the
+    raw rollup. True k stays in the frame for the oracle/audit (the
+    dp_counts discipline; a production release drops it and rotates
+    the hash seed)."""
+    rel = privacy_generalize_ladder(spark, sf_dir)
+    keyed = rel.withColumn("ck", F.expr(
+        "CAST(nationkey * 131 + ascii(substr(segment, 1, 1)) * 7 "
+        "+ length(segment) + band * 17 AS BIGINT)"))
+    g1 = _DP_G.format(u=_DP_U.format(mult=2654435761))
+    g2 = _DP_G.format(u=_DP_U.format(mult=2246822519))
+    noise = keyed.withColumn("eta", F.expr(f"{g1} - {g2}"))
+    return noise.select(
+        "width", "nationkey", "segment", "band", "k",
+        (F.col("k") + F.col("eta")).alias("k_noisy"),
+        F.greatest(F.col("k") + F.col("eta"), F.lit(0))
+         .alias("k_released"),
+        (F.col("k") < _K).alias("suppressed"))

@@ -1030,3 +1030,50 @@ def stream_cusum_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_cusum_log").select(
         "event_type", "event_id", "cusum_hi", "cusum_lo",
         "alarm_hi", "alarm_lo")
+
+
+@query("stream_funnel_ivm", oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS ts0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ts1
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.ts0 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ts1 GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.ts2 IS NOT NULL THEN 3
+                 WHEN c.ts1 IS NOT NULL THEN 2
+                 WHEN s.ts0 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage_reached
+FROM u LEFT JOIN s USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+""")
+def stream_funnel_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered-funnel stage as a streaming IVM — the
+    continuously-maintained twin of the batch `funnel_conversion`
+    chain (signup → click strictly after → purchase strictly after),
+    answering 'where is every user in the funnel RIGHT NOW' without
+    re-scanning history: state is three first-completion timestamps
+    per user (O(1) forever), each micro-batch advances them in event
+    order and re-emits the user's stage with a monotone sequence;
+    the converged view (max-seq row per user, the lastwins_finalize
+    pattern) carries a FULL value-hash gate against the batch
+    min-ts-chain oracle. Update mode: unlike the append-mode
+    detectors, a user's stage is revisable — exactly what a funnel
+    dashboard wants."""
+    from ..streaming.stateful import funnel_finalize, funnel_maintain
+    stream = read_events_stream(spark, sf_dir)
+    out = funnel_maintain(stream)
+    run_available_now(out, "stream_funnel_log", output_mode="update",
+                      n_state_partitions=16)
+    emitted = spark.table("stream_funnel_log")
+    return funnel_finalize(emitted).select("user_id", "stage_reached")
