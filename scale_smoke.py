@@ -129,6 +129,9 @@ QUERIES = [
     # LPA (3 fixed rounds, linear in edges) and the burn-rate rollup
     # (hour-bounded)
     "graph_lpa_communities", "ops_sla_burn_rate",
+    # M4 (one per-bucket aggregate) and the user feature vector (one
+    # user-keyed aggregate)
+    "downsample_m4", "features_user_activity",
 ]
 
 KEYED = {

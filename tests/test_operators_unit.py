@@ -1154,3 +1154,82 @@ def test_burn_rate_against_pure_python(spark, sf_dir):
         assert g.page == (b1 >= 14400000 and b6 >= 6000000)
     # planted: an all-error hour burns 100x on both windows -> pages
     assert (2 * 100000000 * 10 + 10) // (2 * 10) >= 14400000
+
+
+def test_m4_against_pure_python(spark, sf_dir):
+    """downsample_m4 must equal a pure-Python replay (bucketing, min/
+    max, first/last under the composite order), and the M4 guarantee
+    must hold: per bucket the kept values bracket every dropped one."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {(r.user_id, r.bucket): r for r in
+           all_queries()["downsample_m4"].fn(spark, sf_dir).collect()}
+    e = table(spark, sf_dir, "events")
+    pts = {}
+    for r in e.select("user_id", "event_id", "ts", "value").collect():
+        t = int(r.ts.timestamp() * 1_000_000)
+        pts.setdefault(r.user_id, []).append(
+            (t, r.event_id, math.floor(r.value * 1000)))
+    want = {}
+    for u, ps in pts.items():
+        tmin = min(t for t, _, _ in ps)
+        tmax = max(t for t, _, _ in ps)
+        width = (tmax - tmin) // 10 + 1
+        buckets = {}
+        for t, eid, vm in ps:
+            buckets.setdefault((t - tmin) // width, []).append(
+                (t, eid, vm))
+        for b, rows in buckets.items():
+            rows.sort()
+            vals = [vm for _, _, vm in rows]
+            want[(u, b)] = (min(vals), max(vals), rows[0][2],
+                            rows[-1][2], len(rows))
+    assert set(got) == set(want)
+    for k, (vmin, vmax, vf, vl, n) in want.items():
+        g = got[k]
+        assert (g.v_min, g.v_max, g.v_first, g.v_last, g.n) == (
+            vmin, vmax, vf, vl, n), k
+        assert g.v_min <= g.v_first <= g.v_max
+        assert g.v_min <= g.v_last <= g.v_max
+
+
+def test_user_features_against_pure_python(spark, sf_dir):
+    """features_user_activity must equal a pure-Python replay of every
+    feature (counts, diversity, exact cents, recency, span/(n-1)
+    mean gap with the -1 sentinel, purchase ppm)."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {r.user_id: r for r in
+           all_queries()["features_user_activity"].fn(spark, sf_dir)
+           .collect()}
+    e = table(spark, sf_dir, "events")
+    rows = e.select("user_id", "ts", "event_type", "value").collect()
+    anchor = max(int(r.ts.timestamp() * 1_000_000) for r in rows)
+    per = {}
+    for r in rows:
+        t = int(r.ts.timestamp() * 1_000_000)
+        per.setdefault(r.user_id, []).append(
+            (t, r.ts.date(), r.event_type,
+             math.floor(r.value * 100 + 0.5)))
+    assert set(got) == set(per)
+    for u, ps in per.items():
+        g = got[u]
+        n = len(ps)
+        ts = [t for t, _, _, _ in ps]
+        npur = sum(1 for _, _, et, _ in ps if et == "purchase")
+        assert g.n_events == n
+        assert g.active_days == len({d for _, d, _, _ in ps})
+        assert g.type_diversity == len({et for _, _, et, _ in ps})
+        assert g.total_cents == sum(c for _, _, _, c in ps)
+        assert g.recency_days == (anchor - max(ts)) // 86400000000
+        want_gap = ((2 * (max(ts) - min(ts)) + (n - 1)) // (2 * (n - 1))
+                    if n > 1 else -1)
+        assert g.mean_gap_us == want_gap
+        assert g.n_purchases == npur
+        assert g.purchase_ratio_ppm == (1000000 * npur * 2 + n) // (2 * n)

@@ -1599,3 +1599,71 @@ def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("se").alias("e1_e6"),
                      F.col("sv").alias("v_e6"),
                      F.expr(_LOGRANK_Z).alias("z")))
+
+
+@query("features_user_activity", oracle="""
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST(ts AS DATE) AS d, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+a AS (SELECT CAST(max(t) AS BIGINT) AS anchor FROM s)
+SELECT s.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT s.d) AS BIGINT) AS active_days,
+       CAST(count(DISTINCT s.event_type) AS BIGINT) AS type_diversity,
+       CAST(sum(s.cents) AS BIGINT) AS total_cents,
+       CAST((a.anchor - max(s.t)) // 86400000000 AS BIGINT)
+         AS recency_days,
+       CAST(CASE WHEN count(*) > 1
+            THEN (2 * (max(s.t) - min(s.t)) + (count(*) - 1))
+                 // (2 * (count(*) - 1))
+            ELSE -1 END AS BIGINT) AS mean_gap_us,
+       CAST(sum(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       (1000000 * sum(CASE WHEN s.event_type = 'purchase'
+                      THEN 1 ELSE 0 END) * 2 + count(*))
+         // (2 * count(*)) AS purchase_ratio_ppm
+FROM s, a
+GROUP BY s.user_id, a.anchor
+""")
+def features_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral FEATURE VECTOR — the feature-store rollup a
+    churn/propensity model trains on, computed reproducibly enough to
+    serve as a point-in-time training snapshot: event count, active
+    days, event-type diversity, exact total spend cents, recency in
+    whole days vs the corpus max-timestamp anchor, mean inter-event
+    gap in micros (the exact span/(n−1) identity — no per-gap window
+    needed, which is why this stays ONE map-combined aggregate), and
+    purchase count/ratio (half-away ppm). Every feature is an exact
+    integer; sentinel −1 marks the undefined single-event gap (a
+    model imputes it downstream; NULL would shift the oracle's
+    column-sorted hash anyway). Scale: one scan, one user-keyed
+    aggregate (the distinct-counts are per-user exact; a 100 TB
+    deployment swaps them for HLL sketches with the same shape), and
+    the 1-value anchor broadcast."""
+    e = table(spark, sf_dir, "events")
+    s = e.select("user_id", F.unix_micros("ts").alias("t"),
+                 F.to_date("ts").alias("d"), "event_type",
+                 F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("cents"))
+    a = s.agg(F.max("t").alias("anchor"))
+    isp = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return (s.crossJoin(F.broadcast(a))
+             .groupBy("user_id", "anchor")
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("d").alias("active_days"),
+                  F.countDistinct("event_type").alias("type_diversity"),
+                  F.sum("cents").alias("total_cents"),
+                  F.expr("CAST((first(anchor) - max(t)) div 86400000000 "
+                         "AS BIGINT)").alias("recency_days"),
+                  F.expr("CAST(CASE WHEN count(*) > 1 THEN "
+                         "(2 * (max(t) - min(t)) + (count(*) - 1)) "
+                         "div (2 * (count(*) - 1)) ELSE -1 END AS BIGINT)")
+                   .alias("mean_gap_us"),
+                  F.sum(isp).alias("n_purchases"),
+                  F.expr("(1000000 * sum(CASE WHEN event_type = "
+                         "'purchase' THEN 1 ELSE 0 END) * 2 + count(*)) "
+                         "div (2 * count(*))").alias("purchase_ratio_ppm"))
+             .drop("anchor"))

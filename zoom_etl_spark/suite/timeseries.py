@@ -564,3 +564,64 @@ def ops_sla_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour", "n_total", "n_err",
         burn1.alias("burn1_e6"), burn6.alias("burn6_e6"),
         ((burn1 >= 14400000) & (burn6 >= 6000000)).alias("page"))
+
+
+_M4_N = 10
+
+
+@query("downsample_m4", oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+),
+rng AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM p GROUP BY 1),
+pb AS (
+  SELECT p.*,
+         CAST((t - tmin) // ((tmax - tmin) // {_M4_N} + 1) AS INT) AS bucket
+  FROM p JOIN rng USING (user_id)
+)
+SELECT user_id, bucket,
+       CAST(min(vm) AS BIGINT) AS v_min,
+       CAST(max(vm) AS BIGINT) AS v_max,
+       CAST(min_by(vm, CAST(t AS HUGEINT) * 10000000000 + event_id)
+            AS BIGINT) AS v_first,
+       CAST(max_by(vm, CAST(t AS HUGEINT) * 10000000000 + event_id)
+            AS BIGINT) AS v_last,
+       CAST(count(*) AS BIGINT) AS n
+FROM pb GROUP BY 1, 2
+""")
+def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per series
+    bucket keep min, max, FIRST and LAST — the four points that make
+    a line chart pixel-exact at the target width, and the standard
+    alternative to `downsample_lttb` (M4 is a pure per-bucket
+    aggregate — one map-combined shuffle, no neighbor windows — so
+    it's the cheaper choice when perceptual shape matters less than
+    pixel fidelity). Buckets divide the integer micros span exactly
+    as LTTB does; first/last are min_by/max_by over the unique scalar
+    composite t*1e10+event_id (decimal/HUGEINT — DuckDB's min_by
+    takes only scalar orderings, and the composite preserves the
+    (t, event_id) lexicographic tie-break exactly); values on
+    the exact 1e-3 grid. Plan: one groupBy(user, bucket) after the
+    broadcast range join — nothing else."""
+    e = table(spark, sf_dir, "events")
+    p = e.select("user_id", "event_id",
+                 F.unix_micros("ts").alias("t"),
+                 F.floor(F.col("value") * 1000).cast("long").alias("vm"))
+    rng = p.groupBy("user_id").agg(F.min("t").alias("tmin"),
+                                   F.max("t").alias("tmax"))
+    pb = (p.join(F.broadcast(rng), "user_id")
+           .withColumn("bucket", F.expr(
+               f"CAST((t - tmin) div ((tmax - tmin) div {_M4_N} + 1) "
+               "AS INT)")))
+    # scalar composite order key (DuckDB min_by can't take a struct):
+    # t*1e10 + event_id is unique and order-preserving; decimal(38)
+    # mirrors the oracle's HUGEINT
+    ord_ = F.expr("CAST(t AS DECIMAL(28,0)) * 10000000000 + event_id")
+    return (pb.groupBy("user_id", "bucket")
+              .agg(F.min("vm").alias("v_min"),
+                   F.max("vm").alias("v_max"),
+                   F.min_by("vm", ord_).alias("v_first"),
+                   F.max_by("vm", ord_).alias("v_last"),
+                   F.count("*").alias("n")))
