@@ -132,6 +132,9 @@ QUERIES = [
     # M4 (one per-bucket aggregate) and the user feature vector (one
     # user-keyed aggregate)
     "downsample_m4", "features_user_activity",
+    # readability (zero-shuffle projection) and WoW growth
+    # (segment-week-bounded lag)
+    "text_readability_fk", "window_wow_growth",
 ]
 
 KEYED = {

@@ -1233,3 +1233,74 @@ def test_user_features_against_pure_python(spark, sf_dir):
         assert g.mean_gap_us == want_gap
         assert g.n_purchases == npur
         assert g.purchase_ratio_ppm == (1000000 * npur * 2 + n) // (2 * n)
+
+
+def test_readability_against_pure_python(spark, sf_dir):
+    """text_readability_fk must equal a pure-Python replay of the
+    vowel-group/sentence/word counts and both Flesch formulas."""
+    import re
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {r.doc_id: r for r in
+           all_queries()["text_readability_fk"].fn(spark, sf_dir)
+           .collect()}
+    d = table(spark, sf_dir, "documents")
+    for r in d.select("doc_id", "text").collect():
+        words = len([t for t in r.text.split(" ") if t])
+        sents = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        sylls = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        g = got[r.doc_id]
+        assert (g.words, g.sents, g.sylls) == (words, sents, sylls)
+        grade = round(0.39 * (words / sents)
+                      + 11.8 * (sylls / max(words, 1)) - 15.59, 4)
+        ease = round(206.835 - 1.015 * (words / sents)
+                     - 84.6 * (sylls / max(words, 1)), 4)
+        # python round() is banker's; the engines round half away —
+        # compare on the 1e-4 grid instead of exactly
+        assert abs(g.fk_grade - grade) < 2e-4
+        assert abs(g.flesch_ease - ease) < 2e-4
+
+
+def test_wow_growth_against_pure_python(spark, sf_dir):
+    """window_wow_growth must equal a pure-Python replay: Monday-
+    anchored ISO weeks, per-segment lag, signed half-away ppm (the
+    floor-consistent +C shift), NULL on first weeks."""
+    import datetime
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {(r.segment, r.week): r for r in
+           all_queries()["window_wow_growth"].fn(spark, sf_dir)
+           .collect()}
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate",
+                                              "o_totalprice").collect()
+    c = {r.c_custkey: r.c_mktsegment for r in
+         table(spark, sf_dir, "customer").collect()}
+    per = {}
+    for r in o:
+        d = r.o_orderdate.date()
+        wk = d - datetime.timedelta(days=d.weekday())
+        key = (c[r.o_custkey], wk)
+        per[key] = per.get(key, 0) + math.floor(
+            r.o_totalprice * 100 + 0.5)
+    segs = {}
+    for (s, wk), v in per.items():
+        segs.setdefault(s, []).append((wk, v))
+    C = 10 ** 12
+    for s, rows in segs.items():
+        rows.sort()
+        prev = None
+        for wk, v in rows:
+            g = got[(s, wk)]
+            assert g.rev_cents == v
+            if prev is None:
+                assert g.prev_cents is None and g.wow_ppm is None
+            else:
+                want = ((2 * (1000000 * (v - prev) + C * prev) + prev)
+                        // (2 * prev)) - C
+                assert (g.prev_cents, g.wow_ppm) == (prev, want), (s, wk)
+            prev = v

@@ -1667,3 +1667,61 @@ def features_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "'purchase' THEN 1 ELSE 0 END) * 2 + count(*)) "
                          "div (2 * count(*))").alias("purchase_ratio_ppm"))
              .drop("anchor"))
+
+
+@query("window_wow_growth", oracle="""
+WITH w AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_trunc('week', CAST(o.o_orderdate AS DATE)) AS DATE) AS week,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+           AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+l AS (
+  SELECT segment, week, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY segment ORDER BY week)
+           AS prev_cents
+  FROM w
+)
+SELECT segment, week, rev_cents, prev_cents,
+       CASE WHEN prev_cents IS NOT NULL THEN
+         CAST((2 * (1000000 * CAST(rev_cents - prev_cents
+                                   AS HUGEINT)
+                    + 1000000000000 * CAST(prev_cents AS HUGEINT))
+                   + prev_cents)
+              // (2 * prev_cents) - 1000000000000 AS BIGINT)
+       END AS wow_ppm
+FROM l
+""")
+def window_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per market segment — the
+    board-deck growth table: ISO-week rollup (date_trunc('week') is
+    Monday-anchored in both engines), previous week via lag over the
+    segment-keyed week series, growth in SIGNED half-away ppm. The
+    signed division rides the +C·prev shift (C = 1e12, accumulated
+    in decimal/HUGEINT): growth can be negative and Spark `div`
+    truncates while DuckDB `//` floors below zero, so the quotient
+    is forced positive before recentering — the seasonal_decompose
+    discipline applied to a ratio. First weeks carry NULL growth
+    (no fabricated 0%). Scale: one join + one map-combined rollup;
+    the lag window runs on the (segment × week)-bounded series."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = (o.join(c, o.o_custkey == c.c_custkey)
+          .groupBy(F.col("c_mktsegment").alias("segment"),
+                   F.to_date(F.date_trunc(
+                       "week", F.to_date("o_orderdate"))).alias("week"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("rev_cents")))
+    lw = Window.partitionBy("segment").orderBy("week")
+    l = w.withColumn("prev_cents", F.lag("rev_cents").over(lw))
+    return l.select(
+        "segment", "week", "rev_cents", "prev_cents",
+        F.expr("CASE WHEN prev_cents IS NOT NULL THEN "
+               "CAST((2 * (1000000 * CAST(rev_cents - prev_cents "
+               "AS DECIMAL(38,0)) + 1000000000000 "
+               "* CAST(prev_cents AS DECIMAL(38,0))) "
+               "+ prev_cents) div (2 * prev_cents) "
+               "- 1000000000000 AS BIGINT) END").alias("wow_ppm"))

@@ -407,3 +407,66 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("lang").alias("true_lang"),
                     F.col("best.cand_lang").alias("pred_lang"),
                     F.col("best.score").alias("score")))
+
+
+# engine-portable syllable heuristic: vowel GROUPS per word (RE2/Java
+# regex subset — no lookaround), sentences by terminal punctuation runs
+_FK = {
+    "words": "CAST(len(w) AS BIGINT)",
+    "sents": "CAST(greatest(len(regexp_extract_all(text,"
+             " '[.!?]+')), 1) AS BIGINT)",
+    "sylls": "CAST(len(regexp_extract_all(lower(text),"
+             " '[aeiouy]+')) AS BIGINT)",
+    "grade": "round(0.39 * (CAST(words AS DOUBLE) / sents)"
+             " + 11.8 * (CAST(sylls AS DOUBLE)"
+             " / greatest(words, 1)) - 15.59, 4)",
+    "ease": "round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)"
+            " - 84.6 * (CAST(sylls AS DOUBLE)"
+            " / greatest(words, 1)), 4)",
+}
+
+
+@query("text_readability_fk", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         {_FK['words']} AS words,
+         {_FK['sents']} AS sents,
+         {_FK['sylls']} AS sylls
+  FROM tok
+)
+SELECT doc_id, words, sents, sylls,
+       {_FK['grade']} AS fk_grade,
+       {_FK['ease']} AS flesch_ease
+FROM f
+""")
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level + Flesch reading ease per document —
+    the readability axis of corpus quality (a pretraining mix skewed
+    to grade-16 legalese or grade-2 listicles is a mixture bug the
+    stopword/length heuristics can't see). Syllables use the standard
+    vowel-GROUP approximation counted by one regexp_extract_all
+    (pattern restricted to the RE2/Java-identical subset — the
+    pii_redact discipline), sentences by terminal-punctuation runs
+    (floored at 1), words by the suite's shared whitespace tokenizer;
+    the two classic formulas are then shared-text IEEE chains on
+    those exact integers. Pure codegen'd projection: zero shuffles,
+    scan-bounded at any scale."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "text",
+                   F.filter(F.split("text", " "),
+                            lambda x: x != "").alias("w"))
+    f = tok.select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("words"),
+        F.expr("CAST(greatest(size(regexp_extract_all(text, "
+               "'[.!?]+', 0)), 1) AS BIGINT)").alias("sents"),
+        F.expr("CAST(size(regexp_extract_all(lower(text), "
+               "'[aeiouy]+', 0)) AS BIGINT)").alias("sylls"))
+    return f.select("doc_id", "words", "sents", "sylls",
+                    F.expr(_FK["grade"]).alias("fk_grade"),
+                    F.expr(_FK["ease"]).alias("flesch_ease"))
