@@ -135,6 +135,9 @@ QUERIES = [
     # readability (zero-shuffle projection) and WoW growth
     # (segment-week-bounded lag)
     "text_readability_fk", "window_wow_growth",
+    # DiD (one user-period aggregate) and ABC/XYZ (two lineitem
+    # rollups + part-bounded cumulative)
+    "ab_diff_in_diff", "inventory_abc_xyz",
 ]
 
 KEYED = {

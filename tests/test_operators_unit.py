@@ -1304,3 +1304,85 @@ def test_wow_growth_against_pure_python(spark, sf_dir):
                         // (2 * prev)) - C
                 assert (g.prev_cents, g.wow_ppm) == (prev, want), (s, wk)
             prev = v
+
+
+def test_did_against_pure_python(spark, sf_dir):
+    """ab_diff_in_diff must equal a pure-Python replay: per-user-
+    period cent sums, the four-cell DiD estimate, and the pooled SE
+    of independent means."""
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = all_queries()["ab_diff_in_diff"].fn(spark, sf_dir).collect()[0]
+    e = table(spark, sf_dir, "events")
+    rows = e.select("user_id", "ts", "value").collect()
+    us = [int(r.ts.timestamp() * 1_000_000) for r in rows]
+    mid = min(us) + (max(us) - min(us)) // 2
+    per = {}
+    for r, t in zip(rows, us):
+        key = (r.user_id, r.user_id % 2, 1 if t >= mid else 0)
+        per[key] = per.get(key, 0) + math.floor(r.value * 100 + 0.5)
+    cells = {}
+    for (_, g, p), y in per.items():
+        n, s, ss = cells.get((g, p), (0, 0, 0))
+        cells[(g, p)] = (n + 1, s + y, ss + y * y)
+    mean = {k: s / n for k, (n, s, _) in cells.items()}
+    did = ((mean[(1, 1)] - mean[(1, 0)])
+           - (mean[(0, 1)] - mean[(0, 0)]))
+    var = 0.0
+    for k, (n, s, ss) in cells.items():
+        var += (n * ss - s * s) / (n * n * (n - 1))
+    assert got.n11 == cells[(1, 1)][0] and got.n00 == cells[(0, 0)][0]
+    assert abs(got.did_cents - did) < 5e-4
+    assert abs(got.se_cents - math.sqrt(var)) < 5e-4
+
+
+def test_abc_xyz_against_pure_python(spark, sf_dir):
+    """inventory_abc_xyz must equal a pure-Python replay (cumulative-
+    share ABC by cross-multiplication, zero-filled-week CV classes),
+    and class totals must be non-degenerate (A and C both present;
+    every part classified exactly once)."""
+    import datetime
+    import math
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import all_queries
+
+    got = {r.partkey: r for r in
+           all_queries()["inventory_abc_xyz"].fn(spark, sf_dir)
+           .collect()}
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity",
+        "l_shipdate").collect()
+    rev, wq, weeks = {}, {}, set()
+    for r in li:
+        cents = math.floor(r.l_extendedprice * 100 + 0.5)
+        rev[r.l_partkey] = rev.get(r.l_partkey, 0) + cents
+        d = r.l_shipdate.date()
+        wk = d - datetime.timedelta(days=d.weekday())
+        weeks.add(wk)
+        key = (r.l_partkey, wk)
+        wq[key] = wq.get(key, 0) + int(r.l_quantity)
+    W = len(weeks)
+    tot = sum(rev.values())
+    cum = 0
+    abc = {}
+    for pk, rc in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += rc
+        abc[pk] = ("A" if 5 * cum <= 4 * tot
+                   else "B" if 20 * cum <= 19 * tot else "C")
+    per = {}
+    for (pk, _), q in wq.items():
+        n, s, sq = per.get(pk, (0, 0, 0))
+        per[pk] = (n + 1, s + q, sq + q * q)
+    assert set(got) == set(rev)
+    for pk, g in got.items():
+        n, s, sq = per[pk]
+        xyz = ("X" if 4 * (W * sq - s * s) < s * s
+               else "Y" if W * sq - s * s < s * s else "Z")
+        assert (g.rev_cents, g.abc, g.xyz, g.n_demand_weeks) == (
+            rev[pk], abc[pk], xyz, n), pk
+    kinds = {g.abc for g in got.values()}
+    assert "A" in kinds and "C" in kinds

@@ -1725,3 +1725,92 @@ def window_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                "* CAST(prev_cents AS DECIMAL(38,0))) "
                "+ prev_cents) div (2 * prev_cents) "
                "- 1000000000000 AS BIGINT) END").alias("wow_ppm"))
+
+
+@query("inventory_abc_xyz", oracle="""
+WITH li AS (
+  SELECT l_partkey AS partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS wk
+  FROM lineitem
+),
+wdom AS (
+  SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks FROM li
+),
+rev AS (
+  SELECT partkey, sum(cents) AS rev_cents FROM li GROUP BY 1
+),
+rk AS (
+  SELECT partkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, partkey) AS cum,
+         sum(rev_cents) OVER () AS tot
+  FROM rev
+),
+wq AS (
+  SELECT partkey, wk, sum(qty) AS q FROM li GROUP BY 1, 2
+),
+xyz AS (
+  SELECT wq.partkey,
+         CAST(count(*) AS BIGINT) AS n_demand_weeks,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS sq
+  FROM wq GROUP BY 1
+)
+SELECT rk.partkey, rk.rev_cents,
+       CASE WHEN 5 * rk.cum <= 4 * rk.tot THEN 'A'
+            WHEN 20 * rk.cum <= 19 * rk.tot THEN 'B'
+            ELSE 'C' END AS abc,
+       CASE WHEN 4 * (w.n_weeks * x.sq - x.s * x.s) < x.s * x.s THEN 'X'
+            WHEN w.n_weeks * x.sq - x.s * x.s < x.s * x.s THEN 'Y'
+            ELSE 'Z' END AS xyz,
+       x.n_demand_weeks
+FROM rk JOIN xyz x ON rk.partkey = x.partkey
+CROSS JOIN wdom w
+""")
+def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory segmentation — the supply-chain planning
+    matrix: ABC cuts parts by cumulative revenue share (A carries the
+    first 80%, B to 95%, C the tail; membership decided by integer
+    CROSS-MULTIPLICATION 5·cum ≤ 4·tot — no float share ever
+    computed) and XYZ by weekly-demand variability (CV of weekly
+    quantities over the GLOBAL week domain — absent weeks are zero
+    demand, and the zero-fill is free because with n = W the moment
+    sums are unchanged: CV² = (W·Σq² − S²)/S², so X/Y/Z membership
+    is the pure-integer compare 4(WΣq² − S²) < S² / WΣq² < 2S²).
+    A-X parts get tight service levels, C-Z gets make-to-order — the
+    decision table this query feeds. Scale: two map-combined rollups
+    (part, part×week); the ABC cumulative runs on the PART-bounded
+    frame (|parts| ≪ |lineitem|; a billion-part catalog would take
+    the revenue_gini two-level banding verbatim)."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("partkey"),
+                  F.expr("CAST(floor(l_extendedprice * 100 + 0.5) "
+                         "AS BIGINT)").alias("cents"),
+                  F.col("l_quantity").cast("long").alias("qty"),
+                  F.to_date(F.date_trunc(
+                      "week", F.to_date("l_shipdate"))).alias("wk"))
+          .localCheckpoint(eager=False))
+    n_weeks = li.agg(F.countDistinct("wk").alias("n_weeks"))
+    rev = li.groupBy("partkey").agg(F.sum("cents").alias("rev_cents"))
+    wcum = (Window.orderBy(F.col("rev_cents").desc(), "partkey")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    rk = (rev.withColumn("cum", F.sum("rev_cents").over(wcum))
+             .withColumn("tot", F.sum("rev_cents").over(
+                 Window.partitionBy())))
+    wq = li.groupBy("partkey", "wk").agg(F.sum("qty").alias("q"))
+    xyz = wq.groupBy("partkey").agg(
+        F.count("*").alias("n_demand_weeks"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("sq"))
+    return (rk.join(xyz, "partkey")
+              .crossJoin(F.broadcast(n_weeks))
+              .select(
+                  "partkey", "rev_cents",
+                  F.expr("CASE WHEN 5 * cum <= 4 * tot THEN 'A' "
+                         "WHEN 20 * cum <= 19 * tot THEN 'B' "
+                         "ELSE 'C' END").alias("abc"),
+                  F.expr("CASE WHEN 4 * (n_weeks * sq - s * s) < s * s "
+                         "THEN 'X' WHEN n_weeks * sq - s * s < s * s "
+                         "THEN 'Y' ELSE 'Z' END").alias("xyz"),
+                  "n_demand_weeks"))

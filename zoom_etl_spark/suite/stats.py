@@ -963,3 +963,100 @@ def ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fl.crossJoin(F.broadcast(k))
               .select("event_type", "p_asym", "rnk", "bh_thresh",
                       (F.col("rnk") <= F.col("kstar")).alias("rejected")))
+
+
+_DID = {
+    "did": "round((CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)"
+           " - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00), 4)",
+    "se": "round(sqrt("
+          " (CAST(n11 AS DOUBLE) * ss11 - CAST(s11 AS DOUBLE) * s11)"
+          " / (CAST(n11 AS DOUBLE) * n11 * (n11 - 1))"
+          " + (CAST(n10 AS DOUBLE) * ss10 - CAST(s10 AS DOUBLE) * s10)"
+          " / (CAST(n10 AS DOUBLE) * n10 * (n10 - 1))"
+          " + (CAST(n01 AS DOUBLE) * ss01 - CAST(s01 AS DOUBLE) * s01)"
+          " / (CAST(n01 AS DOUBLE) * n01 * (n01 - 1))"
+          " + (CAST(n00 AS DOUBLE) * ss00 - CAST(s00 AS DOUBLE) * s00)"
+          " / (CAST(n00 AS DOUBLE) * n00 * (n00 - 1))), 4)",
+}
+
+
+@query("ab_diff_in_diff", oracle=f"""
+WITH b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+h AS (SELECT make_timestamp(epoch_us(t0)
+        + (epoch_us(t1) - epoch_us(t0)) // 2) AS mid FROM b),
+u AS (
+  SELECT user_id % 2 AS grp,
+         CASE WHEN e.ts >= h.mid THEN 1 ELSE 0 END AS post,
+         CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y,
+         CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS yy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events e, h
+  GROUP BY 1, 2, e.user_id
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN grp=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(sum(CASE WHEN grp=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(sum(CASE WHEN grp=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(sum(CASE WHEN grp=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+    CAST(sum(CASE WHEN grp=1 AND post=1 THEN y ELSE 0 END) AS BIGINT) AS s11,
+    CAST(sum(CASE WHEN grp=1 AND post=0 THEN y ELSE 0 END) AS BIGINT) AS s10,
+    CAST(sum(CASE WHEN grp=0 AND post=1 THEN y ELSE 0 END) AS BIGINT) AS s01,
+    CAST(sum(CASE WHEN grp=0 AND post=0 THEN y ELSE 0 END) AS BIGINT) AS s00,
+    CAST(sum(CASE WHEN grp=1 AND post=1 THEN y*y ELSE 0 END) AS HUGEINT) AS ss11,
+    CAST(sum(CASE WHEN grp=1 AND post=0 THEN y*y ELSE 0 END) AS HUGEINT) AS ss10,
+    CAST(sum(CASE WHEN grp=0 AND post=1 THEN y*y ELSE 0 END) AS HUGEINT) AS ss01,
+    CAST(sum(CASE WHEN grp=0 AND post=0 THEN y*y ELSE 0 END) AS HUGEINT) AS ss00
+  FROM u
+)
+SELECT n00, n01, n10, n11,
+       {_DID['did']} AS did_cents,
+       {_DID['se']} AS se_cents
+FROM m
+""")
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the parity arms' effect
+    on per-user spend across the timeline midpoint — the
+    observational-causal staple when randomization can't be assumed:
+    delta = (treated post − treated pre) − (control post − control
+    pre) cancels both the group baseline and the common time trend
+    (the two confounds a naive post-only comparison absorbs), with
+    the unit of analysis a USER-PERIOD cell so the SE is the
+    four-cell pooled standard error of independent means. Exactness:
+    per-user-period integer cent sums feed a single map-combined
+    4-cell moment aggregate (n, Σy, Σy² per cell — Σy² in
+    HUGEINT/decimal), and the estimate/SE are shared-text chains (the
+    ab_welch_ttest discipline; the midpoint is explicit epoch_us
+    arithmetic after the interval-division trap CUPED caught).
+    Scale: one scan, one (user, period)-keyed aggregate, one 1-row
+    fold."""
+    e = table(spark, sf_dir, "events")
+    b = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    h = b.select(F.expr(
+        "timestamp_micros(unix_micros(t0) "
+        "+ (unix_micros(t1) - unix_micros(t0)) div 2)").alias("mid"))
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    u = (e.crossJoin(F.broadcast(h))
+          .groupBy("user_id", (F.col("user_id") % 2).alias("grp"),
+                   F.when(F.col("ts") >= F.col("mid"), 1).otherwise(0)
+                    .alias("post"))
+          .agg(F.sum(cents).alias("y")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cell = lambda g, p: (F.col("grp") == g) & (F.col("post") == p)  # noqa: E731
+    aggs = []
+    for (g, p), tag in (((1, 1), "11"), ((1, 0), "10"),
+                        ((0, 1), "01"), ((0, 0), "00")):
+        aggs += [
+            F.sum(F.when(cell(g, p), 1).otherwise(0)).alias(f"n{tag}"),
+            F.sum(F.when(cell(g, p), F.col("y")).otherwise(0))
+             .alias(f"s{tag}"),
+            dec(F.sum(F.when(cell(g, p), F.col("y") * F.col("y"))
+                       .otherwise(0))).alias(f"ss{tag}"),
+        ]
+    m = u.agg(*aggs)
+    return m.select("n00", "n01", "n10", "n11",
+                    F.expr(_DID["did"]).alias("did_cents"),
+                    F.expr(_DID["se"]).alias("se_cents"))
