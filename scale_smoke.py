@@ -138,6 +138,13 @@ QUERIES = [
     # DiD (one user-period aggregate) and ABC/XYZ (two lineitem
     # rollups + part-bounded cumulative)
     "ab_diff_in_diff", "inventory_abc_xyz",
+    # model-evaluation wave: AUC (cell-bounded windows past one corpus
+    # groupBy), calibration/gains (two-level band rank — band count
+    # rides the score domain, not the corpus), LOO encoding (bounded
+    # category rollup + broadcast), and the lag matrix (user-keyed
+    # RANGE windows — linear in user-days)
+    "model_auc_by_source", "model_calibration_bins",
+    "model_gains_deciles", "target_encode_loo", "feature_lag_matrix",
 ]
 
 KEYED = {

@@ -73,6 +73,7 @@ def _load_suite() -> None:
         joins,
         merge,
         mining,
+        mleval,
         northstar,
         privacy,
         relational,

@@ -1,0 +1,354 @@
+"""Model-evaluation / feature-engineering operators — the offline-ML
+layer a training-data pipeline runs after scoring (SURVEY §2.12
+extensions, composing with ``scoring.ml_infer_linear``'s fused linear
+scorer): exact ROC-AUC from value-grouped rank algebra, reliability
+(calibration) deciles, cumulative-gains/lift, leave-one-out target
+encoding, and the per-entity lag-feature matrix.
+
+Engine-exactness discipline (the stats-suite playbook): every statistic
+is built from exact integer counts; divisions are half-away-from-zero
+ppm on nonnegative numerators via the ``(2*num + den) // (2*den)``
+pattern, products that can cross int64 at production scale ride
+decimal(38) (DuckDB HUGEINT widens automatically); the only float op is
+a single IEEE division immediately rounded (calibration mean). Deciles
+come from a TWO-LEVEL order statistic (the ``revenue_gini`` discipline
+— band by the bounded score domain, prefix-sum band populations, rank
+per-band in parallel) with the ntile bucket derived arithmetically, so
+no global single-task sort exists anywhere; the oracle uses the
+engine's own ``ntile()`` which doubles as a semantics check of the
+bucket arithmetic.
+
+Label/score conventions for the gated demos: score = the integer
+centilogit of ``ml_infer_linear`` (shared expression text), label =
+``lang = 'en'``. Production swaps both for real model outputs; the plan
+shapes are label-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# -- shared scorer text: ml_infer_linear's fused feature+dot-product ----
+_LOGIT_SQL = """
+feats AS (
+  SELECT doc_id, source, lang = 'en' AS y,
+         CAST(-300 + 12 * least(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')), 50)
+              - 40 * len(list_filter(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''),
+                         x -> x IN ('the', 'a', 'of', 'and', 'in', 'to')))
+              + 2 * (len(text) // 10) AS BIGINT) AS score
+  FROM documents
+)"""
+
+
+def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, source, y, score): the Spark twin of
+    ``_LOGIT_SQL`` — one codegen'd expression over the scan."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(toks, lambda x: x.isin("the", "a", "of", "and",
+                                            "in", "to"))
+    logit = (F.lit(-300)
+             + 12 * F.least(F.size(toks), F.lit(50))
+             - 40 * F.size(stops)
+             + 2 * F.expr("length(text) DIV 10"))
+    return d.select("doc_id", "source",
+                    (F.col("lang") == "en").alias("y"),
+                    logit.cast("bigint").alias("score"))
+
+
+def _ranked(feats: DataFrame, descending: bool) -> DataFrame:
+    """Global unique rank over (score, doc_id) via the two-level order
+    statistic: band = score value (bounded domain — the scorer's output
+    grid), band populations prefix-summed in a band-count-sized window,
+    local row_number per band in parallel. Descending ranks reuse the
+    same machinery on the reversed order (score DESC, doc_id DESC)."""
+    r = feats.localCheckpoint(eager=False)
+    bands = r.groupBy("score").agg(F.count("*").alias("bn"))
+    order = F.col("score").desc() if descending else F.col("score").asc()
+    wb = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    offs = bands.select(
+        "score", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"))
+    wl = (Window.partitionBy("score")
+          .orderBy(F.col("doc_id").desc() if descending
+                   else F.col("doc_id").asc()))
+    return (r.join(F.broadcast(offs), "score")
+             .withColumn("i", F.col("off") + F.row_number().over(wl)))
+
+
+# ntile(k) over n rows ranked i (1-based): first n%k buckets take
+# floor(n/k)+1 rows — the standard SQL semantics, reproduced as pure
+# integer arithmetic so no engine needs a single-task global window.
+_NTILE10 = ("CASE WHEN i <= (n % 10) * (n DIV 10 + 1) "
+            "THEN (i - 1) DIV (n DIV 10 + 1) + 1 "
+            "ELSE (n % 10) + (i - (n % 10) * (n DIV 10 + 1) - 1) "
+            "DIV (n DIV 10) + 1 END")
+
+
+@query("model_auc_by_source", oracle=f"""
+WITH {_LOGIT_SQL},
+v AS (
+  SELECT source, score,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos_v,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg_v
+  FROM feats GROUP BY 1, 2
+),
+c AS (
+  SELECT source, pos_v, neg_v,
+         coalesce(sum(neg_v) OVER (PARTITION BY source ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM v
+),
+g AS (
+  SELECT source, CAST(sum(pos_v) AS BIGINT) AS n_pos,
+         CAST(sum(neg_v) AS BIGINT) AS n_neg,
+         CAST(sum(pos_v * (2 * cnb + neg_v)) AS BIGINT) AS u2
+  FROM c GROUP BY 1
+)
+SELECT source, n_pos, n_neg, u2,
+       CAST((2 * 1000000 * CAST(u2 AS HUGEINT)
+             + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS BIGINT)
+         AS auc_ppm
+FROM g
+""")
+def model_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the fused linear scorer per source — the
+    rank-sum identity AUC = U/(n1·n0) with ties at half credit
+    (AUC and Mann-Whitney U are the same statistic; this is the
+    model-evaluation face of ``ab_mann_whitney``'s machinery). No
+    global sort: rows collapse to (source, score) cells first (score
+    is an integer grid, so cells are bounded), the below-count window
+    runs over CELLS within each source, and the doubled-U
+    u2 = Σ pos_v·(2·cum_neg_below + neg_v) stays an exact integer —
+    ties contribute neg_v (half credit doubled). auc_ppm is half-away
+    on the ppm grid with the 1e6 product ridden through
+    decimal/HUGEINT (u2 ~ n²/2 crosses int64·1e-6 near 2M rows per
+    group). One corpus shuffle (the cell groupBy); everything after is
+    cell-sized."""
+    v = (_feats(spark, sf_dir)
+         .groupBy("source", "score")
+         .agg(F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos_v"),
+              F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg_v")))
+    w = (Window.partitionBy("source").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = v.withColumn("cnb", F.coalesce(F.sum("neg_v").over(w), F.lit(0)))
+    g = c.groupBy("source").agg(
+        F.sum("pos_v").alias("n_pos"),
+        F.sum("neg_v").alias("n_neg"),
+        F.sum(F.col("pos_v") * (2 * F.col("cnb") + F.col("neg_v")))
+         .alias("u2"))
+    return g.select(
+        "source", "n_pos", "n_neg", "u2",
+        F.expr("CAST((2 * 1000000 * CAST(u2 AS DECIMAL(38,0)) "
+               "+ 2 * n_pos * n_neg) DIV (4 * n_pos * n_neg) AS BIGINT)")
+         .alias("auc_ppm"))
+
+
+@query("model_calibration_bins", oracle=f"""
+WITH {_LOGIT_SQL},
+b AS (
+  SELECT y, score, ntile(10) OVER (ORDER BY score, doc_id) AS decile
+  FROM feats
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       round(CAST(sum(score) AS DOUBLE) / count(*), 4) AS mean_logit,
+       CAST((2 * 1000000 * sum(CASE WHEN y THEN 1 ELSE 0 END)
+             + count(*)) // (2 * count(*)) AS BIGINT) AS pos_ppm
+FROM b GROUP BY 1
+""")
+def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: score deciles vs observed positive rate —
+    the calibration-curve aggregate (well-calibrated ⇔ predicted
+    probability ≈ pos_ppm per bin, monotone bins ⇔ useful ranking).
+    Deciles are ntile(10) over the UNIQUE (score, doc_id) order,
+    computed WITHOUT a global sort: the two-level band rank (band =
+    integer score value, prefix-summed band offsets, per-band local
+    row_number) yields the global rank i, and the ntile bucket is pure
+    integer arithmetic on (i, n) replicating the engine's
+    first-r-buckets-take-one-extra rule — the oracle's real ntile()
+    certifies the arithmetic. mean_logit is ONE IEEE division on two
+    exact integers, rounded; pos_ppm is half-away integer ppm."""
+    ranked = _ranked(_feats(spark, sf_dir), descending=False)
+    n = ranked.groupBy().agg(F.count("*").alias("n"))
+    b = (ranked.crossJoin(F.broadcast(n))
+         .withColumn("decile", F.expr(_NTILE10).cast("int")))
+    return (b.groupBy("decile")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+                 F.round(F.sum("score").cast("double") / F.count("*"), 4)
+                  .alias("mean_logit"))
+            .withColumn("pos_ppm",
+                        F.expr("CAST((2 * 1000000 * pos + n) "
+                               "DIV (2 * n) AS BIGINT)")))
+
+
+@query("model_gains_deciles", oracle=f"""
+WITH {_LOGIT_SQL},
+b AS (
+  SELECT y, ntile(10) OVER (ORDER BY score DESC, doc_id DESC) AS decile
+  FROM feats
+),
+d AS (
+  SELECT CAST(decile AS INT) AS decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM b GROUP BY 1
+),
+c AS (
+  SELECT decile, n, pos,
+         CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+         CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+         CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+  FROM d
+)
+SELECT decile, n, pos, cum_n, cum_pos,
+       CAST((2 * 1000000 * cum_pos + tot_pos) // (2 * tot_pos) AS BIGINT)
+         AS gain_ppm,
+       CAST((2 * 1000000 * CAST(cum_pos AS HUGEINT) * tot_n
+             + cum_n * tot_pos) // (2 * cum_n * tot_pos) AS BIGINT)
+         AS lift_ppm
+FROM c
+""")
+def model_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table: rank by score DESC, cut into
+    deciles, report what fraction of all positives the top-k deciles
+    capture (gain) and the capture rate relative to random (lift) —
+    the campaign-targeting readout. Decile assignment reuses the
+    two-level descending rank + arithmetic ntile (no global sort);
+    after the per-decile rollup everything is a 10-row frame, so the
+    cumulative windows are driver-trivial. lift's cum_pos·tot_n
+    product rides decimal(38)/HUGEINT (crosses int64 near 3e9 rows);
+    both ratios are half-away integer ppm."""
+    ranked = _ranked(_feats(spark, sf_dir), descending=True)
+    n = ranked.groupBy().agg(F.count("*").alias("n"))
+    b = (ranked.crossJoin(F.broadcast(n))
+         .withColumn("decile", F.expr(_NTILE10).cast("int")))
+    d = b.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    c = (d.withColumn("cum_n", F.sum("n").over(wc))
+          .withColumn("cum_pos", F.sum("pos").over(wc))
+          .withColumn("tot_n", F.sum("n").over(wt))
+          .withColumn("tot_pos", F.sum("pos").over(wt)))
+    return c.select(
+        "decile", "n", "pos", "cum_n", "cum_pos",
+        F.expr("CAST((2 * 1000000 * cum_pos + tot_pos) "
+               "DIV (2 * tot_pos) AS BIGINT)").alias("gain_ppm"),
+        F.expr("CAST((2 * 1000000 * CAST(cum_pos AS DECIMAL(38,0)) * tot_n "
+               "+ cum_n * tot_pos) DIV (2 * cum_n * tot_pos) AS BIGINT)")
+         .alias("lift_ppm"))
+
+
+@query("target_encode_loo", oracle=f"""
+WITH {_LOGIT_SQL},
+cat AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cat_n,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cat_pos
+  FROM feats GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS tot_n,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tot_pos
+  FROM feats
+)
+SELECT f.doc_id, f.source, CAST(f.y AS INT) AS y,
+       CASE WHEN c.cat_n > 1 THEN
+         CAST((2 * 1000000 * (c.cat_pos - CAST(f.y AS INT))
+               + (c.cat_n - 1)) // (2 * (c.cat_n - 1)) AS BIGINT)
+       ELSE
+         CAST((2 * 1000000 * t.tot_pos + t.tot_n) // (2 * t.tot_n)
+              AS BIGINT)
+       END AS enc_ppm
+FROM feats f JOIN cat c USING (source) CROSS JOIN tot t
+""")
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the ``source`` category —
+    the leakage-safe categorical feature: each row's encoded value is
+    the positive rate of its category EXCLUDING the row itself
+    ((cat_pos − y)/(cat_n − 1)), so the row's own label never leaks
+    into its feature (plain mean encoding does leak, and CV folds are
+    the expensive fix). Singleton categories fall back to the global
+    prior. Plan: one category rollup (bounded dim) broadcast back plus
+    the 1-row total — the corpus is scanned once and never shuffled;
+    the encode is a row-local integer expression, half-away ppm with
+    a nonnegative numerator by construction (y ≤ cat_pos)."""
+    f = _feats(spark, sf_dir).localCheckpoint(eager=False)
+    cat = f.groupBy("source").agg(
+        F.count("*").alias("cat_n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cat_pos"))
+    tot = f.agg(F.count("*").alias("tot_n"),
+                F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("tot_pos"))
+    return (f.join(F.broadcast(cat), "source")
+             .crossJoin(F.broadcast(tot))
+             .select("doc_id", "source",
+                     F.col("y").cast("int").alias("y"),
+                     F.expr(
+                         "CASE WHEN cat_n > 1 THEN "
+                         "CAST((2 * 1000000 * (cat_pos - CAST(y AS INT)) "
+                         "+ (cat_n - 1)) DIV (2 * (cat_n - 1)) AS BIGINT) "
+                         "ELSE CAST((2 * 1000000 * tot_pos + tot_n) "
+                         "DIV (2 * tot_n) AS BIGINT) END").alias("enc_ppm")))
+
+
+@query("feature_lag_matrix", oracle="""
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS val_cents
+  FROM events GROUP BY 1, 2
+),
+k AS (
+  SELECT user_id, day, n_events, CAST(val_cents AS BIGINT) AS val_cents,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS dk
+  FROM d
+)
+SELECT user_id, day, n_events, val_cents,
+       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY dk
+           RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT) AS lag1_n,
+       CAST(sum(val_cents) OVER (PARTITION BY user_id ORDER BY dk
+           RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT)
+         AS lag1_cents,
+       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY dk
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n,
+       CAST(sum(val_cents) OVER (PARTITION BY user_id ORDER BY dk
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll7_cents
+FROM k
+""")
+def feature_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) lag-feature matrix — the feature-store
+    precompute for sequence models: daily activity counts and exact
+    cents with calendar-correct lag-1-day and trailing-7-day rollups.
+    RANGE frames over the integer day index make the windows
+    CALENDAR-aware (a user absent yesterday gets NULL lag, not the
+    previous-row value a ROWS frame would leak; the 7-day sum spans
+    exactly 7 calendar days however sparse the activity). All features
+    are exact integers; the daily rollup is map-side combined, then
+    one user-keyed window pass computes every feature — two shuffles
+    total, both on user keys, skew-bounded by per-user day counts."""
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+          .agg(F.count("*").alias("n_events"),
+               F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+                .alias("val_cents"))
+          .withColumn("dk", F.datediff("day", F.lit("1970-01-01"))
+                      .cast("bigint")))
+    wl = (Window.partitionBy("user_id").orderBy("dk").rangeBetween(-1, -1))
+    w7 = (Window.partitionBy("user_id").orderBy("dk").rangeBetween(-6, 0))
+    return d.select(
+        "user_id", "day", "n_events", "val_cents",
+        F.sum("n_events").over(wl).alias("lag1_n"),
+        F.sum("val_cents").over(wl).alias("lag1_cents"),
+        F.sum("n_events").over(w7).alias("roll7_n"),
+        F.sum("val_cents").over(w7).alias("roll7_cents"))
