@@ -145,6 +145,13 @@ QUERIES = [
     # RANGE windows — linear in user-days)
     "model_auc_by_source", "model_calibration_bins",
     "model_gains_deciles", "target_encode_loo", "feature_lag_matrix",
+    # correlation/association wave: Spearman (banded midrank cells —
+    # the value-cell join is the only data-sized piece past the
+    # rollup), Kendall (domain-bounded grid, pair counts via 2D
+    # prefix — grid size must NOT grow at 10x), MI (lang x source
+    # cells), max drawdown (day-bounded windows)
+    "corr_spearman", "corr_kendall", "mutual_info_lang_source",
+    "revenue_max_drawdown",
 ]
 
 KEYED = {

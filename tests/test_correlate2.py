@@ -1,0 +1,70 @@
+"""Pure-Python replay gates for mutual_info_lang_source and
+revenue_max_drawdown — statistics recomputed from the raw parquet with
+independent Python (math.log / running folds), no SQL on either side."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from zoom_etl_spark.registry import all_queries
+
+
+def _nlogn_unat(n: int) -> int:
+    return math.floor(n * math.log(n) * 1000000 + 0.5)
+
+
+def test_mutual_info_replays(spark, sf_dir):
+    row = all_queries()["mutual_info_lang_source"].fn(
+        spark, sf_dir).collect()[0].asDict()
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cells = d.groupby(["lang", "source"]).size()
+    mx = d.groupby("lang").size()
+    my = d.groupby("source").size()
+    n = len(d)
+    assert row["n"] == n
+    assert row["n_cells"] == len(cells)
+    assert row["n_lang"] == len(mx) and row["n_source"] == len(my)
+    s_xy = sum(_nlogn_unat(c) for c in cells)
+    s_x = sum(_nlogn_unat(c) for c in mx)
+    s_y = sum(_nlogn_unat(c) for c in my)
+    mi = round(((s_xy - s_x - s_y) / 1e6 / n + math.log(n)) * 1e6)
+    hx = round((math.log(n) - s_x / 1e6 / n) * 1e6)
+    hy = round((math.log(n) - s_y / 1e6 / n) * 1e6)
+    assert row["mi_e6"] == mi
+    assert row["h_lang_e6"] == hx and row["h_source_e6"] == hy
+    # information inequalities (allow quantization slack of a few
+    # micro-nats): 0 <= MI <= min(H_x, H_y)
+    assert -5 <= row["mi_e6"] <= min(row["h_lang_e6"],
+                                     row["h_source_e6"]) + 5
+    # cross-check against the float-accumulated textbook formula
+    mi_float = sum((c / n) * math.log(n * c / (mx[lg] * my[src]))
+                   for (lg, src), c in cells.items())
+    assert abs(row["mi_e6"] / 1e6 - mi_float) < 1e-4
+
+
+def test_max_drawdown_replays(spark, sf_dir):
+    row = all_queries()["revenue_max_drawdown"].fn(
+        spark, sf_dir).collect()[0].asDict()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o.assign(day=pd.to_datetime(o["o_orderdate"]).dt.date,
+                 cents=(o["o_totalprice"] * 100 + 0.5).map(math.floor))
+    daily = o.groupby("day")["cents"].sum().sort_index()
+    cum = peak = 0
+    peak_day = None
+    best = (-1, None, None, None, None)  # dd, trough_day, ...
+    for day, c in daily.items():
+        cum += c
+        if cum >= peak:  # ties -> latest peak day (composite-key rule)
+            peak, peak_day = cum, day
+        dd = peak - cum
+        if dd > best[0]:
+            best = (dd, day, peak_day, peak, cum)
+    dd, trough_day, pk_day, pk_cum, tr_cum = best
+    assert row["drawdown_cents"] == dd
+    assert row["trough_day"] == trough_day
+    assert row["peak_day"] == pk_day
+    assert row["peak_cum_cents"] == pk_cum
+    assert row["trough_cum_cents"] == tr_cum
+    assert row["dd_ppm"] == (2 * 1000000 * dd + pk_cum) // (2 * pk_cum)

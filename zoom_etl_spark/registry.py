@@ -67,6 +67,7 @@ def _load_suite() -> None:
     from .suite import (  # noqa: F401
         aggregates,
         analytics,
+        correlate,
         curation,
         geo,
         graph,

@@ -625,3 +625,84 @@ def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.min_by("vm", ord_).alias("v_first"),
                    F.max_by("vm", ord_).alias("v_last"),
                    F.count("*").alias("n")))
+
+
+_DD_PPM = "CAST((2 * 1000000 * dd + peak_cum) div (2 * peak_cum) AS BIGINT)"
+
+
+@query("revenue_max_drawdown", oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, c,
+         sum(c) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY day) AS idx
+  FROM d
+),
+p AS (
+  SELECT *,
+         max(CAST(cum AS HUGEINT) * 100000 + idx) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+  FROM r
+),
+dd AS (
+  SELECT day AS trough_day, cum AS trough_cum,
+         CAST(pk // 100000 AS BIGINT) AS peak_cum,
+         CAST(pk % 100000 AS BIGINT) AS peak_idx,
+         CAST(pk // 100000 - cum AS BIGINT) AS dd
+  FROM p
+),
+best AS (
+  SELECT * FROM dd ORDER BY dd DESC, trough_day ASC LIMIT 1
+)
+SELECT b.trough_day, r2.day AS peak_day,
+       CAST(b.peak_cum AS BIGINT) AS peak_cum_cents,
+       CAST(b.trough_cum AS BIGINT) AS trough_cum_cents,
+       b.dd AS drawdown_cents,
+       CAST((2 * 1000000 * b.dd + b.peak_cum) // (2 * b.peak_cum)
+            AS BIGINT) AS dd_ppm
+FROM best b JOIN r r2 ON r2.idx = b.peak_idx
+""")
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue — the
+    risk-analytics staple (largest peak-to-trough fall of a running
+    series), answered with WHICH peak day and trough day produced it.
+    Exact integers end to end: daily cents roll up map-combined, the
+    cumulative/peak windows run over the DAY-BOUNDED series (the
+    acf/cusum scale posture — |days|, never |orders|), and the
+    running peak carries its day along as one scalar composite key
+    cum·1e5 + idx on decimal(38)/HUGEINT (the downsample_m4 composite
+    trick: DuckDB window max over structs is unavailable, and the
+    composite makes 'latest peak day among equal peaks' the
+    deterministic tie rule in both engines). The trough is the
+    earliest day achieving the maximal drawdown (ORDER BY dd DESC,
+    day ASC LIMIT 1 — TakeOrderedAndProject, no full sort); dd_ppm
+    is half-away integer ppm of the peak."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+               .alias("c")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = (d.withColumn("cum", F.sum("c").over(w))
+          .withColumn("idx", F.row_number().over(Window.orderBy("day")))
+          .localCheckpoint(eager=False))
+    p = r.withColumn(
+        "pk", F.max(F.expr("CAST(cum AS DECIMAL(38,0)) * 100000 + idx"))
+              .over(w))
+    dd = p.select(
+        F.col("day").alias("trough_day"), F.col("cum").alias("trough_cum"),
+        F.expr("CAST(pk div 100000 AS BIGINT)").alias("peak_cum"),
+        F.expr("CAST(pk % 100000 AS BIGINT)").alias("peak_idx"),
+        F.expr("CAST(pk div 100000 - cum AS BIGINT)").alias("dd"))
+    best = dd.orderBy(F.desc("dd"), F.asc("trough_day")).limit(1)
+    return (best.join(F.broadcast(r), best["peak_idx"] == r["idx"])
+            .select("trough_day", F.col("day").alias("peak_day"),
+                    F.col("peak_cum").alias("peak_cum_cents"),
+                    F.col("trough_cum").alias("trough_cum_cents"),
+                    F.col("dd").alias("drawdown_cents"),
+                    F.expr(_DD_PPM).alias("dd_ppm")))
