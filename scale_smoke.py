@@ -152,6 +152,10 @@ QUERIES = [
     # cells), max drawdown (day-bounded windows)
     "corr_spearman", "corr_kendall", "mutual_info_lang_source",
     "revenue_max_drawdown",
+    # conformal thresholds (calibration rank join + score-cell
+    # coverage — cells ride the scorer grid, not the corpus) and WoE
+    # (category-bounded rollup)
+    "conformal_threshold", "encode_woe_iv",
 ]
 
 KEYED = {

@@ -178,3 +178,52 @@ def test_feature_lag_matrix_calendar_gap():
     import math
     for v in (0.005, 1.005, 2.675, 99.994999, 10.0):
         assert int(v * 100 + 0.5) == math.floor(v * 100 + 0.5)
+
+
+def test_conformal_threshold_replays(spark, sf_dir):
+    rows = {r["c_permil"]: r.asDict() for r in
+            all_queries()["conformal_threshold"].fn(spark, sf_dir).collect()}
+    d = _docs(sf_dir)
+    cal = d[d["doc_id"] % 5 == 0].sort_values(["score", "doc_id"])
+    ev = d[d["doc_id"] % 5 != 0]
+    n_cal, eval_n = len(cal), len(ev)
+    assert set(rows) == {800, 900, 950, 990}
+    for c, r in rows.items():
+        k = min(-(-(n_cal + 1) * c // 1000), n_cal)
+        thr = int(cal["score"].iloc[k - 1])
+        covered = int((ev["score"] <= thr).sum())
+        assert (r["n_cal"], r["k"], r["thr_score"]) == (n_cal, k, thr), c
+        assert (r["eval_n"], r["covered"]) == (eval_n, covered)
+        assert r["cov_ppm"] == _half_away(1000000 * covered, eval_n)
+        # conformal validity direction: achieved coverage should not sit
+        # wildly under target (exchangeability holds by construction
+        # here, so allow a generous finite-sample band)
+        assert r["cov_ppm"] >= c * 1000 - 100000
+    # thresholds are monotone in the target coverage
+    thrs = [rows[c]["thr_score"] for c in (800, 900, 950, 990)]
+    assert thrs == sorted(thrs)
+
+
+def test_woe_iv_replays(spark, sf_dir):
+    import math
+    got = {r["source"]: r.asDict() for r in
+           all_queries()["encode_woe_iv"].fn(spark, sf_dir).collect()}
+    d = _docs(sf_dir)
+    tot_pos = int(d["y"].sum())
+    tot_neg = len(d) - tot_pos
+    assert set(got) == set(d["source"].unique())
+    for src, grp in d.groupby("source"):
+        cp = int(grp["y"].sum())
+        cn = len(grp) - cp
+        r = got[src]
+        assert (r["cat_pos"], r["cat_neg"]) == (cp, cn)
+        if cp == 0 or cn == 0:
+            assert r["woe_e6"] is None and r["iv_e9"] is None
+            continue
+        woe = math.log(cp * tot_neg / (cn * tot_pos))
+        assert r["woe_e6"] == round(woe * 1e6)
+        iv = (cp / tot_pos - cn / tot_neg) * woe
+        assert r["iv_e9"] == round(iv * 1e9)
+        # IV contributions are nonnegative by construction: the sign of
+        # (dist_pos - dist_neg) always matches the sign of the log-odds
+        assert r["iv_e9"] >= 0

@@ -352,3 +352,136 @@ def feature_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val_cents").over(wl).alias("lag1_cents"),
         F.sum("n_events").over(w7).alias("roll7_n"),
         F.sum("val_cents").over(w7).alias("roll7_cents"))
+
+
+_COV_PPM = "CAST((2 * 1000000 * covered + eval_n) DIV (2 * eval_n) AS BIGINT)"
+
+
+@query("conformal_threshold", oracle=f"""
+WITH {_LOGIT_SQL},
+cal AS (SELECT * FROM feats WHERE doc_id % 5 = 0),
+r AS (SELECT score, row_number() OVER (ORDER BY score, doc_id) AS i
+      FROM cal),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+lv AS (SELECT CAST(unnest([800, 900, 950, 990]) AS BIGINT) AS c_permil),
+kk AS (
+  SELECT c_permil, n_cal,
+         least(((n_cal + 1) * c_permil + 999) // 1000, n_cal) AS k
+  FROM lv, nn
+),
+t AS (
+  SELECT kk.c_permil, kk.n_cal, kk.k, r.score AS thr_score
+  FROM kk JOIN r ON r.i = kk.k
+),
+ev AS (SELECT score FROM feats WHERE doc_id % 5 <> 0),
+en AS (SELECT CAST(count(*) AS BIGINT) AS eval_n FROM ev),
+cov AS (
+  SELECT t.c_permil, t.n_cal, t.k, t.thr_score, en.eval_n,
+         CAST(sum(CASE WHEN ev.score <= t.thr_score THEN 1 ELSE 0 END)
+              AS BIGINT) AS covered
+  FROM t, ev, en GROUP BY 1, 2, 3, 4, 5
+)
+SELECT c_permil, n_cal, k, thr_score, eval_n, covered,
+       CAST((2 * 1000000 * covered + eval_n) // (2 * eval_n) AS BIGINT)
+         AS cov_ppm
+FROM cov
+""")
+def conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the fused scorer: on a
+    deterministic hash split (doc_id % 5 = 0 -> calibration), the
+    conformal threshold for target coverage c is the k-th smallest
+    calibration score with k = ceil((n_cal + 1) * c) (clamped to
+    n_cal) — the finite-sample-valid quantile rule of split conformal
+    prediction — reported for four coverage levels alongside the
+    ACHIEVED coverage on the held-out split (half-away ppm). Exact
+    order statistics without a global sort: the k-th value comes from
+    the same two-level band rank as the calibration/gains deciles
+    (band = integer score, prefix-summed offsets, per-band
+    row_number over the UNIQUE (score, doc_id) order); held-out
+    coverage is one pass over held-out SCORE CELLS (bounded by the
+    scorer's grid) cross-joined with the 4-row threshold frame. The
+    only data-sized ops are the calibration rank join and the two
+    cell aggregates."""
+    f = _feats(spark, sf_dir).localCheckpoint(eager=False)
+    cal = f.filter(F.col("doc_id") % 5 == 0)
+    ranked = _ranked(cal, descending=False)
+    nn = cal.groupBy().agg(F.count("*").alias("n_cal"))
+    lv = spark.createDataFrame([(800,), (900,), (950,), (990,)],
+                               "c_permil long")
+    kk = lv.crossJoin(F.broadcast(nn)).select(
+        "c_permil", "n_cal",
+        F.expr("least(((n_cal + 1) * c_permil + 999) DIV 1000, n_cal)")
+         .alias("k"))
+    t = (ranked.join(F.broadcast(kk), ranked["i"] == kk["k"])
+         .select("c_permil", "n_cal", "k",
+                 F.col("score").alias("thr_score")))
+    ev = (f.filter(F.col("doc_id") % 5 != 0)
+           .groupBy("score").agg(F.count("*").alias("cnt")))
+    en = ev.groupBy().agg(F.sum("cnt").alias("eval_n"))
+    cov = (ev.crossJoin(F.broadcast(t))
+           .groupBy("c_permil", "n_cal", "k", "thr_score")
+           .agg(F.sum(F.when(F.col("score") <= F.col("thr_score"),
+                             F.col("cnt")).otherwise(0)).alias("covered"))
+           .crossJoin(F.broadcast(en)))
+    return cov.select("c_permil", "n_cal", "k", "thr_score", "eval_n",
+                      "covered", F.expr(_COV_PPM).alias("cov_ppm"))
+
+
+# WoE in integer micro-nats: one ln per category over an exact integer
+# ratio (shared text in both engines); NULL-guarded for one-sided cells
+_WOE_E6 = ("CASE WHEN cat_pos = 0 OR cat_neg = 0 THEN NULL ELSE "
+           "CAST(round(ln(CAST(cat_pos AS DOUBLE) * tot_neg / "
+           "(CAST(cat_neg AS DOUBLE) * tot_pos)) * 1000000, 0) "
+           "AS BIGINT) END")
+# IV contribution: (dist_pos - dist_neg) * WoE, reported in e9 so the
+# two shared-text float multiplies keep 3 significant digits past ppm
+_IV_E9 = ("CASE WHEN cat_pos = 0 OR cat_neg = 0 THEN NULL ELSE "
+          "CAST(round((CAST(cat_pos AS DOUBLE) / tot_pos "
+          "- CAST(cat_neg AS DOUBLE) / tot_neg) * "
+          "ln(CAST(cat_pos AS DOUBLE) * tot_neg / "
+          "(CAST(cat_neg AS DOUBLE) * tot_pos)) * 1000000000, 0) "
+          "AS BIGINT) END")
+
+
+@query("encode_woe_iv", oracle=f"""
+WITH {_LOGIT_SQL},
+cat AS (
+  SELECT source,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cat_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cat_neg
+  FROM feats GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cat_pos) AS BIGINT) AS tot_pos,
+         CAST(sum(cat_neg) AS BIGINT) AS tot_neg
+  FROM cat
+)
+SELECT source, cat_pos, cat_neg, {_WOE_E6} AS woe_e6, {_IV_E9} AS iv_e9
+FROM cat, tot
+""")
+def encode_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of the ``source`` category against
+    the binary label, with each category's information-value
+    contribution — the credit-scoring-native alternative to
+    ``target_encode_loo`` (WoE is the log-odds ratio, so a downstream
+    logistic model consumes it linearly; IV = Σ(dist_pos −
+    dist_neg)·WoE ranks features by separation power: <0.02
+    useless, >0.5 suspicious). WoE_c = ln(pos_c·neg_tot /
+    (neg_c·pos_tot)) — ONE ln per category over an exact integer
+    ratio (micro-nat quantization, the mixture_entropy discipline);
+    the IV term adds two shared-text float multiplies, reported in
+    1e-9 units. One-sided categories (no positives or no negatives)
+    yield NULL rather than ±inf — the standard smoothing decision is
+    left to the caller. Plan: one corpus scan, one category-bounded
+    rollup, a 1-row total broadcast; nothing data-sized after the
+    scan."""
+    f = _feats(spark, sf_dir)
+    cat = f.groupBy("source").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cat_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("cat_neg"))
+    tot = cat.agg(F.sum("cat_pos").alias("tot_pos"),
+                  F.sum("cat_neg").alias("tot_neg"))
+    return (cat.crossJoin(F.broadcast(tot))
+            .select("source", "cat_pos", "cat_neg",
+                    F.expr(_WOE_E6).alias("woe_e6"),
+                    F.expr(_IV_E9).alias("iv_e9")))
