@@ -156,6 +156,9 @@ QUERIES = [
     # coverage — cells ride the scorer grid, not the corpus) and WoE
     # (category-bounded rollup)
     "conformal_threshold", "encode_woe_iv",
+    # reconciliation checksum (6 md5s/row — CPU-bound linear scan, no
+    # shuffle) and the closed-form 2-factor OLS (day-bounded moments)
+    "table_fingerprint", "ols_two_factor",
 ]
 
 KEYED = {

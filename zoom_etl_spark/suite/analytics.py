@@ -1814,3 +1814,78 @@ def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "THEN 'X' WHEN n_weeks * sq - s * s < s * s "
                          "THEN 'Y' ELSE 'Z' END").alias("xyz"),
                   "n_demand_weeks"))
+
+
+# engine-portable 32-bit content hash: the first 8 hex chars of
+# md5(CAST(col AS STRING)) parsed digit-by-digit with instr (md5 and
+# instr(haystack, needle) share signature and output across
+# Spark/DuckDB; there is no portable hex->int cast)
+def _h8(col_sql: str) -> str:
+    hexmap = ("CAST(instr('0123456789abcdef', "
+              "substr(md5({s}), {i}, 1)) - 1 AS BIGINT)")
+    terms = " + ".join(
+        f"{hexmap.format(s=col_sql, i=i)} * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    return f"({terms})"
+
+
+_FP_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("total_cents", "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+                    "AS STRING)"),
+    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS STRING)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+def _fp_oracle() -> str:
+    rows = []
+    for name, sql in _FP_COLS:
+        rows.append(f"""
+SELECT '{name}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({sql}) AS BIGINT) AS n_null,
+       CAST(CAST(sum({_h8(sql)}) AS HUGEINT) % 4294967296 AS BIGINT)
+         AS checksum
+FROM orders""")
+        # NULL inputs hash to NULL -> sum skips them; counted in n_null
+    return "\nUNION ALL\n".join(rows)
+
+
+@query("table_fingerprint", oracle=_fp_oracle())
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-column table fingerprint — the
+    data-reconciliation primitive for comparing replicas/migrations
+    without moving rows (the production question behind the
+    reference's staging-vs-final reconciliation, load.py:193-235,
+    asked at table granularity): per column, row count, NULL count,
+    and a commutative content checksum Σ h32(canonical_string) mod
+    2^32. h32 is the first 8 hex digits of md5 parsed digit-by-digit
+    via instr — md5 IS engine-portable where every native hash
+    (xxhash64 / duckdb hash()) is not, so the oracle match itself
+    proves two independent engines agree on the table's content, the
+    exact guarantee a cross-system reconciliation needs. Canonical
+    forms pin the string layer: integers/dates via CAST AS STRING
+    (identical text both engines), money as integer cents — doubles
+    are never fingerprinted raw. The sum is order-free (no
+    coordination between partitions) and accumulates in
+    decimal(38)/HUGEINT before the mod. Plan: ONE map-combined scan
+    computes all 6 columns' aggregates; the per-column rows come from
+    a stack() unpivot of the 1-row frame."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for name, sql in _FP_COLS:
+        aggs += [
+            F.count("*").alias(f"{name}__n"),
+            (F.count("*") - F.count(F.expr(sql))).alias(f"{name}__nn"),
+            F.expr(f"CAST(CAST(sum({_h8(sql)}) AS DECIMAL(38,0)) "
+                   "% 4294967296 AS BIGINT)").alias(f"{name}__ck"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__n, {name}__nn, {name}__ck"
+        for name, _ in _FP_COLS)
+    return one.select(F.expr(
+        f"stack({len(_FP_COLS)}, {stack_args}) "
+        "AS (col, n_rows, n_null, checksum)"))

@@ -706,3 +706,106 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("trough_cum").alias("trough_cum_cents"),
                     F.col("dd").alias("drawdown_cents"),
                     F.expr(_DD_PPM).alias("dd_ppm")))
+
+
+# centered normal equations on exact integer moments; slopes are exact
+# integer ratios pushed through ONE shared-text IEEE division each
+_OLS2 = {
+    "b1": "round(CAST(pp * c2 - qq * bb AS DOUBLE) "
+          "/ CAST(aa * c2 - bb * bb AS DOUBLE), 8)",
+    "b2": "round(CAST(qq * aa - pp * bb AS DOUBLE) "
+          "/ CAST(aa * c2 - bb * bb AS DOUBLE), 8)",
+    "b0": "round((CAST(sy AS DOUBLE) "
+          "- (CAST(pp * c2 - qq * bb AS DOUBLE) "
+          "/ CAST(aa * c2 - bb * bb AS DOUBLE)) * sx1 "
+          "- (CAST(qq * aa - pp * bb AS DOUBLE) "
+          "/ CAST(aa * c2 - bb * bb AS DOUBLE)) * sx2) / n, 4)",
+    "r2": "round((CAST(pp * c2 - qq * bb AS DOUBLE) * pp "
+          "+ CAST(qq * aa - pp * bb AS DOUBLE) * qq) "
+          "/ (CAST(aa * c2 - bb * bb AS DOUBLE) "
+          "* CAST(n * syy - sy * sy AS DOUBLE)), 6)",
+}
+
+
+@query("ols_two_factor", oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x1,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS x2,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+         CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+         CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+         CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+         CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM d
+),
+c AS (
+  SELECT n, sx1, sx2, sy, syy,
+         n * s11 - sx1 * sx1 AS aa, n * s12 - sx1 * sx2 AS bb,
+         n * s22 - sx2 * sx2 AS c2, n * s1y - sx1 * sy AS pp,
+         n * s2y - sx2 * sy AS qq
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       {_OLS2['b0']} AS beta0, {_OLS2['b1']} AS beta1,
+       {_OLS2['b2']} AS beta2, {_OLS2['r2']} AS r2
+FROM c
+""")
+def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature multiple linear regression in closed form: daily
+    revenue (cents) on daily order count and daily distinct
+    customers, solved from the CENTERED normal equations by Cramer's
+    rule — β₁ = (P·C − Q·B)/(A·C − B²), its mirror for β₂, intercept
+    from the means, R² = (β₁P + β₂Q)/Syy_c. This is `trend_linefit`
+    grown to the multivariate case: every moment (n, Σx, Σx², Σxy,
+    Σy²) is an exact integer from ONE map-combined day rollup, the
+    centered products ride decimal(38)/HUGEINT (n²·x̄·ȳ crosses
+    int64 around sf1 revenue magnitudes), and each coefficient is a
+    single shared-text IEEE chain over those integers — bit-identical
+    across engines without tolerance. Degenerate collinearity
+    (det = 0) would NULL the betas via division producing
+    NULL-on-zero… it does not occur on this data and real pipelines
+    precondition. Plan: day rollup (day-domain-bounded output), one
+    1-row moment fold; scale-invariant past the scan since |days|
+    doesn't grow with SF."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.count("*").alias("x1"),
+               F.countDistinct("o_custkey").alias("x2"),
+               F.sum(F.expr(
+                   "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .alias("y")))
+    dec = lambda e: F.expr(e).cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x1")).cast("decimal(38,0)").alias("sx1"),
+        F.sum(dec("x2")).cast("decimal(38,0)").alias("sx2"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x1 * x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(dec("x1 * x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(dec("x2 * x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(dec("x1 * y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(dec("x2 * y")).cast("decimal(38,0)").alias("s2y"),
+        F.sum(dec("CAST(y AS DECIMAL(38,0)) * y")).cast("decimal(38,0)")
+         .alias("syy"))
+    c = m.select(
+        "n", "sx1", "sx2", "sy", "syy",
+        F.expr("n * s11 - sx1 * sx1").alias("aa"),
+        F.expr("n * s12 - sx1 * sx2").alias("bb"),
+        F.expr("n * s22 - sx2 * sx2").alias("c2"),
+        F.expr("n * s1y - sx1 * sy").alias("pp"),
+        F.expr("n * s2y - sx2 * sy").alias("qq"))
+    return c.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(_OLS2["b0"]).alias("beta0"),
+        F.expr(_OLS2["b1"]).alias("beta1"),
+        F.expr(_OLS2["b2"]).alias("beta2"),
+        F.expr(_OLS2["r2"]).alias("r2"))
