@@ -159,6 +159,9 @@ QUERIES = [
     # reconciliation checksum (6 md5s/row — CPU-bound linear scan, no
     # shuffle) and the closed-form 2-factor OLS (day-bounded moments)
     "table_fingerprint", "ols_two_factor",
+    # ranking-eval + corpus-similarity: NDCG (query-term-keyed posting
+    # build, grade-count IDCG), source cosine (vocab-keyed self-join)
+    "search_ndcg", "source_term_cosine",
 ]
 
 KEYED = {

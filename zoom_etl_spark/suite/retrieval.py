@@ -18,6 +18,8 @@ integers so cell stats are exact in both engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -939,3 +941,229 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("phrase_count").desc(), "phrase")))
     return (rk.filter(F.col("rk") <= 50)
               .select("phrase", "n_words", "phrase_count", "score_e6"))
+
+
+# 1e9-scaled inverse log2(i+1) discounts for positions 1..10 —
+# precomputed Python literals (the dq_benford discipline: neither
+# engine ever evaluates the log)
+_NDCG_DISC_E9 = [round(1e9 / math.log2(i + 1)) for i in range(1, 11)]
+_NDCG_TERMS = "'join', 'stream', 'filter'"
+
+
+@query("search_ndcg", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKSQL} AS toks FROM documents
+),
+rel AS (
+  SELECT doc_id, toks,
+         CAST(len(list_intersect(toks, [{_NDCG_TERMS}])) AS BIGINT) AS rel
+  FROM tok
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(len(toks)) AS BIGINT) AS tottok
+      FROM tok),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({_NDCG_TERMS})
+  GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * len(tok.toks)
+                                   / (tottok / nd)))) AS s
+  FROM tf
+  JOIN tok ON tok.doc_id = tf.doc_id
+  JOIN df USING (term) CROSS JOIN n
+  GROUP BY 1
+),
+top AS (
+  SELECT sc.doc_id, rel.rel,
+         row_number() OVER (ORDER BY round(s, 4) DESC, sc.doc_id) AS pos
+  FROM sc JOIN rel ON rel.doc_id = sc.doc_id
+  ORDER BY round(s, 4) DESC, sc.doc_id LIMIT 10
+),
+disc AS (
+  SELECT CAST(range + 1 AS BIGINT) AS pos,
+         CAST(([{','.join(str(d) for d in _NDCG_DISC_E9)}])[range + 1]
+              AS BIGINT) AS disc_e9
+  FROM range(0, 10)
+),
+dcg AS (
+  SELECT CAST(sum(CAST((1 << rel) - 1 AS BIGINT) * disc_e9) AS BIGINT)
+           AS dcg_e9
+  FROM top JOIN disc USING (pos)
+),
+gc AS (SELECT rel, CAST(count(*) AS BIGINT) AS c FROM rel GROUP BY 1),
+cnt AS (
+  SELECT CAST(coalesce(sum(CASE WHEN rel = 3 THEN c END), 0) AS BIGINT)
+           AS c3,
+         CAST(coalesce(sum(CASE WHEN rel = 2 THEN c END), 0) AS BIGINT)
+           AS c2,
+         CAST(coalesce(sum(CASE WHEN rel = 1 THEN c END), 0) AS BIGINT)
+           AS c1
+  FROM gc
+),
+ideal AS (
+  SELECT disc.pos, disc.disc_e9,
+         CAST(CASE WHEN disc.pos <= c3 THEN 7
+              WHEN disc.pos <= c3 + c2 THEN 3
+              WHEN disc.pos <= c3 + c2 + c1 THEN 1
+              ELSE 0 END AS BIGINT) AS gain
+  FROM disc, cnt
+),
+idcg AS (
+  SELECT CAST(sum(gain * disc_e9) AS BIGINT) AS idcg_e9 FROM ideal
+)
+SELECT dcg_e9, idcg_e9,
+       CAST((2 * 1000000 * dcg_e9 + idcg_e9) // (2 * idcg_e9) AS BIGINT)
+         AS ndcg_ppm
+FROM dcg, idcg
+""")
+def search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against a deterministic graded
+    relevance (grade = number of distinct query terms the document
+    contains, gain = 2^rel − 1) — the ranking-quality readout every
+    search/RAG evaluation harness computes over its lexical-recall
+    stage. Engine-exact log-free form: the position discounts
+    1/log2(i+1) enter as ten precomputed 1e9-scaled integer literals
+    (the dq_benford discipline), so DCG and ideal DCG are exact
+    integer dot products; the ideal ranking needs NO sort — relevance
+    grades are 0..3, so IDCG falls out of the four GRADE COUNTS via
+    CASE over positions 1..10; ndcg_ppm is half-away integer ppm.
+    Plan: the BM25 posting build is the only corpus shuffle
+    (query-term-keyed, as in bm25_search), the top-10 is
+    TakeOrderedAndProject, grade counts are one 4-cell aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _toks().alias("toks"))
+    tok = tok.localCheckpoint(eager=False)
+    terms = ["join", "stream", "filter"]
+    rel = tok.select(
+        "doc_id",
+        F.size(F.array_intersect(
+            "toks", F.array(*[F.lit(t) for t in terms]))).cast("long")
+         .alias("rel"))
+    rel = rel.localCheckpoint(eager=False)
+    n = tok.agg(F.count("*").cast("double").alias("nd"),
+                F.sum(F.size("toks")).cast("bigint").alias("tottok"))
+    tf = (tok.select("doc_id", F.explode("toks").alias("term"))
+          .filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    sc = (tf.join(tok, "doc_id").join(F.broadcast(df), "term")
+            .crossJoin(F.broadcast(n))
+            .groupBy("doc_id")
+            .agg(F.sum(
+                F.expr("ln((nd - df + 0.5) / (df + 0.5) + 1.0)")
+                * F.col("tf") * 2.2
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.size("toks")
+                                        / (F.col("tottok")
+                                           / F.col("nd"))))).alias("s")))
+    top = (sc.join(rel, "doc_id")
+             .orderBy(F.round("s", 4).desc(), "doc_id").limit(10)
+             .withColumn("pos", F.row_number().over(
+                 Window.orderBy(F.round("s", 4).desc(), "doc_id"))))
+    disc_arr = F.array(*[F.lit(v).cast("long") for v in _NDCG_DISC_E9])
+    disc = (spark.range(1, 11)
+            .select(F.col("id").cast("long").alias("pos"),
+                    F.element_at(disc_arr, F.col("id").cast("int"))
+                     .alias("disc_e9")))
+    dcg = (top.join(F.broadcast(disc), "pos")
+           .agg(F.sum(F.expr("CAST((1 << rel) - 1 AS BIGINT)")
+                      * F.col("disc_e9"))
+                 .cast("long").alias("dcg_e9")))
+    gc = rel.groupBy("rel").agg(F.count("*").alias("c"))
+    cnt = gc.agg(
+        F.coalesce(F.sum(F.when(F.col("rel") == 3, F.col("c"))), F.lit(0))
+         .alias("c3"),
+        F.coalesce(F.sum(F.when(F.col("rel") == 2, F.col("c"))), F.lit(0))
+         .alias("c2"),
+        F.coalesce(F.sum(F.when(F.col("rel") == 1, F.col("c"))), F.lit(0))
+         .alias("c1"))
+    ideal = disc.crossJoin(F.broadcast(cnt)).select(
+        F.expr("CAST(CASE WHEN pos <= c3 THEN 7 "
+               "WHEN pos <= c3 + c2 THEN 3 "
+               "WHEN pos <= c3 + c2 + c1 THEN 1 ELSE 0 END AS BIGINT)")
+         .alias("gain"),
+        "disc_e9")
+    idcg = ideal.agg(F.sum(F.col("gain") * F.col("disc_e9"))
+                     .cast("long").alias("idcg_e9"))
+    return (dcg.crossJoin(F.broadcast(idcg))
+            .select("dcg_e9", "idcg_e9",
+                    F.expr("CAST((2 * 1000000 * dcg_e9 + idcg_e9) "
+                           "DIV (2 * idcg_e9) AS BIGINT)")
+                     .alias("ndcg_ppm")))
+
+
+_COS = ("round(CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) "
+        "* sqrt(CAST(n2 AS DOUBLE))), 6)")
+
+
+@query("source_term_cosine", oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKSQL}) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+nrm AS (
+  SELECT source, CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS nn
+  FROM tf GROUP BY 1
+),
+dots AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1, s2, CAST(dot AS BIGINT) AS dot,
+       CAST(n1.nn AS BIGINT) AS n1_sq, CAST(n2.nn AS BIGINT) AS n2_sq,
+       round(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
+             * sqrt(CAST(n2.nn AS DOUBLE))), 6) AS cosine
+FROM dots
+JOIN nrm n1 ON n1.source = dots.s1
+JOIN nrm n2 ON n2.source = dots.s2
+""")
+def source_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between sources' unigram
+    term-frequency vectors — the corpus-design distance matrix
+    ("which sources are lexically interchangeable, which add real
+    diversity") that complements mutual_info_lang_source's
+    label-level view. The tf vectors live vocabulary-keyed, so the
+    pairwise dot products are ONE self-equi-join on term with
+    source1 < source2 (|sources|²/2 pairs share a vocab-keyed
+    shuffle — never a dense matrix), norms are per-source Σc², both
+    in exact integers on decimal(38)/HUGEINT (Σc² crosses int64 once
+    a term passes ~3e9 occurrences in one source); cosine is the
+    shared-text sqrt chain. Plan: one corpus explode-aggregate
+    (vocab-keyed), one vocab-keyed join; everything else is
+    |sources|-bounded."""
+    d = table(spark, sf_dir, "documents")
+    tf = (d.select("source", F.explode(_toks()).alias("term"))
+          .groupBy("source", "term").agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    nrm = tf.groupBy("source").agg(
+        F.sum((dec("c") * dec("c")).cast("decimal(38,0)"))
+         .cast("decimal(38,0)").alias("nn"))
+    a = tf.select(F.col("source").alias("s1"), "term",
+                  F.col("c").alias("ca"))
+    b = tf.select(F.col("source").alias("s2"), "term",
+                  F.col("c").alias("cb"))
+    dots = (a.join(b, "term")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.sum((dec("ca") * dec("cb")).cast("decimal(38,0)"))
+                  .cast("decimal(38,0)").alias("dot")))
+    n1 = nrm.select(F.col("source").alias("s1"), F.col("nn").alias("n1"))
+    n2 = nrm.select(F.col("source").alias("s2"), F.col("nn").alias("n2"))
+    return (dots.join(F.broadcast(n1), "s1").join(F.broadcast(n2), "s2")
+            .select("s1", "s2",
+                    F.col("dot").cast("long").alias("dot"),
+                    F.col("n1").cast("long").alias("n1_sq"),
+                    F.col("n2").cast("long").alias("n2_sq"),
+                    F.expr(_COS).alias("cosine")))
