@@ -162,6 +162,10 @@ QUERIES = [
     # ranking-eval + corpus-similarity: NDCG (query-term-keyed posting
     # build, grade-count IDCG), source cosine (vocab-keyed self-join)
     "search_ndcg", "source_term_cosine",
+    # Holt-Winters (day-bounded fold past the rollup) and the Poisson
+    # bootstrap (B x rows expansion — linear BY DESIGN, map-combined
+    # into B cells)
+    "holt_winters_seasonal", "bootstrap_ci_mean",
 ]
 
 KEYED = {

@@ -1060,3 +1060,113 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("n00", "n01", "n10", "n11",
                     F.expr(_DID["did"]).alias("did_cents"),
                     F.expr(_DID["se"]).alias("se_cents"))
+
+
+# Poisson(1) CDF thresholds on the u ∈ [0, 1000003) grid, precomputed
+# Python literals (floor(cum_k * 1000003)) — neither engine evaluates
+# exp/factorial; weights ≥ 9 have probability < 1e-6 and are clamped
+_POIS1_T = [367880, 735761, 919701, 981014, 996343, 999408, 999919,
+            999992, 1000001]
+_BOOT_B = 100
+
+
+def _pois_w(u: str) -> str:
+    """CASE chain mapping a uniform u to a Poisson(1) draw."""
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_T))
+    return f"CAST(CASE {cases} ELSE 9 END AS BIGINT)"
+
+
+@query("bootstrap_ci_mean", oracle=f"""
+WITH c AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+rep AS (SELECT CAST(range AS BIGINT) AS r FROM range(0, {_BOOT_B})),
+w AS (
+  SELECT r, cents,
+         {_pois_w("((k % 1000003) * 2654435761 + r * 40503) % 1000003")}
+           AS w
+  FROM c, rep
+),
+m AS (
+  SELECT r, CAST(sum(w) AS BIGINT) AS n_w,
+         CAST(sum(w * cents) AS HUGEINT) AS s_w
+  FROM w GROUP BY 1
+),
+means AS (
+  SELECT r, n_w, round(CAST(s_w AS DOUBLE) / n_w, 4) AS m
+  FROM m WHERE n_w > 0
+),
+rk AS (
+  SELECT m, row_number() OVER (ORDER BY m, r) AS i,
+         count(*) OVER () AS nb
+  FROM means
+),
+pt AS (
+  SELECT round(CAST(sum(cents) AS DOUBLE) / count(*), 4) AS full_mean,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM c
+)
+SELECT pt.n_rows, pt.full_mean,
+       CAST(rk.nb AS BIGINT) AS n_reps,
+       max(CASE WHEN rk.i = CAST(ceil(0.025 * rk.nb) AS BIGINT)
+                THEN rk.m END) AS ci_lo,
+       max(CASE WHEN rk.i = CAST(ceil(0.975 * rk.nb) AS BIGINT)
+                THEN rk.m END) AS ci_hi
+FROM rk, pt
+GROUP BY pt.n_rows, pt.full_mean, rk.nb
+""")
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% confidence interval for the mean order
+    value via the POISSON BOOTSTRAP (Chamandy et al., the distributed
+    resampling scheme: multinomial replicate counts are approximated
+    by independent Poisson(1) weights, so each row's contribution to
+    every replicate is computed locally — no sampling coordination,
+    ONE pass, map-combined into B cells). Everything deterministic
+    and engine-exact: the per-(row, replicate) uniform is a Knuth
+    multiplicative hash (key reduced mod 1000003 BEFORE the multiply
+    so the product never overflows int64 at any key scale), the
+    Poisson draw is a CASE chain over nine precomputed CDF literals,
+    replicate sums are exact integers (HUGEINT/decimal for Σw·cents),
+    each replicate mean is ONE rounded IEEE division, and the CI
+    bounds are nearest-rank order statistics of the ROUNDED means
+    with replicate-id tiebreak. Cost is B× the scan rows in expanded
+    form — linear by design and embarrassingly parallel; B=100 lives
+    in one broadcast frame."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(F.col("o_orderkey").alias("k"),
+                 F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                  .alias("cents"))
+    c = c.localCheckpoint(eager=False)
+    rep = spark.range(_BOOT_B).select(F.col("id").cast("long").alias("r"))
+    w = (c.crossJoin(F.broadcast(rep))
+         .select("r", "cents", F.expr(_pois_w(
+             "((k % 1000003) * 2654435761 + r * 40503) % 1000003"))
+             .alias("w")))
+    m = w.groupBy("r").agg(
+        F.sum("w").alias("n_w"),
+        F.sum((F.col("w").cast("decimal(20,0)") * F.col("cents"))
+              .cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_w"))
+    means = (m.filter(F.col("n_w") > 0)
+             .select("r", "n_w",
+                     F.round(F.col("s_w").cast("double") / F.col("n_w"), 4)
+                      .alias("m")))
+    wrk = Window.orderBy("m", "r")
+    rk = means.select(
+        "m", F.row_number().over(wrk).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("nb"))
+    pt = c.agg(
+        F.round(F.sum("cents").cast("double") / F.count("*"), 4)
+         .alias("full_mean"),
+        F.count("*").alias("n_rows"))
+    return (rk.crossJoin(F.broadcast(pt))
+            .groupBy("n_rows", "full_mean",
+                     F.col("nb").cast("long").alias("n_reps"))
+            .agg(F.max(F.when(
+                F.col("i") == F.expr("CAST(ceil(0.025 * nb) AS BIGINT)"),
+                F.col("m"))).alias("ci_lo"),
+                 F.max(F.when(
+                F.col("i") == F.expr("CAST(ceil(0.975 * nb) AS BIGINT)"),
+                F.col("m"))).alias("ci_hi")))

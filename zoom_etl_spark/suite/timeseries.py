@@ -809,3 +809,121 @@ def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OLS2["b1"]).alias("beta1"),
         F.expr(_OLS2["b2"]).alias("beta2"),
         F.expr(_OLS2["r2"]).alias("r2"))
+
+
+@query("holt_winters_seasonal", oracle="""
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS INT) AS rn
+  FROM d
+),
+seed AS (
+  SELECT sum(y) / 7.0 AS l0 FROM seq WHERE rn <= 7
+),
+s0 AS (
+  SELECT max(CASE WHEN rn = 1 THEN y END) - l0 AS s1,
+         max(CASE WHEN rn = 2 THEN y END) - l0 AS s2,
+         max(CASE WHEN rn = 3 THEN y END) - l0 AS s3,
+         max(CASE WHEN rn = 4 THEN y END) - l0 AS s4,
+         max(CASE WHEN rn = 5 THEN y END) - l0 AS s5,
+         max(CASE WHEN rn = 6 THEN y END) - l0 AS s6,
+         max(CASE WHEN rn = 7 THEN y END) - l0 AS s7,
+         l0
+  FROM seq, seed WHERE rn <= 7 GROUP BY l0
+),
+h AS (
+  SELECT 7 AS rn, CAST(NULL AS DATE) AS day, CAST(NULL AS DOUBLE) AS y,
+         CAST(NULL AS DOUBLE) AS fitted,
+         l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+         s1, s2, s3, s4, s5, s6, s7
+  FROM s0
+  UNION ALL
+  SELECT q.rn, q.day, q.y,
+         h.l + h.b + h.s1,
+         0.3 * (q.y - h.s1) + 0.7 * (h.l + h.b),
+         0.2 * ((0.3 * (q.y - h.s1) + 0.7 * (h.l + h.b)) - h.l)
+           + 0.8 * h.b,
+         h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+         0.1 * (q.y - (0.3 * (q.y - h.s1) + 0.7 * (h.l + h.b)))
+           + 0.9 * h.s1
+  FROM seq q JOIN h ON q.rn = h.rn + 1
+)
+SELECT day, CAST(y AS BIGINT) AS y_cents,
+       round(fitted, 4) AS fitted,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(s7, 4) AS season
+FROM h WHERE rn > 7
+""")
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing of daily
+    revenue with a weekly season (m=7, α=0.3, β=0.2, γ=0.1) — the
+    classical seasonal forecaster `holt_linear_smooth` can't express:
+    level reads the 7-lagged seasonal, trend reads the level, the
+    seasonal updates against the new level, and each day also reports
+    its one-step-ahead FITTED value l+b+s (the residual stream a
+    forecast monitor alarms on). Seeds: l₀ = first-week mean, b₀ = 0,
+    sᵢ = yᵢ − l₀. The coupled recurrence is sequential BY NATURE, so
+    the honest distributed shape is: one map-combined day rollup
+    (the only corpus work), then a single day-bounded fold — Spark
+    runs it as one aggregate() lambda over the sorted day array
+    carrying (l, b, season-queue[7]) in a struct, DuckDB as a
+    recursive CTE carrying s1..s7 columns that shift each step; the
+    float expressions are the SAME operation order in both engines
+    (the holt_linear inline-the-level discipline), so every double
+    is bit-identical and round(,4) cannot straddle."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) "
+                      "AS BIGINT)) AS DOUBLE)").alias("y")))
+    d = d.withColumn("rn", F.row_number().over(Window.orderBy("day"))) \
+         .localCheckpoint(eager=False)
+    seed = (d.filter(F.col("rn") <= 7)
+            .agg((F.sum("y") / 7.0).alias("l0"),
+                 F.sort_array(F.collect_list(F.struct("rn", "y")))
+                  .alias("head")))
+    tail = (d.filter(F.col("rn") >= 8)
+            .agg(F.sort_array(F.collect_list(F.struct("day", "y")))
+                  .alias("arr")))
+    folded = (tail.crossJoin(F.broadcast(seed))
+              .select(F.explode(F.expr("""
+        aggregate(arr,
+          named_struct(
+            'l', l0, 'b', CAST(0.0 AS DOUBLE),
+            's', transform(head, x -> x.y - l0),
+            'out', CAST(array() AS ARRAY<STRUCT<day: DATE, y: DOUBLE,
+                fitted: DOUBLE, l: DOUBLE, b: DOUBLE, snew: DOUBLE>>)),
+          (acc, q) -> named_struct(
+            'l', 0.3 * (q.y - element_at(acc.s, 1))
+                 + 0.7 * (acc.l + acc.b),
+            'b', 0.2 * ((0.3 * (q.y - element_at(acc.s, 1))
+                         + 0.7 * (acc.l + acc.b)) - acc.l)
+                 + 0.8 * acc.b,
+            's', concat(slice(acc.s, 2, 6), array(
+                 0.1 * (q.y - (0.3 * (q.y - element_at(acc.s, 1))
+                               + 0.7 * (acc.l + acc.b)))
+                 + 0.9 * element_at(acc.s, 1))),
+            'out', concat(acc.out, array(named_struct(
+              'day', q.day, 'y', q.y,
+              'fitted', acc.l + acc.b + element_at(acc.s, 1),
+              'l', 0.3 * (q.y - element_at(acc.s, 1))
+                   + 0.7 * (acc.l + acc.b),
+              'b', 0.2 * ((0.3 * (q.y - element_at(acc.s, 1))
+                           + 0.7 * (acc.l + acc.b)) - acc.l)
+                   + 0.8 * acc.b,
+              'snew', 0.1 * (q.y - (0.3 * (q.y - element_at(acc.s, 1))
+                                    + 0.7 * (acc.l + acc.b)))
+                      + 0.9 * element_at(acc.s, 1))))),
+          acc -> acc.out)
+        """)).alias("r")))
+    return folded.select(
+        F.col("r.day").alias("day"),
+        F.col("r.y").cast("long").alias("y_cents"),
+        F.round("r.fitted", 4).alias("fitted"),
+        F.round("r.l", 4).alias("level"),
+        F.round("r.b", 4).alias("trend"),
+        F.round("r.snew", 4).alias("season"))
