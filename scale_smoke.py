@@ -166,6 +166,9 @@ QUERIES = [
     # bootstrap (B x rows expansion — linear BY DESIGN, map-combined
     # into B cells)
     "holt_winters_seasonal", "bootstrap_ci_mean",
+    # HITS (6 |E|-joins, fixed iterations) and k-core peeling (4
+    # rounds x 2 degree-aggregates over the shrinking edge set)
+    "graph_hits", "graph_kcore",
 ]
 
 KEYED = {

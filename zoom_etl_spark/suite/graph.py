@@ -446,3 +446,184 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") % 2 == 0, "c").otherwise("s").alias("kind"),
         F.expr("node div 2").alias("id"),
         F.col("label").cast("long").alias("community"))
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    head = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM edges)"""
+    iters = []
+    for k in range(1, _HITS_ITERS + 1):
+        p = k - 1
+        iters.append(f""",
+araw{k} AS (
+  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
+  FROM edges e JOIN h{p} h ON h.src = e.src GROUP BY 1
+),
+amax{k} AS (SELECT max(a) AS m FROM araw{k}),
+a{k} AS (
+  SELECT dst, CAST(CAST(1000000 AS HUGEINT) * a
+              // (SELECT m FROM amax{k}) AS BIGINT) AS a
+  FROM araw{k}
+),
+hraw{k} AS (
+  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
+  FROM edges e JOIN a{k} a ON a.dst = e.dst GROUP BY 1
+),
+hmax{k} AS (SELECT max(h) AS m FROM hraw{k}),
+h{k} AS (
+  SELECT src, CAST(CAST(1000000 AS HUGEINT) * h
+              // (SELECT m FROM hmax{k}) AS BIGINT) AS h
+  FROM hraw{k}
+)""")
+    tail = f"""
+SELECT 'hub' AS kind, src AS id, h AS score_e6 FROM h{_HITS_ITERS}
+UNION ALL
+SELECT 'auth' AS kind, dst AS id, a AS score_e6 FROM a{_HITS_ITERS}
+"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities, 3 fixed iterations) over
+    the bipartite customer→supplier purchase graph in exact integer
+    arithmetic: authority(s) = Σ hub(c) over in-edges, hub(c) =
+    Σ authority(s) over out-edges, each half-step renormalized to the
+    1e6 grid by INTEGER division by the current maximum (max-norm
+    replaces the usual L2 norm — no sqrt, engine-exact, same fixpoint
+    direction), the 1e6·raw product routed through decimal/HUGEINT so
+    no degree scale overflows. The customers buying from many strong
+    suppliers surface as hubs, the suppliers bought by many strong
+    hubs as authorities — PageRank's mutual-reinforcement complement
+    on the same edge set. Plan: per half-iteration ONE edge-keyed
+    equi-join + map-combined aggregate (the only |E|-sized work) and
+    a 1-row max broadcast; edges localCheckpointed once, the
+    orders⋈lineitem build runs exactly once."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+              .select(F.col("o_custkey").alias("src"),
+                      F.col("l_suppkey").alias("dst"))
+              .distinct().localCheckpoint(eager=False))
+    h = edges.select("src").distinct() \
+             .withColumn("h", F.lit(1000000).cast("long"))
+    for _ in range(_HITS_ITERS):
+        araw = (edges.join(h, "src")
+                .groupBy("dst").agg(F.sum("h").cast("long").alias("a")))
+        amax = araw.agg(F.max("a").alias("m"))
+        a = (araw.crossJoin(F.broadcast(amax))
+             .select("dst", F.expr(
+                 "CAST(CAST(1000000 AS DECIMAL(38,0)) * a div m "
+                 "AS BIGINT)").alias("a")))
+        hraw = (edges.join(a, "dst")
+                .groupBy("src").agg(F.sum("a").cast("long").alias("h")))
+        hmax = hraw.agg(F.max("h").alias("m"))
+        h = (hraw.crossJoin(F.broadcast(hmax))
+             .select("src", F.expr(
+                 "CAST(CAST(1000000 AS DECIMAL(38,0)) * h div m "
+                 "AS BIGINT)").alias("h")))
+    hubs = h.select(F.lit("hub").alias("kind"),
+                    F.col("src").alias("id"),
+                    F.col("h").alias("score_e6"))
+    auths = a.select(F.lit("auth").alias("kind"),
+                     F.col("dst").alias("id"),
+                     F.col("a").alias("score_e6"))
+    return hubs.unionByName(auths)
+
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+base AS (
+  SELECT 'c' AS kind, src AS id FROM e0
+  UNION
+  SELECT 's' AS kind, dst AS id FROM e0
+)"""
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f""",
+dc{r} AS (SELECT src, count(*) AS d FROM e{p} GROUP BY 1),
+ds{r} AS (SELECT dst, count(*) AS d FROM e{p} GROUP BY 1),
+e{r} AS (
+  SELECT e.src, e.dst
+  FROM e{p} e
+  JOIN dc{r} ON dc{r}.src = e.src AND dc{r}.d >= {_KCORE_K}
+  JOIN ds{r} ON ds{r}.dst = e.dst AND ds{r}.d >= {_KCORE_K}
+)""")
+    n = _KCORE_ROUNDS
+    tail = f""",
+fdc AS (SELECT src, count(*) AS d FROM e{n} GROUP BY 1),
+fds AS (SELECT dst, count(*) AS d FROM e{n} GROUP BY 1),
+fin AS (
+  SELECT 'c' AS kind, src AS id, d FROM fdc WHERE d >= {_KCORE_K}
+  UNION ALL
+  SELECT 's' AS kind, dst AS id, d FROM fds WHERE d >= {_KCORE_K}
+)
+SELECT b.kind, b.id,
+       CAST(coalesce(f.d, 0) AS BIGINT) AS core_deg,
+       (f.id IS NOT NULL) AS in_core
+FROM base b LEFT JOIN fin f ON f.kind = b.kind AND f.id = b.id
+"""
+    return head + "".join(rounds) + tail
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=10, 4 synchronous rounds) of the bipartite
+    purchase graph: repeatedly delete every node whose CURRENT degree
+    is below k — what survives is the densely-interconnected trading
+    core, the standard preprocessing for community mining and the
+    graph analogue of dropping long-tail users before co-occurrence
+    statistics. Synchronous bounded rounds keep it deterministic and
+    oracle-unrollable (the graph_lpa_communities discipline); 4
+    rounds reach the fixpoint on this graph — nodes peeled later
+    cascade from earlier removals, which the planted-cascade test
+    exercises. Per round: two degree aggregates + two semi-join-shaped
+    filters on the shrinking edge set (each round's edges
+    localCheckpointed so lineage doesn't stack); output every node of
+    the ORIGINAL graph with its final core degree and membership
+    flag."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+          .select(F.col("o_custkey").alias("src"),
+                  F.col("l_suppkey").alias("dst"))
+          .distinct().localCheckpoint(eager=False))
+    base = (e.select(F.lit("c").alias("kind"), F.col("src").alias("id"))
+            .union(e.select(F.lit("s"), F.col("dst")))
+            .distinct().localCheckpoint(eager=False))
+    for _ in range(_KCORE_ROUNDS):
+        dc = (e.groupBy("src").agg(F.count("*").alias("d"))
+               .filter(F.col("d") >= _KCORE_K).drop("d"))
+        ds = (e.groupBy("dst").agg(F.count("*").alias("d"))
+               .filter(F.col("d") >= _KCORE_K).drop("d"))
+        e = e.join(dc, "src").join(ds, "dst").localCheckpoint(eager=False)
+    fdc = (e.groupBy("src").agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.lit("c").alias("kind"), F.col("src").alias("id"),
+                    "d"))
+    fds = (e.groupBy("dst").agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.lit("s").alias("kind"), F.col("dst").alias("id"),
+                    "d"))
+    fin = fdc.unionByName(fds)
+    return (base.join(fin, ["kind", "id"], "left")
+            .select("kind", "id",
+                    F.coalesce("d", F.lit(0)).cast("long")
+                     .alias("core_deg"),
+                    F.col("d").isNotNull().alias("in_core")))
