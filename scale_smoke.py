@@ -169,6 +169,11 @@ QUERIES = [
     # HITS (6 |E|-joins, fixed iterations) and k-core peeling (4
     # rounds x 2 degree-aggregates over the shrinking edge set)
     "graph_hits", "graph_kcore",
+    # hashing-trick features (vocab-keyed md5 + token explode —
+    # linear), skip-grams (zip-shift explode), sequential looks
+    # (10-cell moments), robust means (banded rank)
+    "feature_hash_tf", "skipgram_cooc", "ab_sequential_obf",
+    "trimmed_mean_robust",
 ]
 
 KEYED = {

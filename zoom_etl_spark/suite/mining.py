@@ -648,3 +648,57 @@ def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("a_key", "b_key", "score",
                         F.when(F.col("score") >= 6, "match")
                          .otherwise("possible").alias("cls")))
+
+
+@query("skipgram_cooc", oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+           AS toks
+  FROM documents
+),
+p1 AS (
+  SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z FROM tok
+),
+p2 AS (
+  SELECT doc_id, unnest(list_zip(toks, toks[3:])) AS z FROM tok
+),
+pairs AS (
+  SELECT z[1] AS a, z[2] AS b FROM p1
+  UNION ALL
+  SELECT z[1] AS a, z[2] AS b FROM p2
+),
+c AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE b IS NOT NULL GROUP BY 1, 2
+)
+SELECT a, b, c FROM c
+ORDER BY c DESC, a, b LIMIT 100
+""")
+def skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence pair extraction (window ±2, direction
+    preserved) — the training-pair generator of word2vec/GloVe-style
+    embedding pipelines, and the POSITIONAL complement to term_pmi's
+    document-level co-occurrence. No self-join and no positions
+    table: the d-offset pairs fall out of zipping each token array
+    with its own d-shifted slice (arrays_zip pads the tail with NULL
+    in BOTH engines — the pad rows are filtered), so pair generation
+    is a pure per-row explode, embarrassingly parallel, linear in
+    corpus tokens × window size. Counts are exact; the top-100 is
+    TakeOrderedAndProject on (count DESC, pair) — fully
+    deterministic."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select(toks.alias("toks"))
+    pairs = []
+    for dd in (1, 2):
+        z = tok.select(F.explode(F.arrays_zip(
+            F.col("toks"),
+            F.slice(F.col("toks"), dd + 1,
+                    F.greatest(F.size("toks") - dd, F.lit(0)))))
+            .alias("z"))
+        pairs.append(z.select(F.col("z.toks").alias("a"),
+                              F.col("z.1").alias("b")))
+    c = (pairs[0].unionByName(pairs[1])
+         .filter(F.col("b").isNotNull())
+         .groupBy("a", "b").agg(F.count("*").alias("c")))
+    return c.orderBy(F.desc("c"), "a", "b").limit(100)

@@ -485,3 +485,73 @@ def encode_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "cat_pos", "cat_neg",
                     F.expr(_WOE_E6).alias("woe_e6"),
                     F.expr(_IV_E9).alias("iv_e9")))
+
+
+_FH_BUCKETS = 32
+
+# portable term hash: first 8 hex digits of md5 parsed via instr (the
+# table_fingerprint primitive); bit 0 -> sign, the rest -> bucket
+_FH_H32 = (
+    "("
+    + " + ".join(
+        "CAST(instr('0123456789abcdef', substr(md5(term), "
+        f"{i}, 1)) - 1 AS BIGINT) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    + ")")
+
+
+@query("feature_hash_tf", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+vocab AS (
+  SELECT term, {_FH_H32} AS h FROM (SELECT DISTINCT term FROM tf)
+),
+hashed AS (
+  SELECT tf.doc_id,
+         CAST((v.h // 2) % {_FH_BUCKETS} AS BIGINT) AS bucket,
+         CAST(CASE WHEN v.h % 2 = 0 THEN tf.tf ELSE -tf.tf END
+              AS BIGINT) AS signed_tf
+  FROM tf JOIN vocab v USING (term)
+)
+SELECT doc_id, bucket, CAST(sum(signed_tf) AS BIGINT) AS feat
+FROM hashed GROUP BY 1, 2
+HAVING sum(signed_tf) <> 0
+""")
+def feature_hash_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): project each document's
+    term-frequency vector into a fixed 32-bucket feature space with a
+    SIGNED hash kernel — bucket = h(term) div 2 mod B, sign = parity
+    of h — so collisions cancel in expectation and the feature space
+    is bounded regardless of vocabulary growth; the sparse (doc,
+    bucket, value) rows with zero-sum cells dropped are exactly what
+    a downstream linear model consumes. h is the engine-portable
+    md5-instr h32 (the table_fingerprint primitive), computed ONCE
+    per DISTINCT term on the vocabulary frame and joined back — the
+    corpus-sized explode never touches md5. Plan: explode → (doc,
+    term) tf aggregate → vocab-keyed hash join → (doc, bucket)
+    aggregate; every shuffle is corpus-token- or vocab-keyed, the
+    bucket space is constant."""
+    d = table(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(
+              F.filter(F.split("text", " "), lambda x: x != ""))
+              .alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    tf = tf.localCheckpoint(eager=False)
+    vocab = (tf.select("term").distinct()
+             .withColumn("h", F.expr(_FH_H32)))
+    hashed = (tf.join(vocab, "term")
+              .select("doc_id",
+                      F.expr(f"CAST((h div 2) % {_FH_BUCKETS} AS BIGINT)")
+                       .alias("bucket"),
+                      F.expr("CAST(CASE WHEN h % 2 = 0 THEN tf "
+                             "ELSE -tf END AS BIGINT)").alias("signed_tf")))
+    return (hashed.groupBy("doc_id", "bucket")
+            .agg(F.sum("signed_tf").alias("feat"))
+            .filter(F.col("feat") != 0))

@@ -1170,3 +1170,224 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(
                 F.col("i") == F.expr("CAST(ceil(0.975 * nb) AS BIGINT)"),
                 F.col("m"))).alias("ci_hi")))
+
+
+# O'Brien-Fleming-shaped group-sequential z boundaries for K=5 looks,
+# two-sided alpha = 0.05: z_k = 2.0403 * sqrt(K/k), precomputed Python
+# literals (the canonical OBF shape; neither engine evaluates sqrt)
+_OBF_BOUNDS = [4.5622, 3.226, 2.634, 2.2811, 2.0403]
+
+_SEQ_Z = ("round((sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE))"
+          " / sqrt((ssa / CAST(na AS DOUBLE)"
+          "         - (sa / CAST(na AS DOUBLE)) * (sa / CAST(na AS DOUBLE)))"
+          "        / na"
+          "        + (ssb / CAST(nb AS DOUBLE)"
+          "           - (sb / CAST(nb AS DOUBLE)) * (sb / CAST(nb AS DOUBLE)))"
+          "        / nb), 6)")
+
+
+@query("ab_sequential_obf", oracle=f"""
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+),
+obs AS (
+  SELECT CAST(least(((epoch_us(ts) - t0) * 5) // (t1 - t0 + 1), 4) + 1
+              AS BIGINT) AS look,
+         user_id % 2 AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events, span
+),
+m AS (
+  SELECT look,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ia,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ib,
+         CAST(sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT)
+           AS va,
+         CAST(sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS vb,
+         CAST(sum(CASE WHEN grp = 0 THEN cents * cents ELSE 0 END)
+              AS HUGEINT) AS wa,
+         CAST(sum(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END)
+              AS HUGEINT) AS wb
+  FROM obs GROUP BY 1
+),
+c AS (
+  SELECT look,
+         CAST(sum(ia) OVER w AS BIGINT) AS na,
+         CAST(sum(ib) OVER w AS BIGINT) AS nb,
+         CAST(sum(va) OVER w AS DOUBLE) AS sa,
+         CAST(sum(vb) OVER w AS DOUBLE) AS sb,
+         CAST(sum(wa) OVER w AS DOUBLE) AS ssa,
+         CAST(sum(wb) OVER w AS DOUBLE) AS ssb
+  FROM m
+  WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+b AS (
+  SELECT CAST(range + 1 AS BIGINT) AS look,
+         CAST(([{','.join(str(v) for v in _OBF_BOUNDS)}])[range + 1]
+              AS DOUBLE) AS bound
+  FROM range(0, 5)
+)
+SELECT c.look, na, nb, {_SEQ_Z} AS z, b.bound,
+       (abs({_SEQ_Z}) > b.bound) AS reject
+FROM c JOIN b ON b.look = c.look
+""")
+def ab_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming-shaped
+    stopping boundaries (K=5 interim looks, two-sided α=0.05): the
+    experimentation-platform staple that lets an experiment PEEK five
+    times without inflating false positives — early looks demand
+    z > 4.56, the final look nearly the fixed-horizon 2.04. Looks
+    partition the event timeline into five equal spans
+    (epoch-microsecond arithmetic, the CUPED interval-trap
+    discipline); per-(look, arm) integer moments cumulate over a
+    5-row frame, the z at each look is one shared-text IEEE chain
+    over exact integers (the welch discipline), and the boundaries
+    enter as five precomputed literals — the reject decision compares
+    the ROUNDED z so no engine can straddle. Plan: one corpus scan →
+    10-cell moment aggregate; everything after is 5-row frames."""
+    e = table(spark, sf_dir, "events")
+    span = e.agg(F.min(F.unix_micros("ts")).alias("t0"),
+                 F.max(F.unix_micros("ts")).alias("t1"))
+    obs = (e.crossJoin(F.broadcast(span))
+           .select(F.expr("CAST(least(((unix_micros(ts) - t0) * 5) "
+                          "div (t1 - t0 + 1), 4) + 1 AS BIGINT)")
+                    .alias("look"),
+                   (F.col("user_id") % 2).alias("grp"),
+                   F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                    .alias("cents")))
+    g0 = F.col("grp") == 0
+    m = obs.groupBy("look").agg(
+        F.sum(F.when(g0, 1).otherwise(0)).alias("ia"),
+        F.sum(F.when(~g0, 1).otherwise(0)).alias("ib"),
+        F.sum(F.when(g0, F.col("cents")).otherwise(0)).alias("va"),
+        F.sum(F.when(~g0, F.col("cents")).otherwise(0)).alias("vb"),
+        F.sum(F.when(g0, (F.col("cents").cast("decimal(20,0)")
+                          * F.col("cents")).cast("decimal(38,0)"))
+               .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("wa"),
+        F.sum(F.when(~g0, (F.col("cents").cast("decimal(20,0)")
+                           * F.col("cents")).cast("decimal(38,0)"))
+               .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("wb"))
+    w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    c = m.select(
+        "look",
+        F.sum("ia").over(w).cast("long").alias("na"),
+        F.sum("ib").over(w).cast("long").alias("nb"),
+        F.sum("va").over(w).cast("double").alias("sa"),
+        F.sum("vb").over(w).cast("double").alias("sb"),
+        F.sum("wa").over(w).cast("double").alias("ssa"),
+        F.sum("wb").over(w).cast("double").alias("ssb"))
+    barr = F.array(*[F.lit(v) for v in _OBF_BOUNDS])
+    b = (spark.range(1, 6)
+         .select(F.col("id").cast("long").alias("look"),
+                 F.element_at(barr, F.col("id").cast("int"))
+                  .alias("bound")))
+    return (c.join(F.broadcast(b), "look")
+            .select("look", "na", "nb",
+                    F.expr(_SEQ_Z).alias("z"), "bound",
+                    (F.abs(F.expr(_SEQ_Z)) > F.col("bound"))
+                     .alias("reject")))
+
+
+@query("trimmed_mean_robust", oracle="""
+WITH r AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o.o_orderkey AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+q AS (
+  SELECT seg, cents,
+         row_number() OVER (PARTITION BY seg ORDER BY cents, k) AS i,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM r
+),
+lim AS (
+  SELECT seg, n, n // 20 AS kt FROM q GROUP BY 1, 2
+),
+mid AS (
+  SELECT q.seg, CAST(sum(q.cents) AS HUGEINT) AS s_mid,
+         CAST(count(*) AS BIGINT) AS n_mid
+  FROM q JOIN lim ON lim.seg = q.seg
+  WHERE q.i > lim.kt AND q.i <= lim.n - lim.kt
+  GROUP BY 1
+),
+edge AS (
+  SELECT q.seg,
+         max(CASE WHEN q.i = lim.kt + 1 THEN q.cents END) AS lo_v,
+         max(CASE WHEN q.i = lim.n - lim.kt THEN q.cents END) AS hi_v
+  FROM q JOIN lim ON lim.seg = q.seg
+  GROUP BY 1
+)
+SELECT lim.seg, CAST(lim.n AS BIGINT) AS n,
+       CAST(lim.kt AS BIGINT) AS k_trim,
+       CAST(edge.lo_v AS BIGINT) AS lo_cents,
+       CAST(edge.hi_v AS BIGINT) AS hi_cents,
+       round(CAST(s_mid AS DOUBLE) / n_mid, 4) AS trimmed_mean,
+       round(CAST(s_mid + lim.kt * CAST(edge.lo_v AS HUGEINT)
+                  + lim.kt * CAST(edge.hi_v AS HUGEINT) AS DOUBLE)
+             / lim.n, 4) AS winsorized_mean
+FROM lim JOIN mid ON mid.seg = lim.seg JOIN edge ON edge.seg = lim.seg
+""")
+def trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed AND winsorized means of order value per
+    market segment — the robust-location pair every metrics platform
+    keeps beside the raw mean (trimming drops the k = n div 20
+    extreme values per tail; winsorizing clamps them to the boundary
+    order statistics, preserving n). Exact end to end: ranks over the
+    UNIQUE (cents, orderkey) order come from the two-level banded
+    order statistic (the revenue_gini machinery — band offsets +
+    per-band row_number, no global sort), the interior sum and the
+    two boundary values are integer aggregates over that ranked
+    frame, and each mean is ONE rounded IEEE division; the winsorized
+    reconstruction s_mid + k·lo + k·hi rides decimal/HUGEINT. Plan:
+    one rollup-sized shuffle for ranks, then segment-bounded
+    aggregates."""
+    o = table(spark, sf_dir, "orders")
+    cst = table(spark, sf_dir, "customer")
+    r = (o.join(cst, o["o_custkey"] == cst["c_custkey"])
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                  .alias("cents"),
+                 F.col("o_orderkey").alias("k"))
+         .withColumn("band", F.expr("cents div 1000000"))
+         .localCheckpoint(eager=False))
+    bands = r.groupBy("seg", "band").agg(F.count("*").alias("bn"))
+    wb = (Window.partitionBy("seg").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bands.select(
+        "seg", "band",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"))
+    wl = Window.partitionBy("seg", "band").orderBy("cents", "k")
+    q = (r.join(F.broadcast(offs), ["seg", "band"])
+         .select("seg", "cents",
+                 (F.col("off") + F.row_number().over(wl)).alias("i"))
+         .localCheckpoint(eager=False))
+    lim = (q.groupBy("seg").agg(F.count("*").alias("n"))
+           .withColumn("kt", F.expr("n div 20")))
+    mid = (q.join(F.broadcast(lim), "seg")
+           .filter((F.col("i") > F.col("kt"))
+                   & (F.col("i") <= F.col("n") - F.col("kt")))
+           .groupBy("seg")
+           .agg(F.sum(F.col("cents").cast("decimal(38,0)"))
+                 .cast("decimal(38,0)").alias("s_mid"),
+                F.count("*").alias("n_mid")))
+    edge = (q.join(F.broadcast(lim), "seg")
+            .groupBy("seg")
+            .agg(F.max(F.when(F.col("i") == F.col("kt") + 1,
+                              F.col("cents"))).alias("lo_v"),
+                 F.max(F.when(F.col("i") == F.col("n") - F.col("kt"),
+                              F.col("cents"))).alias("hi_v")))
+    return (lim.join(mid, "seg").join(edge, "seg")
+            .select("seg",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("kt").cast("long").alias("k_trim"),
+                    F.col("lo_v").cast("long").alias("lo_cents"),
+                    F.col("hi_v").cast("long").alias("hi_cents"),
+                    F.round(F.col("s_mid").cast("double")
+                            / F.col("n_mid"), 4).alias("trimmed_mean"),
+                    F.round(F.expr(
+                        "CAST(s_mid + kt * CAST(lo_v AS DECIMAL(38,0)) "
+                        "+ kt * CAST(hi_v AS DECIMAL(38,0)) AS DOUBLE)")
+                        / F.col("n"), 4).alias("winsorized_mean")))
