@@ -174,6 +174,9 @@ QUERIES = [
     # (10-cell moments), robust means (banded rank)
     "feature_hash_tf", "skipgram_cooc", "ab_sequential_obf",
     "trimmed_mean_robust",
+    # embedding ops: int8 quantization (array-local, ZERO shuffles)
+    # and matrix-free PCA power iteration (3 x (row-dot + dim-accum))
+    "embedding_quantize_int8", "embedding_pca_power",
 ]
 
 KEYED = {

@@ -238,3 +238,174 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(-F.expr("(2 * -sx + n) div (2 * n)")))
     return agg.select("label", F.col("dim").cast("int").alias("dim"), "n",
                       half_away.cast("long").alias("centroid_micro"))
+
+
+@query("embedding_quantize_int8", oracle="""
+WITH q AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS amax
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, dim, amax,
+         CAST(list_max(list_transform(embedding,
+             x -> abs(round(CAST(x AS DOUBLE) * 127 / q.amax, 0))))
+           AS BIGINT) AS q_absmax,
+         CAST(list_sum(list_transform(embedding, x ->
+             CAST(floor((CAST(x AS DOUBLE)
+                         - round(CAST(x AS DOUBLE) * 127 / q.amax, 0)
+                           * q.amax / 127.0)
+                        * (CAST(x AS DOUBLE)
+                           - round(CAST(x AS DOUBLE) * 127 / q.amax, 0)
+                             * q.amax / 127.0) * 1e12 + 0.5) AS BIGINT)))
+           AS BIGINT) AS err_e12,
+         CAST(list_sum(list_transform(embedding, x ->
+             CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12
+                        + 0.5) AS BIGINT))) AS BIGINT) AS norm_e12
+  FROM embeddings JOIN q USING (vec_id)
+)
+SELECT vec_id, dim, round(amax, 6) AS amax, q_absmax,
+       CAST((2 * 1000000 * err_e12 + norm_e12) // (2 * norm_e12)
+            AS BIGINT) AS err_ppm
+FROM e
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with exact
+    reconstruction-error accounting — the storage/serving compression
+    every vector platform applies (4x smaller, ANN-compatible): per
+    vector, scale = max|x|/127, q_d = round(x*127/max|x|) in [-127,
+    127], and the relative squared reconstruction error in half-away
+    ppm. Engine-exactness for a float pipeline: each per-element
+    squared term is quantized to an INTEGER at 1e-12 BEFORE any sum
+    (the micro-nat discipline — float32 widens to double identically
+    in both engines), so the per-vector sums are integer sums over
+    the list, exact under ANY evaluation order. Plan: everything is
+    ARRAY-LOCAL — transform + list aggregation inside the row, ZERO
+    shuffles at any scale (the earlier posexplode + groupBy draft
+    paid a 64x-row vec_id shuffle for nothing)."""
+    e = table(spark, sf_dir, "embeddings")
+    # hoist amax into a column FIRST: lambda bodies referencing the
+    # array_max expression inline recompute it per element (no CSE
+    # across lambda scopes — measured 2.2x slower)
+    e = e.withColumn("amax_c", F.expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+    qv = "round(CAST(x AS DOUBLE) * 127 / amax_c, 0)"
+    err_t = (f"CAST(floor((CAST(x AS DOUBLE) - {qv} * amax_c / 127.0) "
+             f"* (CAST(x AS DOUBLE) - {qv} * amax_c / 127.0) "
+             "* 1e12 + 0.5) AS BIGINT)")
+    norm_t = ("CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12 "
+              "+ 0.5) AS BIGINT)")
+    out = e.select(
+        "vec_id",
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("dim"),
+        F.expr("round(amax_c, 6)").alias("amax"),
+        F.expr(f"CAST(array_max(transform(embedding, x -> abs({qv}))) "
+               "AS BIGINT)").alias("q_absmax"),
+        F.expr("aggregate(transform(embedding, x -> "
+               f"{err_t}), 0L, (a, t) -> a + t)").alias("err_e12"),
+        F.expr("aggregate(transform(embedding, x -> "
+               f"{norm_t}), 0L, (a, t) -> a + t)").alias("norm_e12"))
+    return out.select(
+        "vec_id", "dim", "amax", "q_absmax",
+        F.expr("CAST((2 * 1000000 * err_e12 + norm_e12) "
+               "DIV (2 * norm_e12) AS BIGINT)").alias("err_ppm"))
+
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    head = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(generate_subscripts(embedding, 1) AS INT) AS d
+  FROM embeddings
+),
+v0 AS (
+  SELECT CAST(range + 1 AS INT) AS d, 0.125 AS v FROM range(0, {_PCA_DIM})
+)"""
+    its = []
+    for k in range(1, _PCA_ITERS + 1):
+        p = k - 1
+        its.append(f""",
+dot{k} AS (
+  SELECT e.vec_id,
+         CAST(sum(CAST(floor(e.x * v.v * 1e12 + 0.5) AS BIGINT))
+              AS BIGINT) AS dot_e12
+  FROM ex e JOIN v{p} v ON v.d = e.d GROUP BY 1
+),
+w{k} AS (
+  SELECT e.d,
+         CAST(sum(CAST(floor(e.x * (t.dot_e12 / 1e12) * 1e9 + 0.5)
+                       AS BIGINT)) AS HUGEINT) AS w
+  FROM ex e JOIN dot{k} t ON t.vec_id = e.vec_id GROUP BY 1
+),
+n{k} AS (SELECT sum(w * w) AS n2 FROM w{k}),
+v{k} AS (
+  SELECT d, CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS v
+  FROM w{k}, n{k}
+)""")
+    tail = f"""
+SELECT v.d, round(v.v, 8) AS loading,
+       round(sqrt(CAST(n.n2 AS DOUBLE)) / 1e9, 6) AS eigval
+FROM v{_PCA_ITERS} v, n{_PCA_ITERS} n
+"""
+    return head + "".join(its) + tail
+
+
+@query("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by MATRIX-FREE
+    power iteration (3 fixed iterations, v₀ = uniform): w = Σ_rows
+    x·(xᵀv) never materializes the 64×64 covariance — each iteration
+    is one row-keyed dot aggregate plus one dim-keyed accumulate, the
+    shape that scales to billions of vectors where a Gram matrix
+    would need a second pass and a driver collect. Cross-row float
+    sums are the distributed-determinism trap: BOTH accumulations
+    quantize per-term to integers first (dot terms at 1e-12, update
+    terms at 1e-9 — the micro-nat discipline), so sums are order-free
+    exact; normalization divides exact integers inside one
+    shared-text sqrt chain, and the 1e9 scale cancels. ‖w‖ is the
+    Rayleigh-quotient estimate of λ₁ — a LOWER bound that tightens at
+    rate (λ₂/λ₁)^k, so on a spectrum with a real dominant direction a
+    few iterations nail the component, while on this near-isotropic
+    synthetic corpus (λ₁/λ₂ ≈ 1.07, measured in the replay gate) the
+    fixed-k demo reports the bound and a partially-converged
+    direction — production iterates to a delta tolerance with the
+    same per-iteration plan. Output: the 64 loadings (deterministic
+    v₀ fixes the ± ambiguity) + eigval; the replay gate re-runs the
+    EXACT quantized iteration in numpy and requires bit-equal
+    loadings, monotone Rayleigh growth, and eigval ≤ λ₁."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = (e.select("vec_id", F.posexplode("embedding").alias("d0", "xf"))
+          .select("vec_id", (F.col("d0") + 1).cast("int").alias("d"),
+                  F.expr("CAST(xf AS DOUBLE)").alias("x"))
+          .localCheckpoint(eager=False))
+    v = (spark.range(1, _PCA_DIM + 1)
+         .select(F.col("id").cast("int").alias("d"),
+                 F.lit(0.125).alias("v")))
+    n2 = None
+    for _ in range(_PCA_ITERS):
+        dot = (ex.join(F.broadcast(v), "d")
+               .groupBy("vec_id")
+               .agg(F.sum(F.expr(
+                   "CAST(floor(x * v * 1e12 + 0.5) AS BIGINT)"))
+                    .cast("long").alias("dot_e12")))
+        w = (ex.join(dot, "vec_id")
+             .groupBy("d")
+             .agg(F.sum(F.expr(
+                 "CAST(floor(x * (dot_e12 / 1e12) * 1e9 + 0.5) "
+                 "AS BIGINT)")).cast("decimal(38,0)").alias("w")))
+        n2 = w.agg(F.sum(F.expr("w * w")).cast("decimal(38,0)")
+                    .alias("n2"))
+        v = (w.crossJoin(F.broadcast(n2))
+             .select("d", F.expr(
+                 "CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))")
+                 .alias("v")))
+    return (v.crossJoin(F.broadcast(n2))
+            .select("d", F.round("v", 8).alias("loading"),
+                    F.round(F.expr("sqrt(CAST(n2 AS DOUBLE)) / 1e9"), 6)
+                     .alias("eigval")))
