@@ -177,6 +177,10 @@ QUERIES = [
     # embedding ops: int8 quantization (array-local, ZERO shuffles)
     # and matrix-free PCA power iteration (3 x (row-dot + dim-accum))
     "embedding_quantize_int8", "embedding_pca_power",
+    # item-item Jaccard (customer-keyed pair join, pairs ~ sum deg^2)
+    # and Theil-Sen (day-bounded pairs — must NOT grow at 10x; only
+    # the rollup scan scales)
+    "recsys_item_jaccard", "theil_sen_slope",
 ]
 
 KEYED = {

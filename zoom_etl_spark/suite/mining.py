@@ -702,3 +702,60 @@ def skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("b").isNotNull())
          .groupBy("a", "b").agg(F.count("*").alias("c")))
     return c.orderBy(F.desc("c"), "a", "b").limit(100)
+
+
+@query("recsys_item_jaccard", oracle="""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+cooc AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+),
+j AS (
+  SELECT s1, s2, c_ab, d1.d AS d1, d2.d AS d2,
+         CAST((2 * 1000000 * c_ab + (d1.d + d2.d - c_ab))
+              // (2 * (d1.d + d2.d - c_ab)) AS BIGINT) AS jaccard_ppm
+  FROM cooc JOIN deg d1 ON d1.s = cooc.s1 JOIN deg d2 ON d2.s = cooc.s2
+)
+SELECT s1, s2, c_ab, d1, d2, jaccard_ppm
+FROM j ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 100
+""")
+def recsys_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: top-100 supplier
+    pairs by exact Jaccard of their customer neighborhoods
+    (|A∩B| / |A∪B| in half-away ppm, support ≥ 5 shared customers) —
+    the classic co-occurrence recommender primitive ("customers who
+    buy from X also buy from Y"). Co-occurrence is ONE customer-keyed
+    self-join of the distinct edge list: per-customer cost is deg²,
+    so total pairs ride Σdeg² — bounded here (max customer degree
+    ~100), and at whale scale the standard mitigation is capping or
+    down-sampling power-user neighborhoods (DIMSUM) before this same
+    plan; the support filter prunes the pair frame BEFORE degrees
+    join back (two broadcast-able degree joins) and the top-100 is
+    TakeOrderedAndProject. All counts exact integers."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+              .select(F.col("o_custkey").alias("c"),
+                      F.col("l_suppkey").alias("s"))
+              .distinct().localCheckpoint(eager=False))
+    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    a = edges.select("c", F.col("s").alias("s1"))
+    b = edges.select("c", F.col("s").alias("s2"))
+    cooc = (a.join(b, "c")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2").agg(F.count("*").alias("c_ab"))
+            .filter(F.col("c_ab") >= 5))
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    j = (cooc.join(F.broadcast(d1), "s1").join(F.broadcast(d2), "s2")
+         .select("s1", "s2", "c_ab", "d1", "d2",
+                 F.expr("CAST((2 * 1000000 * c_ab + (d1 + d2 - c_ab)) "
+                        "DIV (2 * (d1 + d2 - c_ab)) AS BIGINT)")
+                  .alias("jaccard_ppm")))
+    return j.orderBy(F.desc("jaccard_ppm"), "s1", "s2").limit(100)
