@@ -181,6 +181,9 @@ QUERIES = [
     # and Theil-Sen (day-bounded pairs — must NOT grow at 10x; only
     # the rollup scan scales)
     "recsys_item_jaccard", "theil_sen_slope",
+    # Dunning G2 collocations (bigram explode + vocab^2-bounded pair
+    # frames) and uplift-by-segment (segment x 2 cells)
+    "collocation_llr", "ab_uplift_by_segment",
 ]
 
 KEYED = {

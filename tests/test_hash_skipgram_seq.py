@@ -107,3 +107,71 @@ def test_trimmed_mean_replays(spark, sf_dir):
         # boundary order statistics
         assert lo_v <= r["trimmed_mean"] <= hi_v
         assert lo_v <= r["winsorized_mean"] <= hi_v
+
+
+def test_collocation_llr_replays(spark, sf_dir):
+    rows = [r.asDict() for r in
+            all_queries()["collocation_llr"].fn(spark, sf_dir).collect()]
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bg = Counter()
+    for text in d["text"]:
+        toks = [x for x in text.split(" ") if x]
+        for i in range(len(toks) - 1):
+            bg[(toks[i], toks[i + 1])] += 1
+    ra = Counter()
+    cb = Counter()
+    for (a, b), c in bg.items():
+        ra[a] += c
+        cb[b] += c
+    n = sum(bg.values())
+
+    def t(o, r, c):
+        if o == 0:
+            return 0
+        return math.floor(o * math.log(o * n / (r * c)) * 1e6 + 0.5)
+
+    cand = []
+    for (a, b), o11 in bg.items():
+        if o11 < 25:
+            continue
+        r1, c1 = ra[a], cb[b]
+        llr = 2 * (t(o11, r1, c1) + t(r1 - o11, r1, n - c1)
+                   + t(c1 - o11, n - r1, c1)
+                   + t(n - r1 - c1 + o11, n - r1, n - c1))
+        cand.append((llr, a, b, o11, r1, c1))
+    cand.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = cand[:50]
+    assert len(rows) == len(want)
+    for r, (llr, a, b, o11, r1, c1) in zip(rows, want):
+        assert (r["a"], r["b"], r["o11"], r["r1"], r["c1"]) == \
+            (a, b, o11, r1, c1)
+        assert r["llr_e6"] == llr
+        assert llr >= 0 or llr > -10  # G2 >= 0 up to quantization slack
+
+
+def test_uplift_by_segment_replays(spark, sf_dir):
+    got = {r["seg"]: r.asDict() for r in
+           all_queries()["ab_uplift_by_segment"].fn(
+               spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m["grp"] = m["o_custkey"] % 2
+    m["conv"] = (m["o_totalprice"] > 150000).astype(int)
+    for seg, grp in m.groupby("c_mktsegment"):
+        nc = int((grp["grp"] == 0).sum())
+        nt = int((grp["grp"] == 1).sum())
+        cc = int(grp.loc[grp["grp"] == 0, "conv"].sum())
+        ct = int(grp.loc[grp["grp"] == 1, "conv"].sum())
+        r = got[seg]
+        assert (r["nc"], r["nt"], r["cc"], r["ct"]) == (nc, nt, cc, ct)
+        want = ((2 * 1000000 * ct + nt) // (2 * nt)
+                - (2 * 1000000 * cc + nc) // (2 * nc))
+        assert r["uplift_ppm"] == want
+        p = (ct + cc) / (nt + nc)
+        z = ((ct / nt - cc / nc)
+             / math.sqrt(p * (1 - p) * (1 / nt + 1 / nc)))
+        import pytest as _pt
+        assert r["z"] == _pt.approx(z, abs=2e-6)
+        # parity arms are a null comparison: |z| should rarely scream
+        assert abs(r["z"]) < 6

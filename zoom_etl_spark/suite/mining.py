@@ -759,3 +759,86 @@ def recsys_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "DIV (2 * (d1 + d2 - c_ab)) AS BIGINT)")
                   .alias("jaccard_ppm")))
     return j.orderBy(F.desc("jaccard_ppm"), "s1", "s2").limit(100)
+
+
+# O·ln(O·N / (R·C)) quantized half-away to integer micro-nats; zero
+# cells contribute exactly 0 (the lim x->0 x·ln x convention)
+_LLR_T = ("CASE WHEN {o} = 0 THEN 0 ELSE "
+          "CAST(floor({o} * ln(CAST({o} AS DOUBLE) * n "
+          "/ (CAST({r} AS DOUBLE) * {c})) * 1000000 + 0.5) "
+          "AS BIGINT) END")
+
+
+@query("collocation_llr", oracle=f"""
+WITH tok AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT z[1] AS a, z[2] AS b
+  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z FROM tok)
+  WHERE z[2] IS NOT NULL
+),
+c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o11
+      FROM bg GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(o11) AS BIGINT) AS r1 FROM c GROUP BY 1),
+cb AS (SELECT b, CAST(sum(o11) AS BIGINT) AS c1 FROM c GROUP BY 1),
+nn AS (SELECT CAST(sum(o11) AS BIGINT) AS n FROM c),
+f AS (
+  SELECT c.a, c.b, o11, r1, c1, n,
+         r1 - o11 AS o12, c1 - o11 AS o21,
+         n - r1 - c1 + o11 AS o22
+  FROM c JOIN ra ON ra.a = c.a JOIN cb ON cb.b = c.b CROSS JOIN nn
+  WHERE o11 >= 25
+),
+g AS (
+  SELECT a, b, o11, r1, c1,
+         2 * ({_LLR_T.format(o='o11', r='r1', c='c1')}
+              + {_LLR_T.format(o='o12', r='r1', c='(n - c1)')}
+              + {_LLR_T.format(o='o21', r='(n - r1)', c='c1')}
+              + {_LLR_T.format(o='o22', r='(n - r1)', c='(n - c1)')})
+           AS llr_e6
+  FROM f
+)
+SELECT a, b, o11, r1, c1, llr_e6
+FROM g ORDER BY llr_e6 DESC, a, b LIMIT 50
+""")
+def collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength by Dunning's log-likelihood ratio (G², the
+    1993 standard that fixes PMI's rare-pair bias — `term_pmi` ranks
+    hapax pairs absurdly high, G² weights by evidence): for each
+    adjacent bigram with support ≥ 25, the 2×2 contingency G² =
+    2·ΣO·ln(O·N/(R·C)) against the independence expectation, top-50.
+    Bigrams come from the zip-shift explode (no positions table);
+    margins are two pair-frame aggregates; every ln term is quantized
+    half-away to INTEGER micro-nats (zero cells contribute exactly 0,
+    the x·ln x limit) so G² is an exact integer and the ranking —
+    ORDER BY llr_e6 — cannot straddle across engines. One corpus
+    explode + vocab²-bounded pair frames; top-50 is
+    TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select(toks.alias("toks"))
+    z = tok.select(F.explode(F.arrays_zip(
+        F.col("toks"),
+        F.slice(F.col("toks"), 2,
+                F.greatest(F.size("toks") - 1, F.lit(0))))).alias("z"))
+    bg = (z.select(F.col("z.toks").alias("a"), F.col("z.1").alias("b"))
+           .filter(F.col("b").isNotNull()))
+    c = (bg.groupBy("a", "b").agg(F.count("*").alias("o11"))
+         .localCheckpoint(eager=False))
+    ra = c.groupBy("a").agg(F.sum("o11").alias("r1"))
+    cb = c.groupBy("b").agg(F.sum("o11").alias("c1"))
+    nn = c.agg(F.sum("o11").alias("n"))
+    f = (c.filter(F.col("o11") >= 25)
+         .join(ra, "a").join(cb, "b").crossJoin(F.broadcast(nn))
+         .withColumn("o12", F.expr("r1 - o11"))
+         .withColumn("o21", F.expr("c1 - o11"))
+         .withColumn("o22", F.expr("n - r1 - c1 + o11")))
+    llr = (F.expr(_LLR_T.format(o="o11", r="r1", c="c1"))
+           + F.expr(_LLR_T.format(o="o12", r="r1", c="(n - c1)"))
+           + F.expr(_LLR_T.format(o="o21", r="(n - r1)", c="c1"))
+           + F.expr(_LLR_T.format(o="o22", r="(n - r1)", c="(n - c1)")))
+    g = f.select("a", "b", "o11", "r1", "c1",
+                 (2 * llr).alias("llr_e6"))
+    return g.orderBy(F.desc("llr_e6"), "a", "b").limit(50)

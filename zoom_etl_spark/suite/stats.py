@@ -1391,3 +1391,62 @@ def trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "CAST(s_mid + kt * CAST(lo_v AS DECIMAL(38,0)) "
                         "+ kt * CAST(hi_v AS DECIMAL(38,0)) AS DOUBLE)")
                         / F.col("n"), 4).alias("winsorized_mean")))
+
+
+_UPLIFT_Z = ("round((CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)"
+             " / sqrt((CAST(ct + cc AS DOUBLE) / (nt + nc))"
+             " * (1.0 - CAST(ct + cc AS DOUBLE) / (nt + nc))"
+             " * (1.0 / nt + 1.0 / nc)), 6)")
+
+
+@query("ab_uplift_by_segment", oracle=f"""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey % 2 AS grp,
+         CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS conv
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT seg,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS cc,
+         CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS ct
+  FROM obs GROUP BY 1
+)
+SELECT seg, nc, nt, cc, ct,
+       CAST((2 * 1000000 * ct + nt) // (2 * nt) AS BIGINT)
+         - CAST((2 * 1000000 * cc + nc) // (2 * nc) AS BIGINT)
+         AS uplift_ppm,
+       {_UPLIFT_Z} AS z
+FROM m
+""")
+def ab_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment uplift readout for a binary conversion (order over
+    $150k), arms = custkey parity — the heterogeneous-treatment-effect
+    table an experimentation platform renders next to the pooled
+    result ("the feature helps BUILDING but hurts MACHINERY"): uplift
+    = treated-rate − control-rate as a DIFFERENCE of half-away ppm
+    (each rate exact), and the two-proportion pooled z as one welch-
+    discipline shared-text chain over exact integer counts. One scan
+    → |segments|×2 conditional cells; nothing data-sized after."""
+    o = table(spark, sf_dir, "orders")
+    cst = table(spark, sf_dir, "customer")
+    obs = (o.join(cst, o["o_custkey"] == cst["c_custkey"])
+           .select(F.col("c_mktsegment").alias("seg"),
+                   (F.col("o_custkey") % 2).alias("grp"),
+                   F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+                    .alias("conv")))
+    g0 = F.col("grp") == 0
+    m = obs.groupBy("seg").agg(
+        F.sum(F.when(g0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(~g0, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(g0, F.col("conv")).otherwise(0)).alias("cc"),
+        F.sum(F.when(~g0, F.col("conv")).otherwise(0)).alias("ct"))
+    return m.select(
+        "seg", "nc", "nt", "cc", "ct",
+        (F.expr("CAST((2 * 1000000 * ct + nt) DIV (2 * nt) AS BIGINT)")
+         - F.expr("CAST((2 * 1000000 * cc + nc) DIV (2 * nc) AS BIGINT)"))
+        .alias("uplift_ppm"),
+        F.expr(_UPLIFT_Z).alias("z"))
