@@ -184,6 +184,9 @@ QUERIES = [
     # Dunning G2 collocations (bigram explode + vocab^2-bounded pair
     # frames) and uplift-by-segment (segment x 2 cells)
     "collocation_llr", "ab_uplift_by_segment",
+    # streaming PSI IVM: constant (type x 22 bucket) state, the drain
+    # scans 10x events once
+    "stream_drift_ivm",
 ]
 
 KEYED = {

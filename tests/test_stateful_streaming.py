@@ -952,3 +952,69 @@ def test_funnel_ivm_multibatch_and_ordering_semantics(spark, tmp_path):
     u1 = sorted((r.seq, r.stage_reached) for r in
                 spark.table("funnel_mb_log").collect() if r.user_id == 1)
     assert [s for _, s in u1] == [1, 2, 3]
+
+
+def test_drift_ivm_multibatch_converges(spark, sf_dir):
+    """The PSI IVM must converge to the batch drift_psi when the
+    events arrive as three out-of-event-time-order micro-batches:
+    counts are additive-monotone, so the max-per-key finalizer must
+    reproduce the single-batch snapshot exactly."""
+    from pyspark.sql.window import Window
+
+    from zoom_etl_spark.registry import all_queries
+    from zoom_etl_spark.streaming.ingest import EVENTS_SCHEMA
+
+    e = table(spark, sf_dir, "events")
+    srcdir = tempfile.mkdtemp(prefix="zes_drift_ooo_")
+    thirds = F.ntile(3).over(Window.orderBy(F.col("ts").desc()))
+    raw = (e.withColumn("g", thirds)
+            .withColumn("ts", F.unix_micros("ts") * 1000))
+    for g in (1, 2, 3):
+        (raw.filter(F.col("g") == g).drop("g")
+         .coalesce(1).write.mode("overwrite").parquet(f"{srcdir}/f{g}"))
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(srcdir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    x = stream.select(
+        "event_type",
+        F.when(F.col("value") < 0, 0)
+         .when(F.col("value") >= 100, 21)
+         .otherwise(F.floor(F.col("value") / 5).cast("int") + 1)
+         .alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+         .otherwise(0).alias("isb"))
+    counts = (x.groupBy("event_type", "bucket")
+              .agg(F.sum("isb").alias("nb"),
+                   F.sum(1 - F.col("isb")).alias("nc")))
+    q = (counts.writeStream.format("memory").queryName("t_drift_ooo")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got_counts = {(r.event_type, r.bucket): (r.nb, r.nc)
+                  for r in (spark.table("t_drift_ooo")
+                            .groupBy("event_type", "bucket")
+                            .agg(F.max("nb").alias("nb"),
+                                 F.max("nc").alias("nc"))).collect()}
+    want_counts = {(r.event_type, r.bucket): (r.nb, r.nc)
+                   for r in (e.select(
+                       "event_type",
+                       F.when(F.col("value") < 0, 0)
+                        .when(F.col("value") >= 100, 21)
+                        .otherwise(F.floor(F.col("value") / 5)
+                                   .cast("int") + 1).alias("bucket"),
+                       F.when(F.col("ts")
+                              < F.lit("2024-01-16").cast("timestamp"), 1)
+                        .otherwise(0).alias("isb"))
+                       .groupBy("event_type", "bucket")
+                       .agg(F.sum("isb").alias("nb"),
+                            F.sum(1 - F.col("isb")).alias("nc"))).collect()}
+    assert got_counts == want_counts
+    # the multi-batch log really contains superseded snapshots (update
+    # mode emitted more than the final row per key)
+    assert spark.table("t_drift_ooo").count() > len(got_counts)
+    # end to end: the registered query equals the batch drift_psi
+    got = {r.event_type: r.psi for r in
+           all_queries()["stream_drift_ivm"].fn(spark, sf_dir).collect()}
+    want = {r.event_type: r.psi for r in
+            all_queries()["drift_psi"].fn(spark, sf_dir).collect()}
+    assert got == want

@@ -1077,3 +1077,71 @@ def stream_funnel_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_state_partitions=16)
     emitted = spark.table("stream_funnel_log")
     return funnel_finalize(emitted).select("user_id", "stage_reached")
+
+
+@query("stream_drift_ivm", oracle="""
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 100 THEN 21
+              ELSE CAST(floor(value / 5) AS INT) + 1 END AS bucket,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS isb
+  FROM events
+),
+c AS (
+  SELECT event_type, bucket,
+         CAST(sum(isb) AS BIGINT) AS nb,
+         CAST(sum(1 - isb) AS BIGINT) AS nc
+  FROM x GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, sum(nb) AS tb, sum(nc) AS tc FROM c GROUP BY 1
+)
+SELECT c.event_type,
+       round(sum(
+         ((nb + 1.0) / (tb + 22.0) - (nc + 1.0) / (tc + 22.0))
+         * ln(((nb + 1.0) / (tb + 22.0))
+              / ((nc + 1.0) / (tc + 22.0)))), 4) AS psi
+FROM c JOIN t USING (event_type)
+GROUP BY 1
+""")
+def stream_drift_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained PSI drift monitor — the streaming twin
+    of ``drift_psi``: per-(type, bucket, period) counts are kept by a
+    built-in streaming aggregate (update mode, no watermark — counts
+    are monotone forever, exactly the unbounded-state semantics a
+    reference-vs-live monitor wants), and the PSI itself is computed
+    batch-side from the CONVERGED counts. Convergence finalizer:
+    each count column is nondecreasing per key across update
+    emissions, so the converged snapshot is simply max(nb), max(nc)
+    per key — no sequence column needed (additive-monotone IVMs get
+    last-write-wins for free). The drained view value-hash-matches
+    the batch drift_psi oracle bit-for-bit because the final PSI
+    expression is the SAME shared text over the same exact integer
+    counts. State = one row per (type × 22 buckets) — constant
+    forever."""
+    stream = read_events_stream(spark, sf_dir)
+    x = stream.select(
+        "event_type",
+        F.when(F.col("value") < 0, 0)
+         .when(F.col("value") >= 100, 21)
+         .otherwise(F.floor(F.col("value") / 5).cast("int") + 1)
+         .alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+         .otherwise(0).alias("isb"))
+    counts = (x.groupBy("event_type", "bucket")
+              .agg(F.sum("isb").alias("nb"),
+                   F.sum(1 - F.col("isb")).alias("nc")))
+    run_available_now(counts, "stream_drift_log", output_mode="update",
+                      n_state_partitions=16)
+    c = (spark.table("stream_drift_log")
+         .groupBy("event_type", "bucket")
+         .agg(F.max("nb").alias("nb"), F.max("nc").alias("nc"))
+         .localCheckpoint(eager=False))
+    t = c.groupBy("event_type").agg(F.sum("nb").alias("tb"),
+                                    F.sum("nc").alias("tc"))
+    j = c.join(F.broadcast(t), "event_type")
+    p = (F.col("nb") + 1.0) / (F.col("tb") + 22.0)
+    q = (F.col("nc") + 1.0) / (F.col("tc") + 22.0)
+    return (j.groupBy("event_type")
+             .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))
