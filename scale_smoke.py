@@ -187,6 +187,9 @@ QUERIES = [
     # streaming PSI IVM: constant (type x 22 bucket) state, the drain
     # scans 10x events once
     "stream_drift_ivm",
+    # funnel latency (stage frontiers + hop-banded order statistic)
+    # and the key-skew audit (one key rollup + 1-row fold)
+    "funnel_latency_quantiles", "dq_key_skew",
 ]
 
 KEYED = {

@@ -68,3 +68,59 @@ def test_max_drawdown_replays(spark, sf_dir):
     assert row["peak_cum_cents"] == pk_cum
     assert row["trough_cum_cents"] == tr_cum
     assert row["dd_ppm"] == (2 * 1000000 * dd + pk_cum) // (2 * pk_cum)
+
+
+def test_funnel_latency_replays(spark, sf_dir):
+    got = {r["hop"]: r.asDict() for r in
+           all_queries()["funnel_latency_quantiles"].fn(
+               spark, sf_dir).collect()}
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # parquet ts is datetime64[us] since the 2026-08-13 regen — the
+    # int64 view IS microseconds already (a //1000 here would be the
+    # nanos-era conversion and silently lands on milliseconds)
+    e["us"] = e["ts"].astype("datetime64[us]").astype("int64")
+    s = (e[e.event_type == "signup"].groupby("user_id")["us"].min())
+    c = {}
+    for uid, t0 in s.items():
+        later = e[(e.event_type == "click") & (e.user_id == uid)
+                  & (e.us > t0)]
+        if len(later):
+            c[uid] = (t0, int(later["us"].min()))
+    p = {}
+    for uid, (t0, t1) in c.items():
+        later = e[(e.event_type == "purchase") & (e.user_id == uid)
+                  & (e.us > t1)]
+        if len(later):
+            p[uid] = (t1, int(later["us"].min()))
+
+    def check(hop, pairs):
+        lat = sorted((t1 - t0, uid) for uid, (t0, t1) in pairs.items())
+        n = len(lat)
+        r = got[hop]
+        assert r["n_users"] == n
+        assert r["p50_us"] == lat[(n + 1) // 2 - 1][0]
+        assert r["p90_us"] == lat[(9 * n + 9) // 10 - 1][0]
+        assert r["p50_us"] <= r["p90_us"]
+
+    check("signup->click", c)
+    check("click->purchase", p)
+
+
+def test_dq_key_skew_replays(spark, sf_dir):
+    row = all_queries()["dq_key_skew"].fn(
+        spark, sf_dir).collect()[0].asDict()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cnt = o.groupby("o_custkey").size()
+    K, N = len(cnt), len(o)
+    mx = int(cnt.max())
+    ss = int((cnt.astype("int64") ** 2).sum())
+    assert (row["n_keys"], row["n_rows"], row["max_cnt"]) == (K, N, mx)
+    assert row["skew_ratio_ppm"] == (2 * 1000000 * mx * K + N) // (2 * N)
+    assert row["chi_ppm"] == (2 * 1000000 * ss * K + N * N) // (2 * N * N)
+    top = cnt.sort_values(ascending=False)
+    top_keys = top[top == mx].index.min()  # count desc, key asc tie rule
+    assert row["top_key"] == int(top_keys)
+    assert row["top_cnt"] == mx
+    # laws: skew ratio >= 1e6 (max >= mean), chi >= 1e6 (Cauchy-Schwarz)
+    assert row["skew_ratio_ppm"] >= 1000000
+    assert row["chi_ppm"] >= 1000000

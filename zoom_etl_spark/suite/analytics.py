@@ -1889,3 +1889,156 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.expr(
         f"stack({len(_FP_COLS)}, {stack_args}) "
         "AS (col, n_rows, n_null, checksum)"))
+
+
+@query("funnel_latency_quantiles", oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS ts0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, s.ts0, min(e.ts) AS ts1
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.ts0 GROUP BY 1, 2
+),
+p AS (
+  SELECT e.user_id, c.ts0, c.ts1, min(e.ts) AS ts2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ts1 GROUP BY 1, 2, 3
+),
+lat AS (
+  SELECT 'signup->click' AS hop, epoch_us(ts1) - epoch_us(ts0) AS us,
+         user_id
+  FROM c
+  UNION ALL
+  SELECT 'click->purchase', epoch_us(ts2) - epoch_us(ts1), user_id
+  FROM p
+),
+r AS (
+  SELECT hop, us,
+         row_number() OVER (PARTITION BY hop ORDER BY us, user_id) AS i,
+         count(*) OVER (PARTITION BY hop) AS n
+  FROM lat
+)
+SELECT hop, CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN i = (n + 1) // 2 THEN us END) AS BIGINT)
+         AS p50_us,
+       CAST(max(CASE WHEN i = (9 * n + 9) // 10 THEN us END) AS BIGINT)
+         AS p90_us
+FROM r GROUP BY 1
+""")
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per funnel hop — the latency half of
+    funnel analysis (`funnel_conversion` counts WHO converts; this
+    reports HOW LONG the surviving users took): exact lower-nearest-
+    rank p50/p90 of first-signup→first-later-click and
+    click→first-later-purchase gaps, in integer microseconds. Stage
+    frontiers are the same keyed min-aggregates semi-joined forward as
+    the funnel; latencies are exact integer µs differences; the order
+    statistics run banded (us div 1 hour) per hop — the two-level
+    discipline, no global sort — with ceil-rank nearest-rank cuts
+    k = ⌈q·n⌉ certified by the oracle's row_number formulation."""
+    e = table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("ts0")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .filter(F.col("ts") > F.col("ts0"))
+         .groupBy("user_id", "ts0").agg(F.min("ts").alias("ts1")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("ts1"))
+         .groupBy("user_id", "ts0", "ts1").agg(F.min("ts").alias("ts2")))
+    lat = (c.select(F.lit("signup->click").alias("hop"),
+                    (F.unix_micros("ts1") - F.unix_micros("ts0"))
+                    .alias("us"), "user_id")
+           .unionByName(
+               p.select(F.lit("click->purchase").alias("hop"),
+                        (F.unix_micros("ts2") - F.unix_micros("ts1"))
+                        .alias("us"), "user_id"))
+           .withColumn("band", F.expr("us div 3600000000"))
+           .localCheckpoint(eager=False))
+    bands = lat.groupBy("hop", "band").agg(F.count("*").alias("bn"))
+    wb = (Window.partitionBy("hop").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bands.select(
+        "hop", "band",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"))
+    wl = Window.partitionBy("hop", "band").orderBy("us", "user_id")
+    r = (lat.join(F.broadcast(offs), ["hop", "band"])
+         .select("hop", "us",
+                 (F.col("off") + F.row_number().over(wl)).alias("i")))
+    n = lat.groupBy("hop").agg(F.count("*").alias("n"))
+    return (r.join(F.broadcast(n), "hop")
+            .groupBy("hop")
+            .agg(F.max("n").cast("long").alias("n_users"),
+                 F.max(F.when(F.col("i") == F.expr("(n + 1) div 2"),
+                              F.col("us"))).cast("long").alias("p50_us"),
+                 F.max(F.when(F.col("i") == F.expr("(9 * n + 9) div 10"),
+                              F.col("us"))).cast("long")
+                  .alias("p90_us")))
+
+
+@query("dq_key_skew", oracle="""
+WITH k AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS ss
+  FROM k
+),
+top AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key) AS rk
+  FROM k
+)
+SELECT m.n_keys, m.n_rows, m.max_cnt,
+       CAST((2 * 1000000 * CAST(m.max_cnt AS HUGEINT) * m.n_keys
+             + m.n_rows) // (2 * m.n_rows) AS BIGINT) AS skew_ratio_ppm,
+       CAST((2 * 1000000 * m.ss * m.n_keys
+             + CAST(m.n_rows AS HUGEINT) * m.n_rows)
+            // (2 * CAST(m.n_rows AS HUGEINT) * m.n_rows) AS BIGINT)
+         AS chi_ppm,
+       (SELECT key FROM top WHERE rk = 1) AS top_key,
+       (SELECT cnt FROM top WHERE rk = 1) AS top_cnt
+FROM m
+""")
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for orders.o_custkey — the pre-flight a
+    planner (or `join_salted`/`join_auto_skew`) wants before shuffling
+    on a key: hottest key + count, skew ratio max·K/N (1.0 = uniform)
+    and the chi-like concentration Σc²·K/N² (≈1 uniform, →K one
+    whale), both half-away ppm with the products on decimal/HUGEINT
+    (max_cnt·n_keys and ss·n_keys cross int64 early at warehouse
+    key cardinalities). One key rollup (map-combined) + a 1-row fold;
+    the hottest key falls out of TakeOrderedAndProject semantics, not
+    a global sort. Complements the sampled CMS sketches of
+    operators/joins.py with an exact offline audit."""
+    o = table(spark, sf_dir, "orders")
+    k = (o.groupBy(F.col("o_custkey").alias("key"))
+         .agg(F.count("*").alias("cnt"))
+         .localCheckpoint(eager=False))
+    m = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum((F.col("cnt").cast("decimal(20,0)") * F.col("cnt"))
+              .cast("decimal(38,0)")).cast("decimal(38,0)").alias("ss"))
+    top = (k.orderBy(F.desc("cnt"), "key").limit(1)
+           .select(F.col("key").alias("top_key"),
+                   F.col("cnt").alias("top_cnt")))
+    return (m.crossJoin(F.broadcast(top))
+            .select("n_keys", "n_rows", "max_cnt",
+                    F.expr("CAST((2 * 1000000 * CAST(max_cnt AS "
+                           "DECIMAL(38,0)) * n_keys + n_rows) "
+                           "DIV (2 * n_rows) AS BIGINT)")
+                     .alias("skew_ratio_ppm"),
+                    F.expr("CAST((2 * 1000000 * ss * n_keys "
+                           "+ CAST(n_rows AS DECIMAL(38,0)) * n_rows) "
+                           "DIV (2 * CAST(n_rows AS DECIMAL(38,0)) "
+                           "* n_rows) AS BIGINT)").alias("chi_ppm"),
+                    "top_key", "top_cnt"))
