@@ -190,6 +190,12 @@ QUERIES = [
     # funnel latency (stage frontiers + hop-banded order statistic)
     # and the key-skew audit (one key rollup + 1-row fold)
     "funnel_latency_quantiles", "dq_key_skew",
+    # containment dedup: replicated copies share text, so cross-copy
+    # pairs are the er_blocked_linkage caveat IN REVERSE — here the
+    # ~100x pair output at 10x is the real workload shape (every copy
+    # IS a duplicate) and the df-capped candidates + exact verify
+    # must absorb it
+    "dedup_containment",
 ]
 
 KEYED = {

@@ -244,3 +244,46 @@ def test_prefix_filter_lossless(spark, sf_dir):
     assert verified(plain) == verified(pref)
     assert len(verified(plain)) > 0
     sh.unpersist()
+
+
+def test_containment_catches_subset_duplication(spark, sf_dir):
+    """Containment's defining property vs Jaccard, replayed in pure
+    Python on the real corpus: every reported pair's ppm equals the
+    exact set-algebra value, and every pair with max-containment >=
+    0.5 is reported (completeness under the df cap — the cap prunes
+    candidate GENERATION but verification is exact)."""
+    import re as _re
+
+    import pandas as pd
+
+    from zoom_etl_spark.registry import all_queries
+
+    rows = {(r["id_a"], r["id_b"]): r.asDict() for r in
+            all_queries()["dedup_containment"].fn(
+                spark, sf_dir).collect()}
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    grams = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = [x for x in
+                _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+                if x]
+        n = max(len(toks) - 2, 1)
+        grams[int(doc_id)] = {" ".join(toks[i:i + 3])
+                              for i in range(n)}
+    ids = sorted(grams)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(grams[a] & grams[b])
+            if inter == 0:
+                continue
+            na, nb = len(grams[a]), len(grams[b])
+            ppm = max((2 * 1000000 * inter + na) // (2 * na),
+                      (2 * 1000000 * inter + nb) // (2 * nb))
+            if ppm >= 500000:
+                want[(a, b)] = (inter, na, nb, ppm)
+    assert set(rows) == set(want)
+    for k, (inter, na, nb, ppm) in want.items():
+        r = rows[k]
+        assert (r["inter"], r["na"], r["nb"], r["containment_ppm"]) == \
+            (inter, na, nb, ppm)

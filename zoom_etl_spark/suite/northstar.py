@@ -470,3 +470,95 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("doc_id", "words", "sents", "sylls",
                     F.expr(_FK["grade"]).alias("fk_grade"),
                     F.expr(_FK["ease"]).alias("flesch_ease"))
+
+
+@query("dedup_containment", oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb,
+         greatest(CAST((2 * 1000000 * i + sa.n) // (2 * sa.n) AS BIGINT),
+                  CAST((2 * 1000000 * i + sb.n) // (2 * sb.n) AS BIGINT))
+           AS containment_ppm
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, i AS inter, na, nb, containment_ppm
+FROM c WHERE containment_ppm >= 500000
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs — the near-dup signal
+    Jaccard structurally misses: a short document fully quoted inside
+    a long one has tiny Jaccard (|A∩B|/|A∪B| shrinks with the size
+    gap) but containment max(|A∩B|/|A|, |A∩B|/|B|) = 1.0 — the
+    Broder (1997) complement every curation pipeline needs for
+    subset/quotation duplication. Same scale discipline as
+    dedup_ngram_jaccard: trigram shingles, candidates from the
+    df-capped inverted-index equi-join (boilerplate shingles cannot
+    fan out O(df²)), exact integer intersection counts joined back to
+    exact set sizes; containment is half-away ppm, reported when
+    either direction ≥ 0.5."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = F.filter(
+        F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                " "), lambda x: x != "")
+    sh = (d.repartition(par)
+          .select("doc_id", toks.alias("toks"))
+          .select("doc_id", F.array_distinct(F.transform(
+              F.sequence(F.lit(1),
+                         F.greatest(F.size("toks") - 2, F.lit(1))),
+              lambda i: F.array_join(F.slice("toks", i, 3), " ")))
+              .alias("grams"))
+          .localCheckpoint(eager=False))
+    ex = sh.select("doc_id", F.explode("grams").alias("g"))
+    # df-cap: shingles in >50 docs are boilerplate, O(df^2) fanout
+    df_ok = (ex.groupBy("g").agg(F.count("*").alias("df"))
+             .filter(F.col("df") <= 50).select("g"))
+    exc = ex.join(df_ok, "g")
+    a = exc.select(F.col("doc_id").alias("id_a"), "g")
+    b = exc.select(F.col("doc_id").alias("id_b"), "g")
+    # candidates come from capped shingles; the intersection is then
+    # recomputed EXACTLY from the full shingle sets (the
+    # dedup_ngram_jaccard verify discipline — the cap prunes pair
+    # GENERATION, never the statistic)
+    cand = (a.join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ga = sh.select(F.col("doc_id").alias("id_a"),
+                   F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"),
+                   F.col("grams").alias("grams_b"))
+    inter = (cand.join(ga, "id_a").join(gb, "id_b")
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("grams_a", "grams_b"))
+                      .cast("long").alias("i"),
+                     F.size("grams_a").cast("long").alias("na"),
+                     F.size("grams_b").cast("long").alias("nb")))
+    c = (inter
+         .select("id_a", "id_b", F.col("i").alias("inter"), "na", "nb",
+                 F.greatest(
+                     F.expr("CAST((2 * 1000000 * i + na) DIV (2 * na) "
+                            "AS BIGINT)"),
+                     F.expr("CAST((2 * 1000000 * i + nb) DIV (2 * nb) "
+                            "AS BIGINT)")).alias("containment_ppm")))
+    return c.filter(F.col("containment_ppm") >= 500000)
