@@ -196,6 +196,9 @@ QUERIES = [
     # IS a duplicate) and the df-capped candidates + exact verify
     # must absorb it
     "dedup_containment",
+    # ship-delay SLA percentiles: fact-fact orderkey join + bounded
+    # delay-value cells — the join is the only thing that scales
+    "logistics_ship_delay",
 ]
 
 KEYED = {

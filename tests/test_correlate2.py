@@ -124,3 +124,25 @@ def test_dq_key_skew_replays(spark, sf_dir):
     # laws: skew ratio >= 1e6 (max >= mean), chi >= 1e6 (Cauchy-Schwarz)
     assert row["skew_ratio_ppm"] >= 1000000
     assert row["chi_ppm"] >= 1000000
+
+
+def test_logistics_ship_delay_replays(spark, sf_dir):
+    got = {r["flag"]: r.asDict() for r in
+           all_queries()["logistics_ship_delay"].fn(
+               spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["delay"] = (pd.to_datetime(m["l_shipdate"]).dt.normalize()
+                  - pd.to_datetime(m["o_orderdate"]).dt.normalize()).dt.days
+    for flag, grp in m.groupby("l_returnflag"):
+        ds = sorted(grp["delay"])
+        n = len(ds)
+        r = got[flag]
+        assert r["n_lines"] == n
+        assert r["p50_days"] == ds[(n + 1) // 2 - 1]
+        assert r["p90_days"] == ds[(9 * n + 9) // 10 - 1]
+        assert r["p99_days"] == ds[(99 * n + 99) // 100 - 1]
+        assert r["max_days"] == ds[-1]
+        assert (r["p50_days"] <= r["p90_days"] <= r["p99_days"]
+                <= r["max_days"])

@@ -2042,3 +2042,66 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "DIV (2 * CAST(n_rows AS DECIMAL(38,0)) "
                            "* n_rows) AS BIGINT)").alias("chi_ppm"),
                     "top_key", "top_cnt"))
+
+
+@query("logistics_ship_delay", oracle="""
+WITH d AS (
+  SELECT l.l_returnflag AS flag,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+c AS (
+  SELECT flag, delay_days, CAST(count(*) AS BIGINT) AS cnt
+  FROM d GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, delay_days, cnt,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY delay_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY flag) AS n
+  FROM c
+)
+SELECT flag, CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN delay_days END)
+            AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN delay_days END)
+            AS BIGINT) AS p90_days,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN delay_days END)
+            AS BIGINT) AS p99_days,
+       CAST(max(delay_days) AS BIGINT) AS max_days
+FROM cum GROUP BY 1
+""")
+def logistics_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment latency percentiles per return flag —
+    the logistics SLA table (exact p50/p90/p99/max of shipdate −
+    orderdate in days): the tail percentiles are the operational
+    signal (p99 regression = a depot is backed up) and exactness
+    matters because SLAs are contractual. The delay DOMAIN is bounded
+    (~120 day values), so the order statistics come from VALUE CELLS:
+    one map-combined (flag, delay) count, a cell-frame cumulative,
+    and nearest-rank picks as min-over-CASE — no row-level rank at
+    all, the cheapest exact-percentile plan that exists (the
+    model_auc_by_source cell discipline applied to quantiles). The
+    only data-sized work is the fact-fact orderkey join + the cell
+    rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    d = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .select(F.col("l_returnflag").alias("flag"),
+                 F.datediff(F.to_date("l_shipdate"),
+                            F.to_date("o_orderdate")).cast("long")
+                  .alias("delay_days")))
+    c = d.groupBy("flag", "delay_days").agg(F.count("*").alias("cnt"))
+    w = (Window.partitionBy("flag").orderBy("delay_days")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (c.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(Window.partitionBy("flag"))))
+    pick = lambda kexpr: F.min(F.when(  # noqa: E731
+        F.col("cum") >= F.expr(kexpr), F.col("delay_days"))).cast("long")
+    return (cum.groupBy("flag")
+            .agg(F.max("n").cast("long").alias("n_lines"),
+                 pick("(n + 1) div 2").alias("p50_days"),
+                 pick("(9 * n + 9) div 10").alias("p90_days"),
+                 pick("(99 * n + 99) div 100").alias("p99_days"),
+                 F.max("delay_days").cast("long").alias("max_days")))
