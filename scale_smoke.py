@@ -199,6 +199,8 @@ QUERIES = [
     # ship-delay SLA percentiles: fact-fact orderkey join + bounded
     # delay-value cells — the join is the only thing that scales
     "logistics_ship_delay",
+    # STL strength diagnostics: day-bounded past the rollup
+    "seasonal_strength",
 ]
 
 KEYED = {

@@ -146,3 +146,47 @@ def test_logistics_ship_delay_replays(spark, sf_dir):
         assert r["max_days"] == ds[-1]
         assert (r["p50_days"] <= r["p90_days"] <= r["p99_days"]
                 <= r["max_days"])
+
+
+def test_seasonal_strength_replays(spark, sf_dir):
+    row = all_queries()["seasonal_strength"].fn(
+        spark, sf_dir).collect()[0].asDict()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o.assign(day=pd.to_datetime(o["o_orderdate"]).dt.normalize(),
+                 cents=(o["o_totalprice"] * 100 + 0.5).map(math.floor))
+    daily = o.groupby("day")["cents"].sum().sort_index()
+    days = list(daily.index)
+    ys = list(daily.values)
+    rem, det, deseas = [], [], []
+    # centered 7-MA trend, half-away; weekday seasonal via shifted mean
+    trends = {}
+    for i in range(3, len(ys) - 3):
+        ws = sum(ys[i - 3:i + 4])
+        trends[i] = (2 * ws + 7) // 14
+    by_dw = {}
+    for i, tr in trends.items():
+        dw = days[i].weekday()
+        by_dw.setdefault(dw, []).append(int(ys[i] - tr))
+    seas = {}
+    C = 1000000000000
+    for dw, ds in by_dw.items():
+        cnt = len(ds)
+        seas[dw] = (2 * (sum(ds) + cnt * C) + cnt) // (2 * cnt) - C
+    for i, tr in trends.items():
+        dw = days[i].weekday()
+        dv = int(ys[i] - tr)
+        det.append(dv)
+        rem.append(dv - seas[dw])
+        deseas.append(int(ys[i]) - seas[dw])
+
+    def var_ratio(a, b):
+        n = len(a)
+        va = n * sum(x * x for x in a) - sum(a) ** 2
+        vb = n * sum(x * x for x in b) - sum(b) ** 2
+        return max(0, round((1.0 - va / vb) * 1e6))
+
+    assert row["n"] == len(det)
+    assert row["f_seasonal_ppm"] == var_ratio(rem, det)
+    assert row["f_trend_ppm"] == var_ratio(rem, deseas)
+    assert 0 <= row["f_seasonal_ppm"] <= 1000000
+    assert 0 <= row["f_trend_ppm"] <= 1000000

@@ -1051,3 +1051,107 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n").cast("long").alias("n_days"),
                     "n_pairs", "ts_slope_e6",
                     F.expr(_TS_OLS).alias("ols_slope")))
+
+
+_FSTR = ("CAST(greatest(0, round((1.0 - (CAST(n AS DOUBLE) * {a}ss "
+         "- CAST({a}s AS DOUBLE) * {a}s) / (CAST(n AS DOUBLE) * {b}ss "
+         "- CAST({b}s AS DOUBLE) * {b}s)) * 1000000, 0)) AS BIGINT)")
+
+
+@query("seasonal_strength", oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT day, c,
+         CAST(count(*) OVER w AS BIGINT) AS wn,
+         CAST(sum(c) OVER w AS BIGINT) AS ws
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t AS (
+  SELECT day, c, (2 * ws + 7) // 14 AS trend
+  FROM tr WHERE wn = 7
+),
+dt AS (
+  SELECT day, c, trend, c - trend AS det,
+         CAST(isodow(day) - 1 AS INT) AS dw
+  FROM t
+),
+se AS (
+  SELECT dw,
+         (2 * (sum(det) + count(*) * 1000000000000) + count(*))
+           // (2 * count(*)) - 1000000000000 AS seas
+  FROM dt GROUP BY 1
+),
+r AS (
+  SELECT dt.det - se.seas AS rem, dt.det AS det,
+         dt.c - se.seas AS deseas
+  FROM dt JOIN se USING (dw)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rem) AS HUGEINT) AS rems,
+         CAST(sum(CAST(rem AS HUGEINT) * rem) AS HUGEINT) AS remss,
+         CAST(sum(det) AS HUGEINT) AS dets,
+         CAST(sum(CAST(det AS HUGEINT) * det) AS HUGEINT) AS detss,
+         CAST(sum(deseas) AS HUGEINT) AS dss,
+         CAST(sum(CAST(deseas AS HUGEINT) * deseas) AS HUGEINT) AS dsss
+  FROM r
+)
+SELECT n,
+       {_FSTR.format(a='rem', b='det')} AS f_seasonal_ppm,
+       {_FSTR.format(a='rem', b='ds')} AS f_trend_ppm
+FROM m
+""")
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH of daily revenue (Hyndman's STL
+    diagnostics: F_s = max(0, 1 − Var(remainder)/Var(detrended)),
+    F_t = max(0, 1 − Var(remainder)/Var(deseasonalized)) — the
+    one-number 'is there real weekly structure / real trend' readout
+    a forecasting platform computes before choosing a model family).
+    Composes the EXACT integer decomposition of seasonal_decompose_ma
+    (centered 7-MA trend, shifted-mean weekday seasonal — same shared
+    text), then all three variances come from exact integer moment
+    sums on decimal/HUGEINT and each strength is ONE shared-text IEEE
+    chain clamped at 0, half-away to ppm. Day-bounded everywhere past
+    the rollup."""
+    o = table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+          .agg(F.sum(F.expr(
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+               .alias("c")))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select("day", "c",
+                  F.count("*").over(w).alias("wn"),
+                  F.sum("c").over(w).alias("ws"))
+    t = (tr.filter(F.col("wn") == 7)
+         .select("day", "c", F.expr("(2 * ws + 7) div 14").alias("trend")))
+    dt = t.select("day", "c", "trend",
+                  (F.col("c") - F.col("trend")).alias("det"),
+                  F.expr("CAST(weekday(day) AS INT)").alias("dw"))
+    se = dt.groupBy("dw").agg(F.expr(
+        "(2 * (sum(det) + count(*) * 1000000000000) + count(*)) "
+        "div (2 * count(*)) - 1000000000000").alias("seas"))
+    r = (dt.join(F.broadcast(se), "dw")
+         .select((F.col("det") - F.col("seas")).alias("rem"),
+                 F.col("det"),
+                 (F.col("c") - F.col("seas")).alias("deseas")))
+    dec = lambda e: F.expr(e).cast("decimal(38,0)")  # noqa: E731
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("rem")).cast("decimal(38,0)").alias("rems"),
+        F.sum(dec("CAST(rem AS DECIMAL(38,0)) * rem"))
+         .cast("decimal(38,0)").alias("remss"),
+        F.sum(dec("det")).cast("decimal(38,0)").alias("dets"),
+        F.sum(dec("CAST(det AS DECIMAL(38,0)) * det"))
+         .cast("decimal(38,0)").alias("detss"),
+        F.sum(dec("deseas")).cast("decimal(38,0)").alias("dss"),
+        F.sum(dec("CAST(deseas AS DECIMAL(38,0)) * deseas"))
+         .cast("decimal(38,0)").alias("dsss"))
+    return m.select(
+        "n",
+        F.expr(_FSTR.format(a="rem", b="det")).alias("f_seasonal_ppm"),
+        F.expr(_FSTR.format(a="rem", b="ds")).alias("f_trend_ppm"))
