@@ -201,6 +201,8 @@ QUERIES = [
     "logistics_ship_delay",
     # STL strength diagnostics: day-bounded past the rollup
     "seasonal_strength",
+    # the model scorecard e2e: one corpus scan feeds AUC + ECE + Brier
+    "pipeline_mleval_e2e",
 ]
 
 KEYED = {

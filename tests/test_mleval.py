@@ -227,3 +227,45 @@ def test_woe_iv_replays(spark, sf_dir):
         # IV contributions are nonnegative by construction: the sign of
         # (dist_pos - dist_neg) always matches the sign of the log-odds
         assert r["iv_e9"] >= 0
+
+
+def test_mleval_e2e_scorecard_replays(spark, sf_dir):
+    import math
+    row = all_queries()["pipeline_mleval_e2e"].fn(
+        spark, sf_dir).collect()[0].asDict()
+    d = _docs(sf_dir)
+    n = len(d)
+    n_pos = int(d["y"].sum())
+    assert (row["n"], row["n_pos"]) == (n, n_pos)
+    assert row["pos_ppm"] == _half_away(1000000 * n_pos, n)
+    # pooled AUC by rank-sum
+    pos = sorted(d.loc[d["y"], "score"])
+    neg = sorted(d.loc[~d["y"], "score"])
+    u2 = sum(2 * sum(1 for x in neg if x < p)
+             + sum(1 for x in neg if x == p) for p in pos)
+    assert row["auc_ppm"] == _half_away(1000000 * u2,
+                                        2 * len(pos) * len(neg))
+    # ECE over ntile(10) of the unique (score, doc_id) order
+    sd = d.sort_values(["score", "doc_id"]).reset_index()
+    sd["p_e6"] = sd["score"].map(
+        lambda s: math.floor(1e6 / (1 + math.exp(-s / 100.0)) + 0.5))
+    q, rmd = divmod(n, 10)
+    sizes = [q + 1] * rmd + [q] * (10 - rmd)
+    start, ece_num = 0, 0
+    bsum = 0
+    for size in sizes:
+        chunk = sd.iloc[start:start + size]
+        start += size
+        obs = _half_away(1000000 * int(chunk["y"].sum()), size)
+        pred = _half_away(int(chunk["p_e6"].sum()), size)
+        ece_num += abs(obs - pred) * size
+    for pe6, y in zip(sd["p_e6"], sd["y"]):
+        dev = int(pe6) - (1000000 if y else 0)
+        bsum += dev * dev
+    assert row["ece_e6"] == _half_away(ece_num, n)
+    assert row["brier_e6"] == _half_away(bsum, n * 1000000)
+    # health laws: AUC of a real signal beats chance; ECE and Brier in
+    # range
+    assert row["auc_ppm"] > 500000
+    assert 0 <= row["ece_e6"] <= 1000000
+    assert 0 <= row["brier_e6"] <= 1000000

@@ -555,3 +555,126 @@ def feature_hash_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hashed.groupBy("doc_id", "bucket")
             .agg(F.sum("signed_tf").alias("feat"))
             .filter(F.col("feat") != 0))
+
+
+# per-row predicted probability: sigmoid of the centilogit, quantized
+# half-away to 1e-6 BEFORE any sum (the micro-nat discipline — one exp
+# per row, no float accumulation anywhere)
+_P_E6 = ("CAST(floor(1000000.0 / (1.0 + exp(-CAST(score AS DOUBLE) "
+         "/ 100.0)) + 0.5) AS BIGINT)")
+
+
+@query("pipeline_mleval_e2e", oracle=f"""
+WITH {_LOGIT_SQL},
+p AS (
+  SELECT doc_id, y, score, {_P_E6} AS p_e6,
+         ntile(10) OVER (ORDER BY score, doc_id) AS decile
+  FROM feats
+),
+v AS (
+  SELECT score,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos_v,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg_v
+  FROM p GROUP BY 1
+),
+cu AS (
+  SELECT pos_v, neg_v,
+         coalesce(sum(neg_v) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM v
+),
+auc AS (
+  SELECT CAST(sum(pos_v) AS BIGINT) AS n_pos,
+         CAST(sum(neg_v) AS BIGINT) AS n_neg,
+         CAST(sum(pos_v * (2 * cnb + neg_v)) AS BIGINT) AS u2
+  FROM cu
+),
+bins AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS posb,
+         CAST(sum(p_e6) AS BIGINT) AS pe6b
+  FROM p GROUP BY 1
+),
+ece AS (
+  SELECT CAST(sum(abs((2 * 1000000 * posb + nb) // (2 * nb)
+                      - (2 * pe6b + nb) // (2 * nb)) * nb) AS HUGEINT)
+           AS ece_num,
+         CAST(sum(nb) AS BIGINT) AS n
+  FROM bins
+),
+brier AS (
+  SELECT CAST(sum(CAST((p_e6 - CASE WHEN y THEN 1000000 ELSE 0 END)
+                       AS HUGEINT)
+                  * (p_e6 - CASE WHEN y THEN 1000000 ELSE 0 END))
+              AS HUGEINT) AS bsum
+  FROM p
+)
+SELECT ece.n, auc.n_pos,
+       CAST((2 * 1000000 * auc.n_pos + ece.n) // (2 * ece.n) AS BIGINT)
+         AS pos_ppm,
+       CAST((2 * 1000000 * CAST(auc.u2 AS HUGEINT)
+             + 2 * auc.n_pos * auc.n_neg)
+            // (4 * auc.n_pos * auc.n_neg) AS BIGINT) AS auc_ppm,
+       CAST((2 * ece.ece_num + ece.n) // (2 * ece.n) AS BIGINT) AS ece_e6,
+       CAST((2 * brier.bsum + CAST(ece.n AS HUGEINT) * 1000000)
+            // (2 * CAST(ece.n AS HUGEINT) * 1000000) AS BIGINT)
+         AS brier_e6
+FROM auc, ece, brier
+""")
+def pipeline_mleval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-health SCORECARD, end to end in one pipeline — the
+    single row a model monitor alerts on: n, positives, base rate,
+    pooled exact AUC (the score-cell rank-sum — no global sort),
+    expected calibration error over the ntile deciles (ECE =
+    Σ n_b/n·|observed − predicted|, both sides exact integers: the
+    predicted probability is sigmoid(centilogit) quantized HALF-AWAY
+    to 1e-6 per row before any sum, so ECE is integer arithmetic to
+    the end), and the Brier score (mean squared error on the 1e-6
+    probability grid — (p−y)² sums ride HUGEINT/decimal). One corpus
+    scan feeds all three statistics; everything downstream is
+    cell- or decile-sized. Composes the mleval family the way a
+    production evaluation job would: score once, derive every health
+    metric from the same frame."""
+    f = _feats(spark, sf_dir)
+    ranked = _ranked(f, descending=False)
+    nn = ranked.groupBy().agg(F.count("*").alias("n"))
+    p = (ranked.crossJoin(F.broadcast(nn))
+         .withColumn("decile", F.expr(_NTILE10).cast("int"))
+         .withColumn("p_e6", F.expr(_P_E6))
+         .localCheckpoint(eager=False))
+    v = (p.groupBy("score")
+         .agg(F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos_v"),
+              F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg_v")))
+    wc = (Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cu = v.withColumn("cnb", F.coalesce(F.sum("neg_v").over(wc), F.lit(0)))
+    auc = cu.agg(
+        F.sum("pos_v").alias("n_pos"), F.sum("neg_v").alias("n_neg"),
+        F.sum(F.col("pos_v") * (2 * F.col("cnb") + F.col("neg_v")))
+         .alias("u2"))
+    bins = p.groupBy("decile").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("posb"),
+        F.sum("p_e6").alias("pe6b"))
+    ece = bins.agg(
+        F.sum(F.abs(F.expr("(2 * 1000000 * posb + nb) DIV (2 * nb)")
+                    - F.expr("(2 * pe6b + nb) DIV (2 * nb)"))
+              * F.col("nb")).cast("decimal(38,0)").alias("ece_num"),
+        F.sum("nb").alias("n"))
+    dev = F.expr("CAST(p_e6 - CASE WHEN y THEN 1000000 ELSE 0 END "
+                 "AS DECIMAL(20,0))")
+    brier = p.agg(F.sum((dev * dev).cast("decimal(38,0)"))
+                  .cast("decimal(38,0)").alias("bsum"))
+    return (ece.crossJoin(F.broadcast(auc)).crossJoin(F.broadcast(brier))
+            .select(
+                "n", "n_pos",
+                F.expr("CAST((2 * 1000000 * n_pos + n) DIV (2 * n) "
+                       "AS BIGINT)").alias("pos_ppm"),
+                F.expr("CAST((2 * 1000000 * CAST(u2 AS DECIMAL(38,0)) "
+                       "+ 2 * n_pos * n_neg) DIV (4 * n_pos * n_neg) "
+                       "AS BIGINT)").alias("auc_ppm"),
+                F.expr("CAST((2 * ece_num + n) DIV (2 * n) AS BIGINT)")
+                 .alias("ece_e6"),
+                F.expr("CAST((2 * bsum + CAST(n AS DECIMAL(38,0)) "
+                       "* 1000000) DIV (2 * CAST(n AS DECIMAL(38,0)) "
+                       "* 1000000) AS BIGINT)").alias("brier_e6")))
