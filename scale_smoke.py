@@ -203,6 +203,8 @@ QUERIES = [
     "seasonal_strength",
     # the model scorecard e2e: one corpus scan feeds AUC + ECE + Brier
     "pipeline_mleval_e2e",
+    # Markov held-out perplexity: one lead window + 25-cell rollups
+    "markov_perplexity",
 ]
 
 KEYED = {

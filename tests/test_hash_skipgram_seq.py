@@ -175,3 +175,36 @@ def test_uplift_by_segment_replays(spark, sf_dir):
         assert r["z"] == _pt.approx(z, abs=2e-6)
         # parity arms are a null comparison: |z| should rarely scream
         assert abs(r["z"]) < 6
+
+
+def test_markov_perplexity_replays(spark, sf_dir):
+    row = all_queries()["markov_perplexity"].fn(
+        spark, sf_dir).collect()[0].asDict()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e["us"] = e["ts"].astype("datetime64[us]").astype("int64")
+    mid = (int(e["us"].min()) + int(e["us"].max())) // 2
+    e = e.sort_values(["user_id", "us", "event_id"])
+    trn = Counter()
+    ev = Counter()
+    for _, grp in e.groupby("user_id"):
+        types = list(grp["event_type"])
+        times = list(grp["us"])
+        for i in range(len(types) - 1):
+            pair = (types[i], types[i + 1])
+            (trn if times[i + 1] < mid else ev)[pair] += 1
+    ca = Counter()
+    for (a, _), c in trn.items():
+        ca[a] += c
+    n_eval = sum(ev.values())
+    ll = 0
+    for (a, b), c in ev.items():
+        lnp = math.floor(
+            math.log((trn.get((a, b), 0) + 1.0) / (ca.get(a, 0) + 5.0))
+            * 1e6 + 0.5)
+        ll += c * lnp
+    nll = (2 * (-ll) + n_eval) // (2 * n_eval)
+    assert (row["n_train"], row["n_eval"]) == (sum(trn.values()), n_eval)
+    assert row["avg_nll_e6"] == nll
+    assert row["ppl_e6"] == round(math.exp(nll / 1e6) * 1e6)
+    # perplexity of a 5-symbol process lies in (1, 5+smoothing slack]
+    assert 1000000 < row["ppl_e6"] < 6200000

@@ -842,3 +842,107 @@ def collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = f.select("a", "b", "o11", "r1", "c1",
                  (2 * llr).alias("llr_e6"))
     return g.orderBy(F.desc("llr_e6"), "a", "b").limit(50)
+
+
+# ln P quantized to integer micro-nats per (a, b) CELL — the 5x5
+# transition domain is bounded, so one ln per cell, order-free sums
+_MKV_LNP_E6 = ("CAST(floor(ln((CAST(c_tr AS DOUBLE) + 1.0) "
+               "/ (CAST(c_a AS DOUBLE) + 5.0)) * 1000000 + 0.5) "
+               "AS BIGINT)")
+
+
+@query("markov_perplexity", oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS a, ts,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS bt
+  FROM events
+),
+mid AS (
+  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+           AS m
+  FROM events
+),
+tr AS (
+  SELECT a, b, (epoch_us(bt) < m) AS is_train
+  FROM seq, mid WHERE b IS NOT NULL
+),
+trn AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_tr
+  FROM tr WHERE is_train GROUP BY 1, 2
+),
+ta AS (SELECT a, CAST(sum(c_tr) AS BIGINT) AS c_a FROM trn GROUP BY 1),
+ev AS (
+  SELECT tr.a, tr.b, CAST(count(*) AS BIGINT) AS c_ev
+  FROM tr WHERE NOT is_train GROUP BY 1, 2
+),
+cell AS (
+  SELECT ev.a, ev.b, ev.c_ev,
+         coalesce(trn.c_tr, 0) AS c_tr, coalesce(ta.c_a, 0) AS c_a
+  FROM ev LEFT JOIN trn ON trn.a = ev.a AND trn.b = ev.b
+          LEFT JOIN ta ON ta.a = ev.a
+),
+ll AS (
+  SELECT CAST(sum(c_ev) AS BIGINT) AS n_eval,
+         CAST(sum(c_ev * {_MKV_LNP_E6}) AS BIGINT) AS ll_e6
+  FROM cell
+),
+nt AS (SELECT CAST(sum(c_tr) AS BIGINT) AS n_train FROM trn)
+SELECT nt.n_train, ll.n_eval,
+       CAST((2 * (-ll.ll_e6) + ll.n_eval) // (2 * ll.n_eval) AS BIGINT)
+         AS avg_nll_e6,
+       CAST(round(exp(CAST((2 * (-ll.ll_e6) + ll.n_eval)
+                           // (2 * ll.n_eval) AS DOUBLE) / 1000000.0)
+                  * 1000000, 0) AS BIGINT) AS ppl_e6
+FROM nt, ll
+""")
+def markov_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of a first-order Markov next-event model —
+    the sequence-model evaluation loop in miniature (train on the
+    first half of the timeline, score the second half): transitions
+    are per-user consecutive event pairs (lead window), the model is
+    add-one-smoothed P(b|a) over the 5-type domain, and the held-out
+    log-likelihood is exact integer micro-nats because ln P is
+    quantized ONCE PER (a,b) CELL (≤25 cells — the transition domain
+    is bounded, so no per-row float exists at all); avg NLL is
+    half-away on the nonnegative numerator and perplexity is one
+    shared-text exp chain. Unseen eval transitions get the smoothed
+    floor 1/(c_a+5), never −inf. Plan: one user-keyed lead window,
+    two cell-sized rollups, 1-row folds — the corpus is touched
+    once."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", F.col("event_type").alias("a"), "ts",
+                   F.lead("event_type").over(w).alias("b"),
+                   F.lead("ts").over(w).alias("bt"))
+    mid = e.agg(F.expr(
+        "CAST((min(unix_micros(ts)) + max(unix_micros(ts))) div 2 "
+        "AS BIGINT)").alias("m"))
+    tr = (seq.filter(F.col("b").isNotNull())
+          .crossJoin(F.broadcast(mid))
+          .select("a", "b",
+                  (F.unix_micros("bt") < F.col("m")).alias("is_train"))
+          .localCheckpoint(eager=False))
+    trn = (tr.filter("is_train").groupBy("a", "b")
+           .agg(F.count("*").alias("c_tr")))
+    ta = trn.groupBy("a").agg(F.sum("c_tr").alias("c_a"))
+    ev = (tr.filter(~F.col("is_train")).groupBy("a", "b")
+          .agg(F.count("*").alias("c_ev")))
+    cell = (ev.join(F.broadcast(trn), ["a", "b"], "left")
+            .join(F.broadcast(ta), "a", "left")
+            .select("a", "b", "c_ev",
+                    F.coalesce("c_tr", F.lit(0)).alias("c_tr"),
+                    F.coalesce("c_a", F.lit(0)).alias("c_a")))
+    ll = cell.agg(
+        F.sum("c_ev").alias("n_eval"),
+        F.sum(F.col("c_ev") * F.expr(_MKV_LNP_E6)).alias("ll_e6"))
+    nt = trn.agg(F.sum("c_tr").alias("n_train"))
+    return (nt.crossJoin(F.broadcast(ll))
+            .select("n_train", "n_eval",
+                    F.expr("CAST((2 * (-ll_e6) + n_eval) DIV (2 * n_eval)"
+                           " AS BIGINT)").alias("avg_nll_e6"),
+                    F.expr("CAST(round(exp(CAST((2 * (-ll_e6) + n_eval) "
+                           "DIV (2 * n_eval) AS DOUBLE) / 1000000.0) "
+                           "* 1000000, 0) AS BIGINT)").alias("ppl_e6")))
