@@ -205,6 +205,9 @@ QUERIES = [
     "pipeline_mleval_e2e",
     # Markov held-out perplexity: one lead window + 25-cell rollups
     "markov_perplexity",
+    # portable simhash: max_bucket-capped band join — the uncapped
+    # join paid 174 s under the replicator's identical-copy storm
+    "dedup_simhash_exact",
 ]
 
 KEYED = {

@@ -287,3 +287,53 @@ def test_containment_catches_subset_duplication(spark, sf_dir):
         r = rows[k]
         assert (r["inter"], r["na"], r["nb"], r["containment_ppm"]) == \
             (inter, na, nb, ppm)
+
+
+def test_simhash_exact_replays(spark, sf_dir):
+    """hashlib twin of the portable SimHash: fingerprints, band
+    blocking, and the 50-closest pairs recomputed independently."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from zoom_etl_spark.registry import all_queries
+
+    rows = [(r["id_a"], r["id_b"], r["hamming"]) for r in
+            all_queries()["dedup_simhash_exact"].fn(
+                spark, sf_dir).collect()]
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    hs = {}
+    sh = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        tf = Counter(x for x in text.split(" ") if x)
+        votes = [0] * 32
+        for term, c in tf.items():
+            h = hs.get(term)
+            if h is None:
+                h = int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
+                hs[term] = h
+            for i in range(32):
+                votes[i] += c if (h >> i) & 1 else -c
+        sh[int(doc_id)] = sum(1 << i for i in range(32) if votes[i] > 0)
+    bands = {}
+    for doc, s in sh.items():
+        for k in range(4):
+            bands.setdefault((k, (s >> (8 * k)) & 255), []).append(doc)
+    cand = set()
+    for docs in bands.values():
+        docs.sort()
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                cand.add((a, b))
+    scored = sorted(
+        ((bin(sh[a] ^ sh[b]).count("1"), a, b) for a, b in cand))
+    want = [(a, b, h) for h, a, b in scored[:50]]
+    assert rows == want
+    assert len(rows) == 50  # band collisions exist at every SF
+    # pigeonhole law: any pair with hamming <= 3 MUST be in candidates
+    docs = sorted(sh)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            if bin(sh[a] ^ sh[b]).count("1") <= 3:
+                assert (a, b) in cand

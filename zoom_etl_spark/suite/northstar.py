@@ -562,3 +562,125 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr("CAST((2 * 1000000 * i + nb) DIV (2 * nb) "
                             "AS BIGINT)")).alias("containment_ppm")))
     return c.filter(F.col("containment_ppm") >= 500000)
+
+
+# 32-bit portable term hash (md5-instr, the table_fingerprint
+# primitive) — makes SimHash ORACLE-GATED where the xxhash64-based
+# dedup_simhash cannot be (no portable xxhash exists in DuckDB)
+_SH_H32 = (
+    "("
+    + " + ".join(
+        "CAST(instr('0123456789abcdef', substr(md5(term), "
+        f"{i}, 1)) - 1 AS BIGINT) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    + ")")
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) "
+        f"AS BIGINT) AS b{i}" for i in range(32))
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT term, {_SH_H32} AS h FROM (SELECT DISTINCT term FROM tf)
+),
+votes AS (
+  SELECT tf.doc_id,
+         {bit_sums}
+  FROM tf JOIN vocab USING (term) GROUP BY 1
+),
+sh AS (
+  SELECT doc_id, {assemble} AS simhash FROM votes
+),
+bands AS (
+  SELECT doc_id, simhash, CAST(range AS INT) AS k,
+         CAST((simhash >> (8 * CAST(range AS INT))) & 255 AS INT) AS bv
+  FROM sh, range(0, 4)
+),
+bsz AS (
+  SELECT k, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 50
+),
+bok AS (
+  SELECT bands.* FROM bands JOIN bsz USING (k, bv)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bok a JOIN bok b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+ORDER BY hamming, id_a, id_b LIMIT 50
+"""
+
+
+@query("dedup_simhash_exact", oracle=_simhash_oracle())
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash near-dup candidates, ORACLE-GATED end to end —
+    closing the one rows-only dedup row that lacked a cross-engine
+    gate (dedup_simhash fingerprints with xxhash64, which DuckDB
+    cannot reproduce; this twin votes with the portable md5-instr h32
+    hashed once per DISTINCT term): per-doc 32-bit fingerprint from
+    tf-weighted bit votes computed as 32 CONDITIONAL SUMS in ONE
+    groupBy (no bit explode — the vote matrix never materializes),
+    banded into 4×8-bit blocks (any pair with hamming ≤ 3 must share
+    a band — the pigeonhole guarantee), candidates from band
+    equality, verified by bit_count(xor); 50 closest pairs reported
+    by (hamming, pair). The vocab-keyed md5 join and the doc-keyed
+    vote groupBy are the only data-sized ops; band frames are
+    4 rows/doc."""
+    d = table(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(
+              F.filter(F.split("text", " "), lambda x: x != ""))
+              .alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    vocab = (tf.select("term").distinct()
+             .withColumn("h", F.expr(_SH_H32)))
+    joined = tf.join(vocab, "term")
+    bit_aggs = [
+        F.sum(F.expr(f"CASE WHEN (h >> {i}) & 1 = 1 THEN tf "
+                     "ELSE -tf END")).alias(f"b{i}")
+        for i in range(32)]
+    votes = joined.groupBy("doc_id").agg(*bit_aggs)
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32))
+    sh = (votes.select("doc_id", F.expr(assemble).alias("simhash"))
+          .localCheckpoint(eager=False))
+    ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    bands = (sh.crossJoin(F.broadcast(ks))
+             .select("doc_id", "simhash", "k",
+                     F.expr("CAST(shiftright(simhash, 8 * k) & 255 "
+                            "AS INT)").alias("bv")))
+    # max_bucket guard (the minhash/ngram df-cap discipline): a band
+    # bucket holding >50 docs is fingerprint boilerplate and would go
+    # O(bucket^2) — prune it in BOTH engines (does not bind at test
+    # SFs, so the oracle stays exact; at 10x the replicator's
+    # identical-copy storm made the uncapped join 174 s)
+    bok = (bands.join(bands.groupBy("k", "bv")
+                      .agg(F.count("*").alias("bn"))
+                      .filter(F.col("bn") <= 50).drop("bn"),
+                      ["k", "bv"]))
+    a = bok.select(F.col("doc_id").alias("id_a"),
+                   F.col("simhash").alias("sa"), "k", "bv")
+    b = bok.select(F.col("doc_id").alias("id_b"),
+                   F.col("simhash").alias("sb"), "k", "bv")
+    cand = (a.join(b, ["k", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sa", "sb").distinct())
+    out = cand.select(
+        "id_a", "id_b",
+        F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)").alias("hamming"))
+    return out.orderBy("hamming", "id_a", "id_b").limit(50)
