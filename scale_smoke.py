@@ -208,6 +208,9 @@ QUERIES = [
     # portable simhash: max_bucket-capped band join — the uncapped
     # join paid 174 s under the replicator's identical-copy storm
     "dedup_simhash_exact",
+    # portable minhash: capped bands + exact verify absorb the same
+    # copy storm
+    "dedup_minhash_exact",
 ]
 
 KEYED = {

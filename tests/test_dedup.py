@@ -337,3 +337,76 @@ def test_simhash_exact_replays(spark, sf_dir):
         for b in docs[i + 1:]:
             if bin(sh[a] ^ sh[b]).count("1") <= 3:
                 assert (a, b) in cand
+
+
+def test_minhash_exact_replays_and_recalls(spark, sf_dir):
+    """hashlib+arithmetic twin of the portable MinHash: signatures,
+    banding, cap, and exact-Jaccard verification all recomputed in
+    Python; plus the LSH recall property — every pair the EXACT
+    trigram Jaccard puts at >= 0.5 must be recovered by the bands
+    (at J=0.5, P[band match] = 1-(1-J^2)^4 ~ 0.68 per band pair —
+    the test only asserts pairs the bands DID catch are right and
+    the returned set equals the replay, i.e. determinism, not
+    probabilistic recall)."""
+    import hashlib
+    import re as _re
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from zoom_etl_spark.registry import all_queries
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           all_queries()["dedup_minhash_exact"].fn(
+               spark, sf_dir).collect()}
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    P = 1000003
+    perms = [(91882, 30399), (788364, 752875), (548488, 577975),
+             (459572, 299190), (935457, 71164), (508952, 717495),
+             (774858, 842141), (667795, 277165)]
+    grams = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = [x for x in
+                _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+                if x]
+        n = max(len(toks) - 2, 1)
+        seen = []
+        have = set()
+        for i in range(n):
+            g = " ".join(toks[i:i + 3])
+            if g not in have:
+                have.add(g)
+                seen.append(g)
+        grams[int(doc_id)] = seen
+    hcache = {}
+
+    def h32(g):
+        if g not in hcache:
+            hcache[g] = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+        return hcache[g]
+
+    sig = {}
+    for doc, gs in grams.items():
+        sig[doc] = [min((a * (h32(g) % P) + b) % P for g in gs)
+                    for a, b in perms]
+    buckets = defaultdict(list)
+    for doc, s in sig.items():
+        for k in range(4):
+            buckets[(k, s[2 * k], s[2 * k + 1])].append(doc)
+    cand = set()
+    for docs in buckets.values():
+        if len(docs) > 50:
+            continue
+        docs.sort()
+        for i, x in enumerate(docs):
+            for y in docs[i + 1:]:
+                cand.add((x, y))
+    want = {}
+    for x, y in cand:
+        sx, sy = set(grams[x]), set(grams[y])
+        inter = len(sx & sy)
+        j = inter / (len(sx) + len(sy) - inter)
+        if j >= 0.3:
+            want[(x, y)] = round(j, 4)
+    assert got == want
+    assert len(got) > 0  # the corpus contains real near-dups

@@ -684,3 +684,148 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)").alias("hamming"))
     return out.orderBy("hamming", "id_a", "id_b").limit(50)
+
+
+# eight deterministic universal-hash permutations (a·x + b mod P,
+# P = 1000003; a, b fixed literals) over the portable md5-instr shingle
+# hash — minhash becomes ORACLE-GATED because every step is integer
+# arithmetic both engines share
+_MH_P = 1000003
+_MH_PERMS = [(91882, 30399), (788364, 752875), (548488, 577975),
+             (459572, 299190), (935457, 71164), (508952, 717495),
+             (774858, 842141), (667795, 277165)]
+_MH_H32G = (
+    "("
+    + " + ".join(
+        "CAST(instr('0123456789abcdef', substr(md5(g), "
+        f"{i}, 1)) - 1 AS BIGINT) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    + ")")
+
+
+def _minhash_oracle() -> str:
+    sig = ",\n         ".join(
+        f"CAST(min(({a} * (h % {_MH_P}) + {b}) % {_MH_P}) AS BIGINT)"
+        f" AS s{j}"
+        for j, (a, b) in enumerate(_MH_PERMS))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS k, s{2 * k} AS b1, s{2 * k + 1} AS b2"
+        " FROM sig" for k in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+vocab AS (
+  SELECT g, {_MH_H32G} AS h FROM (SELECT DISTINCT g FROM ex)
+),
+sig AS (
+  SELECT ex.doc_id,
+         {sig}
+  FROM ex JOIN vocab USING (g) GROUP BY 1
+),
+bands AS (
+{band_rows}
+),
+bsz AS (SELECT k, b1, b2 FROM bands GROUP BY 1, 2, 3
+        HAVING count(*) <= 50),
+bok AS (SELECT bands.* FROM bands JOIN bsz USING (k, b1, b2)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bok a JOIN bok b
+    ON a.k = b.k AND a.b1 = b.b1 AND a.b2 = b.b2
+   AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS i,
+         CAST(len(ga.grams) AS BIGINT) AS na,
+         CAST(len(gb.grams) AS BIGINT) AS nb
+  FROM cand
+  JOIN sh ga ON ga.doc_id = id_a
+  JOIN sh gb ON gb.doc_id = id_b
+)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+FROM ver WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3
+"""
+
+
+@query("dedup_minhash_exact", oracle=_minhash_oracle())
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, ORACLE-GATED end to end — closing
+    the second rows-only dedup row (dedup_minhash's xxhash64
+    signatures have no DuckDB twin; here the shingle hash is the
+    portable md5-instr h32 and the 8 permutations are fixed a·x+b
+    mod P integer literals, so BOTH engines compute the identical
+    signature matrix): signatures = 8 conditional MINs in one
+    groupBy over the (doc, shingle)⋈vocab frame (no permutation
+    explode), 4 bands × 2 rows with the max_bucket ≤ 50 cap (the
+    simhash lesson applied at design time — never binds at test SFs,
+    prunes boilerplate storms at scale), candidates verified with
+    EXACT Jaccard from the full shingle sets (the containment
+    discipline), reported at ≥ 0.3. The vocab-keyed md5 join, the
+    doc-keyed signature groupBy, and the band equi-join are the only
+    data-sized ops."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = F.filter(
+        F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                " "), lambda x: x != "")
+    sh = (d.repartition(par)
+          .select("doc_id", toks.alias("toks"))
+          .select("doc_id", F.array_distinct(F.transform(
+              F.sequence(F.lit(1),
+                         F.greatest(F.size("toks") - 2, F.lit(1))),
+              lambda i: F.array_join(F.slice("toks", i, 3), " ")))
+              .alias("grams"))
+          .localCheckpoint(eager=False))
+    ex = sh.select("doc_id", F.explode("grams").alias("g"))
+    vocab = (ex.select("g").distinct()
+             .withColumn("h", F.expr(_MH_H32G)))
+    sig_aggs = [
+        F.min(F.expr(f"({a} * (h % {_MH_P}) + {b}) % {_MH_P}"))
+         .cast("long").alias(f"s{j}")
+        for j, (a, b) in enumerate(_MH_PERMS)]
+    sig = ex.join(vocab, "g").groupBy("doc_id").agg(*sig_aggs)
+    bands = None
+    for k in range(4):
+        part = sig.select("doc_id", F.lit(k).alias("k"),
+                          F.col(f"s{2 * k}").alias("b1"),
+                          F.col(f"s{2 * k + 1}").alias("b2"))
+        bands = part if bands is None else bands.unionByName(part)
+    bands = bands.localCheckpoint(eager=False)
+    bok = (bands.join(bands.groupBy("k", "b1", "b2")
+                      .agg(F.count("*").alias("bn"))
+                      .filter(F.col("bn") <= 50).drop("bn"),
+                      ["k", "b1", "b2"]))
+    a = bok.select(F.col("doc_id").alias("id_a"), "k", "b1", "b2")
+    b = bok.select(F.col("doc_id").alias("id_b"), "k", "b1", "b2")
+    cand = (a.join(b, ["k", "b1", "b2"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ga = sh.select(F.col("doc_id").alias("id_a"),
+                   F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"),
+                   F.col("grams").alias("grams_b"))
+    ver = (cand.join(ga, "id_a").join(gb, "id_b")
+           .select("id_a", "id_b",
+                   F.size(F.array_intersect("grams_a", "grams_b"))
+                    .cast("long").alias("i"),
+                   F.size("grams_a").cast("long").alias("na"),
+                   F.size("grams_b").cast("long").alias("nb")))
+    return (ver.withColumn(
+                "jaccard",
+                F.round(F.col("i").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("i")), 4))
+            .filter(F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i")) >= 0.3)
+            .select("id_a", "id_b", "jaccard"))
