@@ -206,7 +206,7 @@ q AS (
 t AS (SELECT sum(cents) AS tot FROM r)
 SELECT quintile,
        CAST(count(*) AS BIGINT) AS n_customers,
-       sum(cents) AS revenue_cents,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
        CAST((2000000 * sum(cents) + t.tot) // (2 * t.tot) AS BIGINT)
          AS share_e6
 FROM q, t GROUP BY quintile, t.tot

@@ -512,7 +512,8 @@ WITH hourly AS (
   FROM events GROUP BY 1
 ),
 daily AS (
-  SELECT date_trunc('day', bucket) AS bucket, sum(n) AS n, sum(sv) AS sv
+  SELECT date_trunc('day', bucket) AS bucket,
+         CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
   FROM hourly GROUP BY 1
 )
 SELECT 'hour' AS level, bucket, n, round(sv, 3) AS total FROM hourly
@@ -637,7 +638,7 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mv_incremental_refresh", oracle="""
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS cnt,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS total,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total,
        -- integer half-away mean in MICRO units: a float round() of the
        -- rational total/cnt can tie, and rounding-mode ties diverge
        -- between engines (SURVEY 7.3)
@@ -838,8 +839,9 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -898,8 +900,9 @@ wk AS (
 ),
 sz AS (SELECT cohort, count(*) AS cohort_users FROM first GROUP BY 1)
 SELECT w.cohort, w.week_offset, s.cohort_users,
-       sum(w.v) OVER (PARTITION BY w.cohort ORDER BY w.week_offset
-                      ROWS UNBOUNDED PRECEDING) AS cum_value_milli
+       CAST(sum(w.v) OVER (PARTITION BY w.cohort ORDER BY w.week_offset
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_value_milli
 FROM wk w JOIN sz s USING (cohort)
 """)
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,8 +945,8 @@ seq AS (
 ),
 isl AS (
   SELECT user_id, day,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY day
-                        ROWS UNBOUNDED PRECEDING) AS island
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
   FROM seq
 )
 SELECT user_id, island,
@@ -1305,8 +1308,8 @@ c AS (
          CAST(a.anchor - max(CAST(o_orderdate AS DATE)) AS INT)
            AS recency_days,
          CAST(count(*) AS BIGINT) AS frequency,
-         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-           AS monetary_cents
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
   FROM orders, a GROUP BY 1, a.anchor
 ),
 s AS (
@@ -1622,9 +1625,9 @@ SELECT s.user_id,
             ELSE -1 END AS BIGINT) AS mean_gap_us,
        CAST(sum(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases,
-       (1000000 * sum(CASE WHEN s.event_type = 'purchase'
-                      THEN 1 ELSE 0 END) * 2 + count(*))
-         // (2 * count(*)) AS purchase_ratio_ppm
+       CAST((1000000 * sum(CASE WHEN s.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) * 2 + count(*))
+            // (2 * count(*)) AS BIGINT) AS purchase_ratio_ppm
 FROM s, a
 GROUP BY s.user_id, a.anchor
 """)
@@ -1673,8 +1676,8 @@ def features_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH w AS (
   SELECT c.c_mktsegment AS segment,
          CAST(date_trunc('week', CAST(o.o_orderdate AS DATE)) AS DATE) AS week,
-         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
-           AS rev_cents
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 ),
@@ -1739,7 +1742,8 @@ wdom AS (
   SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks FROM li
 ),
 rev AS (
-  SELECT partkey, sum(cents) AS rev_cents FROM li GROUP BY 1
+  SELECT partkey, CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM li GROUP BY 1
 ),
 rk AS (
   SELECT partkey, rev_cents,

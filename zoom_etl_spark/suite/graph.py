@@ -76,7 +76,7 @@ r{k} AS (
   FROM r{p} r LEFT JOIN contrib{k} c ON r.kind = 's' AND r.id = c.id
 )""")
     tail = f"""
-SELECT kind, id, r AS rank,
+SELECT kind, id, CAST(r AS BIGINT) AS rank,
        round(CAST(r AS DOUBLE) / {_S}.0, 8) AS prob
 FROM r{_ITERS}
 """

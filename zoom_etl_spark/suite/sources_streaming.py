@@ -84,7 +84,8 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_stateful", oracle="""
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli,
        max(ts) AS last_ts
 FROM events GROUP BY 1
 """)
@@ -125,10 +126,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("event_id", "user_id",
                         F.col("c_name").alias("name"),
                         F.col("c_mktsegment").alias("segment")))
-    q = (enriched.writeStream.format("memory").queryName("stream_enrich_out")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table("stream_enrich_out")
+    return run_available_now(enriched, "stream_enrich_out",
+                             output_mode="append")
 
 
 @query("stream_scd2_ivm", oracle="""
@@ -336,10 +335,12 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                       version_cols=["ts", "event_id"])
     stream = read_events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts", "value")
-    q = (stream.writeStream.foreachBatch(sink)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="zes_sink_ck_"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    from ..streaming.ingest import drain_checkpoint
+    with drain_checkpoint("zes_sink_ck") as ckpt:
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return group.read(spark, "events_current")
 
 
@@ -579,10 +580,8 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("event_id").alias("purchase_id"),
                     "ts", F.round("value", 3).alias("amount")))
     out = _temporal_join(fact, _temporal_dim(spark, sf_dir))
-    q = (out.writeStream.format("memory").queryName("stream_temporal_log")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table("stream_temporal_log")
+    return run_available_now(out, "stream_temporal_log",
+                             output_mode="append")
 
 
 @query("multimodal_framesample")  # rows-only: mapInPandas 1→many expansion
@@ -674,7 +673,8 @@ def stream_anomaly_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_topk_ivm", oracle="""
 WITH s AS (
   SELECT event_type, user_id,
-         sum(CAST(floor(value * 1000) AS BIGINT)) AS total_milli
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+           AS total_milli
   FROM events GROUP BY 1, 2
 ),
 r AS (
@@ -751,7 +751,7 @@ WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
 d AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          CAST(count(*) AS BIGINT) AS cnt,
-         sum(CAST(floor(value * 1000) AS BIGINT)) AS milli
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS milli
   FROM events GROUP BY 1
 )
 SELECT day, cnt, milli FROM d, w WHERE day + INTERVAL 1 DAY <= wm
@@ -943,8 +943,10 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     agg = (stream.withWatermark("ts", "1 hour")
                  .groupBy(F.window("ts", "1 day")).count())
-    with watched(spark) as m:
+    from ..streaming.ingest import drain_checkpoint
+    with watched(spark) as m, drain_checkpoint("alert_route") as ckpt:
         q = (agg.writeStream.format("memory").queryName("alert_route_drain")
+             .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
         deadline = time.time() + 15  # listener events arrive async

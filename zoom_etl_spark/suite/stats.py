@@ -630,7 +630,8 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("anomaly_seasonal_dow", oracle="""
 WITH d AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
   FROM orders GROUP BY 1
 ),
 w AS (

@@ -287,7 +287,8 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("changepoint_cusum", oracle="""
 WITH RECURSIVE d AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
   FROM orders GROUP BY 1
 ),
 p AS (
@@ -444,7 +445,8 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("seasonal_decompose_ma", oracle="""
 WITH d AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
   FROM orders GROUP BY 1
 ),
 tr AS (
