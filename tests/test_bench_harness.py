@@ -1,0 +1,73 @@
+"""bench.py must survive per-query failures: one flaky query (round 3's
+BENCH_r03 was rc=1 from a single transient streaming-state abort) may not
+zero the whole perf artifact. Forced-failure contract: a query that
+raises is recorded under "errors", every other query still gets timed,
+exactly one parseable JSON line is printed, and the exit code is 0 while
+>=95% of queries timed cleanly."""
+
+from __future__ import annotations
+
+import json
+import types
+
+import pytest
+
+import bench
+
+
+def _specs_with_bomb(spark):
+    def ok(s, sf_dir):
+        return s.range(10).selectExpr("id", "id * 2 AS twice")
+
+    def boom(s, sf_dir):
+        raise RuntimeError("injected flake (state store abort stand-in)")
+
+    names = [f"ok_{i}" for i in range(20)]
+    specs = {n: types.SimpleNamespace(fn=ok) for n in names}
+    specs["boom_q"] = types.SimpleNamespace(fn=boom)
+    return specs
+
+
+def test_bench_survives_injected_failure(spark, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "all_queries",
+                        lambda: _specs_with_bomb(spark))
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(
+        bench.plans, "flagship",
+        lambda s, d: s.range(5).selectExpr("id AS flag"))
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 0  # 1 error out of 22 timings is < 5%
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)  # ONE parseable JSON line no matter what
+    assert out["metric"] == "suite_total_wall_clock"
+    assert "boom_q" in out["errors"]
+    assert "injected flake" in out["errors"]["boom_q"]
+    assert "boom_q" in out["queries"]  # timed (fail-fast) but flagged
+    assert "flagship_topk_revenue" in out["queries"]
+    assert sum(1 for n in out["queries"] if n.startswith("ok_")) == 20
+
+
+def test_bench_systemic_failure_exits_nonzero(spark, monkeypatch, capsys):
+    def boom(s, sf_dir):
+        raise RuntimeError("everything is broken")
+
+    specs = {f"q{i}": types.SimpleNamespace(fn=boom) for i in range(10)}
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "all_queries", lambda: specs)
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(
+        bench.plans, "flagship",
+        lambda s, d: s.range(5).selectExpr("id AS flag"))
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 1  # systemic breakage must still scream
+
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["errors"]) == 10
