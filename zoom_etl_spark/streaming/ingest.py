@@ -13,6 +13,9 @@ the `readStream.format(...)` line.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -124,6 +127,35 @@ def state_partitions(spark: SparkSession, n: int = 8):
 _ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
                      "RocksDBStateStoreProvider")
 
+# Repo-owned checkpoint root. Without an explicit checkpointLocation,
+# Spark puts streaming state in its own dir under /tmp — exactly the
+# state a contended host or a tmp-cleaner corrupts mid-run (round 3's
+# driver bench died rc=1 on one such HDFSBackedStateStore.abort). Every
+# drain gets a unique dir here and removes it when the drain finishes.
+_CKPT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".stream-checkpoints")
+
+
+def checkpoint_dir(tag: str) -> str:
+    """A fresh repo-owned checkpoint directory for one streaming query.
+
+    Unique per call (drains are availableNow one-shots; resuming a
+    previous run's checkpoint is never the intent in a bench/test
+    drive — restart-recovery paths manage their own stable dirs)."""
+    os.makedirs(_CKPT_ROOT, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{tag}-", dir=_CKPT_ROOT)
+
+
+@contextmanager
+def drain_checkpoint(tag: str):
+    """Yield a unique repo-owned checkpoint dir; remove it on exit."""
+    path = checkpoint_dir(tag)
+    try:
+        yield path
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
 
 @contextmanager
 def rocksdb_state(spark: SparkSession):
@@ -167,7 +199,9 @@ def run_available_now(result: DataFrame, query_name: str,
             stack.enter_context(state_partitions(spark, n_state_partitions))
         if rocksdb:
             stack.enter_context(rocksdb_state(spark))
+        ckpt = stack.enter_context(drain_checkpoint(query_name))
         q = (result.writeStream.format("memory").queryName(query_name)
+             .option("checkpointLocation", ckpt)
              .outputMode(output_mode).trigger(availableNow=True).start())
         q.awaitTermination()
     return spark.table(query_name)
