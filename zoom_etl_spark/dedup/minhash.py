@@ -115,9 +115,19 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             .select(F.col(id_col).alias("doc"),
                     shingle_hashes(text_col, k).alias("sh")).persist())
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    # The banded frame carries ONLY (doc, band, key) — 3 longs/ints per
+    # row. Shipping the full shingle arrays through the 8× band explode
+    # and the self-join exchange would multiply shuffle width by the
+    # document payload; shingle sets are recovered AFTER candidate
+    # dedup by re-joining the (id_a, id_b) pairs to `base` on doc id,
+    # so the wide payload moves once per candidate doc, not once per
+    # (band × bucket-partner).
     banded = (
-        sig.select("doc", "sh", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk"))
-        .select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        sig.select("doc",
+                   F.explode(band_keys(F.col("sig"), bands, rows))
+                    .alias("bk"))
+        .select("doc", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
     )
     # skew guard: drop degenerate buckets (see module docstring)
     bucket_sizes = banded.groupBy("band", "key").agg(F.count("*").alias("bsz"))
@@ -130,12 +140,16 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         a.join(b, (F.col("a.band") == F.col("b.band")) &
                   (F.col("a.key") == F.col("b.key")) &
                   (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = (cand
+             .join(base.select(F.col("doc").alias("id_a"),
+                               F.col("sh").alias("sh_a")), "id_a")
+             .join(base.select(F.col("doc").alias("id_b"),
+                               F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (cand.withColumn("jaccard", F.round(inter / union, 4))
+    return (pairs.withColumn("jaccard", F.round(inter / union, 4))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
