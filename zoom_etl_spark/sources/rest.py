@@ -11,9 +11,12 @@ reader: a 429-style signal sleeps-and-retries locally without failing
 the task; Spark task retries (`spark.task.maxFailures`) cover hard
 failures.
 
-No network in this environment, so the transport is injected: the
-default `_fake_fetch_page` deterministically synthesizes pages. The
-pagination/partitioning/retry logic — the part that matters — is real.
+No EXTERNAL network in this environment, so the default transport is
+injected: `_fake_fetch_page` deterministically synthesizes pages. The
+seam also carries a real HTTP transport (`base_url` option → stdlib
+urllib GET per page, JSON body, HTTP 429/5xx mapped to the same
+retry path) — integration-tested against an in-process localhost
+`http.server`, so wiring a real API in is exercised glue, not hope.
 """
 
 from __future__ import annotations
@@ -59,18 +62,50 @@ def _fake_fetch_page(key: int, page_token: int | None,
     return rows, next_token
 
 
+def _http_fetch_page(base_url: str, key: int,
+                     page_token: int | None) -> tuple[list[tuple], int | None]:
+    """One real GET over the wire (stdlib urllib — executor-safe, no
+    deps): ``{base_url}?key=K&page_token=T`` returning a JSON body
+    ``{"rows": [[key, page, offset, payload], ...],
+    "next_page_token": int|null}``. Rate-limit and transient server
+    statuses (429/5xx) surface as :class:`TransientHttpError` so the
+    SAME source-level backoff loop covers both transports."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+    token = "" if page_token is None else str(page_token)
+    url = f"{base_url}?key={key}&page_token={token}"
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            body = _json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        if e.code == 429 or e.code >= 500:
+            raise TransientHttpError(f"HTTP {e.code} on key={key} "
+                                     f"page_token={page_token}") from e
+        raise
+    except urllib.error.URLError as e:
+        raise TransientHttpError(f"connection error on key={key}: "
+                                 f"{e.reason}") from e
+    rows = [tuple(r) for r in body["rows"]]
+    return rows, body.get("next_page_token")
+
+
 def _fetch_with_retry(key: int, token: int | None, flaky: bool,
                       attempts: dict, max_tries: int = 3,
-                      base_delay: float = 0.01):
+                      base_delay: float = 0.01,
+                      base_url: str | None = None):
     """Source-level retry with exponential backoff (reference
     error_handler.py:8-53: 3 tries, delay·2^(n−1)). Retrying INSIDE the
     partition reader keeps a transient 429 from failing the whole Spark
     task; ``spark.task.maxFailures`` remains the backstop for hard
-    failures."""
+    failures. ``base_url`` switches the transport from the injected
+    fake to real HTTP."""
     import time as _time
     last = None
     for n in range(max_tries):
         try:
+            if base_url:
+                return _http_fetch_page(base_url, key, token)
             return _fake_fetch_page(key, token, flaky, attempts)
         except TransientHttpError as e:
             last = e
@@ -88,6 +123,8 @@ class PaginatedRestReader(DataSourceReader):
         self.n_keys = int(options.get("nkeys", 40))
         self.n_partitions = int(options.get("numpartitions", 8))
         self.flaky = options.get("flaky", "false").lower() == "true"
+        # real-HTTP transport: option("base_url", "http://host:port/path")
+        self.base_url = options.get("base_url") or None
 
     def partitions(self) -> list[RestPartition]:
         # key-range partitioning: each executor-side task owns a key slice
@@ -100,7 +137,9 @@ class PaginatedRestReader(DataSourceReader):
         for key in partition.keys:
             token: int | None = 0
             while token is not None:
-                rows, token = _fetch_with_retry(key, token, self.flaky, attempts)
+                rows, token = _fetch_with_retry(key, token, self.flaky,
+                                                attempts,
+                                                base_url=self.base_url)
                 yield from rows
 
 
