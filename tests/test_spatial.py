@@ -182,3 +182,28 @@ def test_equalarea_banding_is_monotonic_and_balanced():
         frac = (math.sin(math.radians((hi + 1) / 100))
                 - math.sin(math.radians(lo / 100))) / 2
         assert abs(frac - 1 / 12) < 1 / 1200
+
+
+def test_haversine_oracle_guard_band(spark, sf_dir):
+    """The oracle-gated geo_neighbor_haversine hashes km-FLOORED
+    distances; that is only engine-stable if no pair's distance sits
+    near a quantization boundary (floor flip) or near the 250 km
+    cutoff (pair-set flip). Engine trig divergence is a few ulp
+    (~1e-7 m here); require 6 orders of magnitude more margin. A
+    testdata regen that lands a pair on a boundary fails HERE, loudly,
+    not in the driver's hash compare."""
+    from zoom_etl_spark.suite.geo import _points
+    import pyspark.sql.functions as F
+    from zoom_etl_spark.operators.spatial import neighbor_join_haversine
+    p = (_points(spark, sf_dir)
+         .select("id", (F.col("y") / 100.0).alias("lat"),
+                 (F.col("x") / 100.0).alias("lon")))
+    pairs = neighbor_join_haversine(p, radius_m=250_000.0 + 10.0)
+    row = pairs.agg(
+        F.min(F.abs(F.col("dist_m") - 250_000.0)).alias("cutoff_gap"),
+        F.min(F.when(F.col("dist_m") <= 250_000.0, F.least(
+            F.col("dist_m") - F.floor(F.col("dist_m") / 1000) * 1000,
+            F.ceil(F.col("dist_m") / 1000) * 1000 - F.col("dist_m"))))
+         .alias("km_floor_gap")).first()
+    assert row.cutoff_gap > 1e-3, row     # >= 1 mm from the 250 km line
+    assert row.km_floor_gap > 1e-4, row   # >= 0.1 mm from a km boundary

@@ -284,6 +284,52 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "exact_users", F.round(err, 4).alias("rel_err"))
 
 
+@query("hll_rollup_exact", oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         count(DISTINCT user_id) AS hour_users
+  FROM events GROUP BY 1, 2
+),
+peak AS (
+  SELECT event_type, CAST(date_trunc('day', h) AS TIMESTAMP) AS day,
+         CAST(max(hour_users) AS BIGINT) AS peak_hour_users
+  FROM hourly GROUP BY 1, 2
+),
+day AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+         CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+  FROM events GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.exact_users, d.n_hours, p.peak_hour_users
+FROM day d JOIN peak p USING (event_type, day)
+""")
+def hll_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated exact twin of `hll_rollup` (round-3 verdict ask):
+    the same two-level distinct-user rollup shape with EXACT counts, so
+    the sketch query's rows-only status has a value-hash-gated witness
+    for its grouping, time bucketing, and hour cascade. Peak hourly
+    distinct rides along to pin the hourly level itself (a wrong hourly
+    grouping could still produce right day totals). The sketch query
+    remains the scale path — exact distinct cannot cascade from
+    partials, which is the entire reason hll_rollup exists; this twin
+    re-scans the facts per level and is priced accordingly."""
+    e = table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.countDistinct("user_id").alias("hour_users")))
+    peak = (hourly.groupBy("event_type",
+                           F.date_trunc("day", F.col("h")).alias("day"))
+            .agg(F.max("hour_users").alias("peak_hour_users")))
+    day = (e.groupBy("event_type",
+                     F.date_trunc("day", F.col("ts")).alias("day"))
+           .agg(F.countDistinct("user_id").alias("exact_users"),
+                F.countDistinct(F.date_trunc("hour", F.col("ts")))
+                 .alias("n_hours")))
+    return day.join(peak, ["event_type", "day"]).select(
+        "event_type", "day", "exact_users", "n_hours", "peak_hour_users")
+
+
 @query("changepoint_cusum", oracle="""
 WITH RECURSIVE d AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
