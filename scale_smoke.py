@@ -211,6 +211,15 @@ QUERIES = [
     # portable minhash: capped bands + exact verify absorb the same
     # copy storm
     "dedup_minhash_exact",
+    # round-4 wave: exact substring spans (replicated copies make EVERY
+    # gram cross-doc duplicated — hits = grams, coverage explode =
+    # 10x grams; the honest dedup_containment-style storm, linear by
+    # construction), within-doc repetition signals (copies never
+    # interact -> linear), and corpus distinct-n (distinct unchanged
+    # under identical copies, totals x10 -> the groupBy must stay
+    # map-combined)
+    "dedup_substring_spans", "quality_repetition_signals",
+    "corpus_distinct_ngrams",
 ]
 
 KEYED = {

@@ -1024,3 +1024,158 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.join(lng, "cluster").join(txt, "cluster")
                .select("cluster", "n_members", "n_sources",
                        "lang_majority", "text_doc_id", "n_chars_max"))
+
+
+@query("quality_repetition_signals", oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+            i -> array_to_string(
+                   list_slice(t, CAST(i AS INT), CAST(i AS INT) + 1),
+                   ' '))) AS g
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tf
+  FROM grams GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN n = 1 THEN tf END) AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN n = 1 THEN tf ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN n = 1 AND tf >= 2 THEN tf ELSE 0 END)
+              AS BIGINT) AS d1,
+         CAST(max(CASE WHEN n = 2 THEN tf END) AS BIGINT) AS m2,
+         CAST(sum(CASE WHEN n = 2 THEN tf ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN n = 2 AND tf >= 2 THEN tf ELSE 0 END)
+              AS BIGINT) AS d2
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, s1 AS n_tokens,
+       CAST(1000000 * m1 // s1 AS BIGINT) AS top1_ppm,
+       CAST(1000000 * d1 // s1 AS BIGINT) AS dup1_ppm,
+       CAST(1000000 * m2 // s2 AS BIGINT) AS top2_ppm,
+       CAST(1000000 * d2 // s2 AS BIGINT) AS dup2_ppm,
+       (1000000 * m2 // s2 > 110000 OR 1000000 * d2 // s2 > 180000)
+         AS is_repetitive
+FROM sig WHERE s2 > 0
+""")
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, restated in token space): top-unigram share, fraction of
+    tokens belonging to repeated unigrams, top-bigram share, and the
+    duplicate-bigram fraction — the 'lorem lorem lorem' and boilerplate
+    loops that length/stopword heuristics (quality_gopher_rules) miss.
+    All shares are integer floor-div ppm over exact term frequencies;
+    the repetition flag fires on top-bigram share > 11% or duplicate-
+    bigram mass > 18% (p99-calibrated on this corpus so the flag is
+    non-degenerate but not universal).
+
+    Plan: ONE corpus scan; unigrams and bigrams explode with an n label
+    into a single (doc, n, gram) tf groupBy, then per-doc signals are
+    conditional aggregates in ONE second groupBy — two corpus-keyed
+    shuffles total, no joins, no per-n passes. Bigrams are zip-shifted
+    array ops (O(k) per doc). At 100 TB both exchanges are narrowed by
+    the doc-id key and map-side combine."""
+    from .northstar import _pos_grams
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    g1 = toks.select("doc_id", F.lit(1).alias("n"),
+                     F.explode("t").alias("g"))
+    g2 = toks.select("doc_id", F.lit(2).alias("n"),
+                     F.explode(_pos_grams(F.col("t"), 2)).alias("g"))
+    tf = (g1.unionByName(g2)
+          .groupBy("doc_id", "n", "g")
+          .agg(F.count("*").alias("tf")))
+    n1, n2 = F.col("n") == 1, F.col("n") == 2
+    rep = F.col("tf") >= 2
+    sig = tf.groupBy("doc_id").agg(
+        F.max(F.when(n1, F.col("tf"))).alias("m1"),
+        F.sum(F.when(n1, F.col("tf")).otherwise(0)).alias("s1"),
+        F.sum(F.when(n1 & rep, F.col("tf")).otherwise(0)).alias("d1"),
+        F.max(F.when(n2, F.col("tf"))).alias("m2"),
+        F.sum(F.when(n2, F.col("tf")).otherwise(0)).alias("s2"),
+        F.sum(F.when(n2 & rep, F.col("tf")).otherwise(0)).alias("d2"))
+    return (sig.filter(F.col("s2") > 0)
+            .select(
+                "doc_id", F.col("s1").alias("n_tokens"),
+                F.expr("CAST(1000000 * m1 div s1 AS BIGINT)")
+                 .alias("top1_ppm"),
+                F.expr("CAST(1000000 * d1 div s1 AS BIGINT)")
+                 .alias("dup1_ppm"),
+                F.expr("CAST(1000000 * m2 div s2 AS BIGINT)")
+                 .alias("top2_ppm"),
+                F.expr("CAST(1000000 * d2 div s2 AS BIGINT)")
+                 .alias("dup2_ppm"),
+                F.expr("1000000 * m2 div s2 > 110000 "
+                       "OR 1000000 * d2 div s2 > 180000")
+                 .alias("is_repetitive")))
+
+
+@query("corpus_distinct_ngrams", oracle="""
+WITH toks AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT source, 1 AS n, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+            i -> array_to_string(
+                   list_slice(t, CAST(i AS INT), CAST(i AS INT) + 1),
+                   ' '))) FROM toks
+  UNION ALL
+  SELECT source, 3 AS n,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+            i -> array_to_string(
+                   list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2),
+                   ' '))) FROM toks
+)
+SELECT source, n,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       CAST(1000000 * count(DISTINCT g) // count(*) AS BIGINT)
+         AS distinct_ppm
+FROM grams GROUP BY 1, 2
+""")
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity per source (distinct-n, the corpus-level
+    diversity statistic synthetic-data pipelines watch for mode
+    collapse: a generator that loops emits the same n-grams and
+    distinct-n craters long before eyeballs notice): for n in {1,2,3},
+    total vs distinct n-gram counts and their ratio in integer ppm.
+    Rising n should raise distinct_ppm sharply in healthy corpora;
+    flat curves mean templated text.
+
+    Plan: one scan explodes all three gram sizes with an n label into
+    ONE (source, n)-keyed aggregate; the distinct count is per-group
+    exact (a 100 TB deployment swaps countDistinct for an HLL sketch
+    with the same plan shape — see hll_rollup). Grams are zip-shifted
+    array ops; the exchange is map-side combined."""
+    from .northstar import _pos_grams
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    frames = [toks.select("source", F.lit(1).alias("n"),
+                          F.explode("t").alias("g"))]
+    for n in (2, 3):
+        frames.append(toks.select(
+            "source", F.lit(n).alias("n"),
+            F.explode(_pos_grams(F.col("t"), n)).alias("g")))
+    grams = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return (grams.groupBy("source", "n")
+            .agg(F.count("*").cast("long").alias("total_ngrams"),
+                 F.countDistinct("g").cast("long").alias("distinct_ngrams"))
+            .select("source", "n", "total_ngrams", "distinct_ngrams",
+                    F.expr("CAST(1000000 * distinct_ngrams div "
+                           "total_ngrams AS BIGINT)").alias("distinct_ppm")))

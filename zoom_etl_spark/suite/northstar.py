@@ -829,3 +829,119 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("i").cast("double")
                     / (F.col("na") + F.col("nb") - F.col("i")) >= 0.3)
             .select("id_a", "id_b", "jaccard"))
+
+
+def _pos_grams(toks: Column, k: int) -> Column:
+    """ORDERED k-token gram array (position = array index) built from k
+    zip-shifted slices — O(k) array ops per doc, not O(n·k) per-position
+    slices (the shingles() construction without the distinct)."""
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, F.greatest(m, F.lit(1)))
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(toks, 1 + j, F.greatest(m, F.lit(1))),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    # a doc shorter than k tokens has NO k-gram (slice above degenerates
+    # to a partial gram — drop it)
+    return F.when(m >= 1, out).otherwise(
+        F.array().cast("array<string>"))
+
+
+_SUBSTR_W = 10  # duplicated-span window, tokens (Lee et al. use 50 BPE
+# tokens at corpus scale; 10 matches this testdata's ~50-token docs)
+
+
+@query("dedup_substring_spans", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+garr AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_transform(range(1, greatest(len(t) - {_SUBSTR_W - 1}, 0) + 1),
+            i -> md5(array_to_string(
+                   list_slice(t, CAST(i AS INT),
+                              CAST(i AS INT) + {_SUBSTR_W - 1}), ' '))) AS gs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, CAST(generate_subscripts(gs, 1) AS INT) AS p,
+         unnest(gs) AS gh
+  FROM garr
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT doc_id, p FROM grams JOIN dup USING (gh)),
+cover AS (
+  SELECT doc_id, CAST(count(DISTINCT idx) AS BIGINT) AS covered_tokens
+  FROM (SELECT doc_id, unnest(range(p, p + {_SUBSTR_W})) AS idx FROM hits)
+  GROUP BY 1
+),
+nd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+  FROM hits GROUP BY 1
+)
+SELECT g.doc_id, g.n_tokens, CAST(len(g.gs) AS BIGINT) AS n_spans,
+       coalesce(nd.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(c.covered_tokens, 0) AS covered_tokens,
+       CAST(1000000 * coalesce(c.covered_tokens, 0) // g.n_tokens
+            AS BIGINT) AS coverage_ppm
+FROM garr g LEFT JOIN nd USING (doc_id) LEFT JOIN cover c USING (doc_id)
+""")
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring deduplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any 10-token span that appears verbatim in another document). Per
+    doc: total positional 10-grams, how many are cross-doc duplicated
+    (the gram's distinct-doc frequency >= 2), how many token positions a
+    duplicated span covers (union of overlapping [p, p+10) intervals
+    — the fraction of the doc a span-level dedup pass would cut), and
+    that coverage in integer ppm. Every doc reports (zero-filled), so
+    the output is corpus-doc-sized.
+
+    Spark-first plan: ONE corpus scan; positional grams are built as
+    O(k) zip-shifted array ops per doc (never a per-position slice
+    loop) and hashed to md5 BEFORE the exchange, so the duplicate
+    detection is a hash-narrowed groupBy (df-style, like
+    dedup_ngram_jaccard's inverted index — no pairwise join exists);
+    interval coverage explodes ONLY the duplicated hits (hits x W rows,
+    hits << grams) and distinct-counts per doc. At 100 TB the gram
+    groupBy is the only corpus-sized shuffle — exactly the shape of
+    the suffix-array pipeline's bucket phase — and the skewed
+    boilerplate gram (df in the millions) costs its hit rows only,
+    never a cross-product."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    garr = (toks.select(
+                "doc_id", F.size("t").cast("long").alias("n_tokens"),
+                F.transform(_pos_grams(F.col("t"), _SUBSTR_W), F.md5)
+                 .alias("gs"))
+            .persist())
+    grams = garr.select(
+        "doc_id", F.posexplode("gs").alias("p0", "gh")).select(
+        "doc_id", (F.col("p0") + 1).cast("int").alias("p"), "gh")
+    dup = (grams.groupBy("gh")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") >= 2).select("gh"))
+    hits = grams.join(dup, "gh").select("doc_id", "p")
+    cover = (hits.select("doc_id", F.explode(
+                 F.sequence(F.col("p"), F.col("p") + _SUBSTR_W - 1))
+                 .alias("idx"))
+             .groupBy("doc_id")
+             .agg(F.countDistinct("idx").cast("long")
+                   .alias("covered_tokens")))
+    nd = (hits.groupBy("doc_id")
+          .agg(F.count("*").cast("long").alias("n_dup_spans")))
+    zero = F.lit(0).cast("long")
+    return (garr.select("doc_id", "n_tokens",
+                        F.size("gs").cast("long").alias("n_spans"))
+            .join(nd, "doc_id", "left")
+            .join(cover, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens", "n_spans",
+                F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+                F.coalesce("covered_tokens", zero).alias("covered_tokens"),
+                F.expr(f"CAST(1000000 * coalesce(covered_tokens, 0) div "
+                       f"n_tokens AS BIGINT)").alias("coverage_ppm")))
