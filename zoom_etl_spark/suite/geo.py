@@ -617,8 +617,9 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("id_a", F.col("nid").alias("id_b")))
     # the cell graph's diameter is bounded by grid rows + cols
     # (36 + 36 here) regardless of corpus size — at 10x density the
-    # core graph spans the whole grid and the default 25 rounds
-    # trip the loud ConvergenceError (observed in the 10x smoke)
+    # core graph spans the whole grid. Pointer-jumping CC covers that
+    # in O(log 72) ≈ 7 rounds (it was this query's 12 s of round
+    # overhead under pure min-prop); 80 stays as a generous ceiling
     cc = connected_components(edges, max_iter=80)
     corec = (core.join(cc.withColumnRenamed("node", "nid"), "nid", "left")
                  .select("cy", "cx", "n",
