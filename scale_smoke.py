@@ -252,6 +252,14 @@ def replicate(spark):
 
 def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # One full-list pass holds 10x-sized shuffles PLUS every streaming
+    # drain's memory-sink table in a single JVM: the 4g default heap
+    # OOMs around query ~68 (observed: GCLocker storms then
+    # java.lang.OutOfMemoryError in graph_lpa_communities, which passed
+    # fine in per-wave SMOKE_ONLY batches). The smoke owns its process,
+    # so default it to a heap sized for the full pass; per-query temp
+    # views are dropped below for the same reason.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark("zes-scale-smoke", cpus=cpus,
                       shuffle_partitions=int(cpus) * 4)
     spark.sparkContext.setLogLevel("ERROR")
@@ -274,6 +282,12 @@ def main():
         fn(spark, OUT).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 2)
         spark.catalog.clearCache()
+        # free streaming drains' memory-sink tables — they pin their
+        # whole drained result on the driver heap for the rest of the
+        # run otherwise (the full-list OOM above)
+        for view in spark.catalog.listTables():
+            if view.isTemporary:
+                spark.catalog.dropTempView(view.name)
         print(f"# {timings[name]:8.2f}s {name}", file=sys.stderr)
     print(json.dumps({"metric": "scale_smoke_10x", "unit": "sec",
                       "copies": COPIES, "queries": timings,
