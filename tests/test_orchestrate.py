@@ -127,6 +127,59 @@ def test_chunked_and_expand_isolate_chunk_failures():
     assert res["proc[2]"].status == "ok"      # later chunks unharmed
 
 
+def test_expand_with_deps_swallows_upstream_values():
+    """Regression (round-4 advice): expand()ed chunk tasks with deps
+    used to TypeError on the dep kwargs the runner injects, burning
+    every retry with its full backoff sleep."""
+    slept, sleep = _clock()
+    tasks = [Task("up", lambda: "ready")] + expand(
+        "w", sum, chunked([1, 2, 3, 4], chunk_size=2),
+        deps=("up",), retries=2, retry_delay_s=300.0)
+    res = Pipeline(tasks, sleep=sleep).run()
+    assert res["w[0]"].status == "ok" and res["w[0]"].value == 3
+    assert res["w[1]"].status == "ok" and res["w[1]"].value == 7
+    assert res["w[0]"].attempts == 1 and slept == []  # no retry burned
+
+
+def test_resume_is_idempotent_across_repeated_resumes():
+    """Regression (round-4 advice): a second resume used to re-execute
+    work the first resume marked 'cached' — ledger contract says
+    completed work stays skipped on every subsequent resume."""
+    runs = {"a": 0}
+
+    def a():
+        runs["a"] += 1
+        return "v"
+
+    p = Pipeline([Task("a", a)], sleep=lambda s: None)
+    p.run()
+    p.run(resume=True)
+    r3 = p.run(resume=True)
+    assert runs["a"] == 1
+    assert r3["a"].status == "cached" and r3["a"].value == "v"
+
+
+def test_declared_category_wins_over_heuristic():
+    """Regression (round-4 advice): an explicit Task(category=...) was
+    ignored in favor of message sniffing, so route_to('api', sink)
+    never fired unless the exception text matched a needle."""
+    routed = []
+
+    def boom():
+        raise RuntimeError("opaque upstream wobble")  # sniffs 'general'
+
+    p = Pipeline([Task("t", boom, retries=0, category="api")],
+                 sleep=lambda s: None)
+    p.route_to("api", routed.append)
+    res = p.run()
+    assert res["t"].category == "api"
+    assert [r.name for r in routed] == ["t"]
+    # default-category tasks still use the heuristic
+    p2 = Pipeline([Task("t", lambda: (_ for _ in ()).throw(
+        TimeoutError("timed out")), retries=0)], sleep=lambda s: None)
+    assert p2.run()["t"].category == "timeout"
+
+
 def test_categorize_taxonomy():
     assert categorize(PermissionError("401 unauthorized")) \
         == "authentication"

@@ -153,7 +153,8 @@ class Pipeline:
         for name in self._order:
             task = self.tasks[name]
             prior = results.get(name)
-            if resume and prior is not None and prior.status == "ok":
+            if resume and prior is not None and prior.status in ("ok",
+                                                                 "cached"):
                 results[name] = TaskResult(name, "cached",
                                            attempts=prior.attempts,
                                            value=prior.value)
@@ -178,10 +179,14 @@ class Pipeline:
                 except Exception as exc:  # noqa: BLE001 — runner boundary
                     last_exc = exc
             else:
+                # A category declared on the Task wins over message
+                # sniffing — the heuristic only fills the default.
                 res = TaskResult(name, "failed",
                                  attempts=task.retries + 1,
                                  error=str(last_exc),
-                                 category=categorize(last_exc))
+                                 category=(task.category
+                                           if task.category != "general"
+                                           else categorize(last_exc)))
                 results[name] = res
                 self._notify(res)
         return dict(results)
@@ -202,7 +207,9 @@ def expand(name: str, fn: Callable[[list], object], chunks: list[list],
     """Dynamic task mapping (`.expand()` at etl_process.py:192): one
     logical task becomes one Task per chunk, each independently
     retried — a failing chunk fails (and skips) only its own branch."""
-    return [Task(f"{name}[{i}]", (lambda c=c: fn(c)), deps=deps,
+    # **_deps swallows upstream values the runner passes as kwargs —
+    # chunk tasks depend on upstreams for ordering, not their outputs.
+    return [Task(f"{name}[{i}]", (lambda c=c, **_deps: fn(c)), deps=deps,
                  retries=retries, retry_delay_s=retry_delay_s,
                  category=category)
             for i, c in enumerate(chunks)]
