@@ -421,8 +421,12 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     LPA's majority dynamics find dense cores). Node ids disambiguate
     the bipartite sides by parity (cust*2 / supp*2+1). Plan per
     round: one edge-label equi-join + a (node, label)-keyed count +
-    a node-keyed top-1 window — all shuffles on graph-sized keys,
-    round count FIXED at 3 so the plan depth is static."""
+    a node-keyed max(struct(cnt, -label)) hash aggregate — the
+    argmax-with-min-tiebreak as a partial-combinable aggregate
+    instead of a row_number sort window (no per-round sort exchange,
+    map-side combine shrinks the label frame before the shuffle);
+    all shuffles on graph-sized keys, round count FIXED at 3 so the
+    plan depth is static."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     e0 = (o.join(li, o.o_orderkey == li.l_orderkey)
@@ -434,14 +438,18 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                .localCheckpoint(eager=False))
     labels = edges.select(F.col("u").alias("node")).distinct() \
                   .withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
     for _ in range(3):
+        # max cnt, then MIN label on ties == max of (cnt, -label):
+        # struct ordering gives the mode-with-min-tiebreak without a
+        # sort window (labels are nonneg node ids, negation is safe)
         labels = (edges.join(labels.withColumnRenamed("node", "v"), "v")
                        .groupBy(F.col("u").alias("node"), "label")
                        .agg(F.count("*").alias("cnt"))
-                       .withColumn("rn", F.row_number().over(w))
-                       .filter(F.col("rn") == 1)
-                       .select("node", "label"))
+                       .groupBy("node")
+                       .agg(F.max(F.struct(
+                           F.col("cnt"),
+                           (-F.col("label")).alias("neg"))).alias("m"))
+                       .select("node", (-F.col("m.neg")).alias("label")))
     return labels.select(
         F.when(F.col("node") % 2 == 0, "c").otherwise("s").alias("kind"),
         F.expr("node div 2").alias("id"),

@@ -704,10 +704,22 @@ def skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.orderBy(F.desc("c"), "a", "b").limit(100)
 
 
-@query("recsys_item_jaccard", oracle="""
-WITH edges AS (
+_JACCARD_DEG_CAP = 64
+
+
+@query("recsys_item_jaccard", oracle=f"""
+WITH edges0 AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c, s FROM (
+    SELECT c, s, row_number() OVER (
+      PARTITION BY c
+      ORDER BY md5(CAST(c AS VARCHAR) || ':' || CAST(s AS VARCHAR)), s
+    ) AS rn
+    FROM edges0)
+  WHERE rn <= {_JACCARD_DEG_CAP}
 ),
 deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
 cooc AS (
@@ -730,25 +742,51 @@ def recsys_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by exact Jaccard of their customer neighborhoods
     (|A∩B| / |A∪B| in half-away ppm, support ≥ 5 shared customers) —
     the classic co-occurrence recommender primitive ("customers who
-    buy from X also buy from Y"). Co-occurrence is ONE customer-keyed
-    self-join of the distinct edge list: per-customer cost is deg²,
-    so total pairs ride Σdeg² — bounded here (max customer degree
-    ~100), and at whale scale the standard mitigation is capping or
-    down-sampling power-user neighborhoods (DIMSUM) before this same
-    plan; the support filter prunes the pair frame BEFORE degrees
-    join back (two broadcast-able degree joins) and the top-100 is
-    TakeOrderedAndProject. All counts exact integers."""
+    buy from X also buy from Y"). Co-occurrence pairs ride Σdeg² per
+    customer — the whale-customer mitigation is SHIPPED, not just
+    named: every customer neighborhood is capped to a deterministic
+    uniform sample of {_JACCARD_DEG_CAP} suppliers (rank by md5(c:s)
+    — an engine-portable keyed coin flip, identical hex ordering in
+    the oracle), the DIMSUM/degree-capping discipline that bounds
+    pair work to |C|·CAP² no matter how fat the whales get. Cap and
+    pair generation are FUSED into one customer-keyed aggregate
+    (collect→sort→slice→array-local ordered-pair expansion), so the
+    whole candidate stage is one shuffle by c — no row_number window
+    exchange, no Σdeg²-row sort-merge self-join. Degrees and
+    co-occurrence both come from the SAME capped edge set, so
+    Jaccard stays internally consistent (≤ 1) and the statistic is
+    exact over the sampled neighborhoods. The support filter prunes
+    the pair frame BEFORE degrees join back (two broadcast-able
+    degree joins) and the top-100 is TakeOrderedAndProject. All
+    counts exact integers."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-              .select(F.col("o_custkey").alias("c"),
-                      F.col("l_suppkey").alias("s"))
-              .distinct().localCheckpoint(eager=False))
+    edges0 = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+               .select(F.col("o_custkey").alias("c"),
+                       F.col("l_suppkey").alias("s"))
+               .distinct())
+    # Cap + pair generation FUSED into one customer-keyed aggregate:
+    # collect the (md5, s) neighborhood, sort, slice to the cap, then
+    # expand ordered pairs array-locally (the graph_triangles
+    # discipline) — one shuffle by c replaces the row_number window
+    # (sorted exchange) AND the sort-merge self-join (two more sorted
+    # exchanges over a Σdeg²-sized join).
+    hcol = F.md5(F.concat_ws(":", F.col("c").cast("string"),
+                             F.col("s").cast("string")))
+    per_c = (edges0
+             .groupBy("c")
+             .agg(F.slice(F.array_sort(F.collect_list(
+                      F.struct(hcol.alias("h"), F.col("s").alias("s")))),
+                  1, _JACCARD_DEG_CAP).alias("hs"))
+             .select("c", F.array_sort(F.col("hs.s")).alias("ss"))
+             .localCheckpoint(eager=False))
+    edges = per_c.select("c", F.explode("ss").alias("s"))
     deg = edges.groupBy("s").agg(F.count("*").alias("d"))
-    a = edges.select("c", F.col("s").alias("s1"))
-    b = edges.select("c", F.col("s").alias("s2"))
-    cooc = (a.join(b, "c")
-            .filter(F.col("s1") < F.col("s2"))
+    pairs = per_c.select(F.explode(F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS s1, y AS s2))))")).alias("p"))
+    cooc = (pairs.select("p.s1", "p.s2")
             .groupBy("s1", "s2").agg(F.count("*").alias("c_ab"))
             .filter(F.col("c_ab") >= 5))
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
