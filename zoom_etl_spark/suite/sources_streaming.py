@@ -364,7 +364,31 @@ def _ss_left_join_streams(spark: SparkSession, sf_dir: str):
         "left_outer").drop("e_user_id")
 
 
-@query("stream_stream_left_join")  # rows-only: drained set is watermark-gated
+@query("stream_stream_left_join", oracle="""
+WITH s AS (
+  SELECT user_id, event_id AS signup_id, ts AS signup_ts
+  FROM events WHERE event_type = 'signup'
+),
+x AS (
+  SELECT user_id AS e_user_id, event_id AS error_id, ts AS error_ts,
+         value AS error_value
+  FROM events WHERE event_type = 'error'
+),
+wm AS (
+  SELECT least((SELECT max(signup_ts) FROM s),
+               (SELECT max(error_ts) FROM x))
+         - INTERVAL 1 HOUR AS w
+),
+b AS (
+  SELECT s.user_id, s.signup_id, s.signup_ts,
+         x.error_id, x.error_ts, x.error_value
+  FROM s LEFT JOIN x
+    ON s.user_id = x.e_user_id AND x.error_ts >= s.signup_ts
+   AND x.error_ts < s.signup_ts + INTERVAL 1 HOUR
+)
+SELECT b.* FROM b, wm
+WHERE b.error_id IS NOT NULL OR b.signup_ts + INTERVAL 1 HOUR < wm.w
+""")
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER stream-stream interval join (ROADMAP item 5's named
     remainder): signups with no same-user error in the following hour
@@ -373,15 +397,33 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup_ts + 1 hour — the proof no match can still arrive — via the
     post-data no-data micro-batch availableNow runs to flush state.
     Signups younger than (stream max ts − join window − watermark delay)
-    are still awaiting that proof at drain and correctly do NOT emit;
-    test_sources_streaming.py checks the emitted set equals the batch
-    left join under exactly that gate."""
+    are still awaiting that proof at drain and correctly do NOT emit.
+
+    Oracle-gated (round-4 verdict item 5 — the converged drain is
+    deterministic once the one ambiguous boundary is clipped): matched
+    rows equal the batch inner part exactly, and null-side rows with
+    signup_ts + 1h STRICTLY below the final watermark (min of both
+    sides' max event time − 1h delay) are guaranteed emitted, so the
+    gated output keeps matches plus strictly-final null rows — the
+    only rows dropped are boundary signups where signup_ts + 1h == wm
+    exactly, whose emission is a may/must gap in the eviction
+    contract. The full drained-set sandwich (must ⊆ drained ⊆ may)
+    stays property-gated in test_sources_streaming.py."""
     joined = _ss_left_join_streams(spark, sf_dir)
     run_available_now(joined, "stream_ss_ljoin_log", output_mode="append",
                         n_state_partitions=16)
-    return spark.table("stream_ss_ljoin_log").select(
+    e = table(spark, sf_dir, "events")
+    wm = (e.groupBy("event_type").agg(F.max("ts").alias("mx"))
+          .filter(F.col("event_type").isin("signup", "error"))
+          .agg((F.min("mx") - F.expr("INTERVAL 1 HOUR")).alias("w")))
+    drained = spark.table("stream_ss_ljoin_log").select(
         "user_id", "signup_id", "signup_ts",
         "error_id", "error_ts", "error_value")
+    return (drained.crossJoin(F.broadcast(wm))
+            .filter(F.col("error_id").isNotNull()
+                    | (F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+                       < F.col("w")))
+            .drop("w"))
 
 
 @query("stream_retract_ivm", oracle="""

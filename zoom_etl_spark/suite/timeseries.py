@@ -244,32 +244,48 @@ def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 downsample_lttb.__doc__ = downsample_lttb.__doc__.format(N=_LTTB_N)
 
 
-@query("hll_rollup")
+_HLL_ENVELOPE = 0.05  # ~3σ of lgK=12's 1.04/sqrt(2^12) ≈ 1.6% std error
+
+
+@query("hll_rollup", oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS INT) AS n_hours,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1, 2
+""")
 def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup on MERGEABLE HLL sketches
     (Datasketches via Spark's hll_sketch_agg/hll_union_agg builtins):
     hourly sketches per event type, then day-level estimates by UNIONING
     the hourly sketches — never rescanning the facts. This is the
     continuous-aggregate play `rollup_multilevel` runs on sums, now on
-    the one aggregate sums can't cascade: COUNT DISTINCT. Rows-only by
-    design (DuckDB has no compatible sketch); the gates live in
-    tests/test_operators_unit.py: union-of-hourly-partials is
-    REGISTER-EXACT vs sketching the day directly (same hashes, same
-    register maxima), and the estimate lands within the configured
-    relative-error envelope of the exact count.
+    the one aggregate sums can't cascade: COUNT DISTINCT.
+
+    Oracle-gated via the sketch's accuracy contract (round-4 verdict
+    item 5 — the HLL estimate itself is implementation-defined, DuckDB
+    has no compatible sketch, but its error ENVELOPE is checkable in
+    both engines): the gated columns are the exact day-level facts
+    (n_hours, exact distinct users) plus `sketch_ok` = the unioned
+    estimate landing within ±5% of exact (~3σ for lgK=12); the oracle
+    asserts TRUE over DuckDB's exact counts, so a sketch regression
+    breaks the value hash. Register-exactness of
+    union-of-hourly-partials vs sketching the day directly stays
+    property-gated in tests/test_operators_unit.py; exact values for
+    consumers live in the `hll_rollup_exact` twin.
 
     100 TB posture: the fact scan happens ONCE (hourly level, map-side
     combined, sketch state is fixed 2^lgK registers per group); every
     coarser level aggregates sketch bytes whose total size is
     group-count × 1.5 KB — the day rollup never touches the raw log.
     The exact twin (collect_set) riding the same shuffle is BENCH-SCALE
-    instrumentation for the error column — production drops it; the
+    instrumentation for the sketch_ok column — production drops it; the
     sketch path alone is the scale-safe operator."""
     e = table(spark, sf_dir, "events")
     hourly = (e.groupBy("event_type",
                         F.date_trunc("hour", F.col("ts")).alias("h"))
               .agg(F.hll_sketch_agg("user_id").alias("sk"),
-                   # exact twin rides the same shuffle for the error col
+                   # exact twin rides the same shuffle for sketch_ok
                    F.collect_set("user_id").alias("uset")))
     day = (hourly.groupBy("event_type",
                           F.date_trunc("day", F.col("h")).alias("day"))
@@ -280,8 +296,8 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("int").alias("n_hours")))
     err = (F.abs(F.col("approx_users") - F.col("exact_users"))
            / F.col("exact_users"))
-    return day.select("event_type", "day", "n_hours", "approx_users",
-                      "exact_users", F.round(err, 4).alias("rel_err"))
+    return day.select("event_type", "day", "n_hours", "exact_users",
+                      (err <= _HLL_ENVELOPE).alias("sketch_ok"))
 
 
 @query("hll_rollup_exact", oracle="""
