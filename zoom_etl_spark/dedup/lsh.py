@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, cosine_similarity_arrow
 from ..operators.windows import topk_per_group
 
 
@@ -95,7 +95,8 @@ def near_dup_pairs_lsh(df: DataFrame, id_col: str, emb_col: str, dim: int,
     base buckets (right side) — a pair split across one marginal plane is
     still found, while the corpus is bucketed once.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
+    ids = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    base = df.select(F.col(id_col).alias("id"),
                      hyperplane_bucket(emb_col, dim, n_planes, seed)
                      .alias("bucket"))
     # skew guard: a degenerate bucket of m rows would emit O(m²) pairs
@@ -103,18 +104,30 @@ def near_dup_pairs_lsh(df: DataFrame, id_col: str, emb_col: str, dim: int,
     base = (base.join(sizes.filter(F.col("bsz") <= max_bucket), "bucket")
             .drop("bsz"))
     probes = df.select(
-        F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
+        F.col(id_col).alias("id"),
         F.explode(probe_buckets(emb_col, dim, n_planes, seed, n_flip))
         .alias("bucket")) if n_flip > 0 else base
+    # candidate payload is (id_a, id_b) ONLY — the embedding arrays do
+    # NOT ride the ≤2^n_planes-key bucket join or the pair-dedup
+    # shuffle (the minhash payload-trim lesson: carrying both arrays
+    # through the join cost a 13-minute single-thread verify stage at
+    # 10x); they join back by id after dedup.
     cand = (probes.alias("a")
             .join(base.alias("b"),
                   (F.col("a.bucket") == F.col("b.bucket"))
                   & (F.col("a.id") != F.col("b.id")))
             .select(F.least("a.id", "b.id").alias("id_a"),
-                    F.greatest("a.id", "b.id").alias("id_b"),
-                    F.col("a.emb").alias("ea"), F.col("b.emb").alias("eb"))
+                    F.greatest("a.id", "b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    sim = cosine_similarity("ea", "eb")
+    # pin the verify stage's width — the pair frame's byte size
+    # underestimates its per-pair cosine CPU, so AQE would coalesce it
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cand = (cand.repartition(par, "id_a", "id_b")
+            .join(ids.select(F.col("id").alias("id_a"),
+                             F.col("emb").alias("ea")), "id_a")
+            .join(ids.select(F.col("id").alias("id_b"),
+                             F.col("emb").alias("eb")), "id_b"))
+    sim = cosine_similarity_arrow(F.col("ea"), F.col("eb"))
     return (cand.withColumn("raw_sim", sim)
             .filter(F.col("raw_sim") >= threshold)
             .select("id_a", "id_b", F.round("raw_sim", 4).alias("sim")))

@@ -774,10 +774,15 @@ def db_parallel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(db):
         os.remove(db)
     con = duckdb.connect(db)
+    # driver testdata is one parquet FILE; Spark-written tables (the 10x
+    # smoke's replicated copies) are DIRECTORIES of part files — glob them
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        src = os.path.join(src, "*.parquet")
     con.execute(
         "CREATE TABLE ev AS SELECT event_id, user_id, "
         "CAST(floor(value * 1000) AS BIGINT) AS v, value "
-        f"FROM read_parquet('{sf_dir}/events.parquet')")
+        f"FROM read_parquet('{src}')")
     n = con.sql("SELECT max(event_id) FROM ev").fetchone()[0]
     con.close()
     # upper bound deliberately BELOW max(event_id): the last stride's
