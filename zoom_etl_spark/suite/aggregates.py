@@ -233,5 +233,12 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("cents").alias("revenue_cents"))
              .crossJoin(F.broadcast(t))
              .select("quintile", "n_customers", "revenue_cents",
-                     F.expr("(2000000 * revenue_cents + tot) div (2 * tot)")
-                      .cast("long").alias("share_e6")))
+                     # 2e6 * cents overflows int64 once corpus revenue
+                     # passes ~4.6e12 cents (hit at the 10x smoke);
+                     # route the product through DECIMAL(38,0) — the
+                     # revenue_gini lesson. DuckDB widens to HUGEINT
+                     # on its own; its result column is already CAST.
+                     F.expr("CAST((CAST(2000000 AS DECIMAL(38,0)) "
+                            "* revenue_cents + tot) "
+                            "DIV (2 * CAST(tot AS DECIMAL(38,0))) "
+                            "AS BIGINT)").alias("share_e6")))
