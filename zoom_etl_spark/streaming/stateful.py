@@ -584,7 +584,14 @@ def _bt_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
             "user_id", "op", "value", "valid_from", "valid_to",
             "tx_from", "tx_to", "seq"])
         for c in ("valid_from", "valid_to"):
-            df[c] = pd.to_datetime(df[c], unit="us")
+            # nullable Int64, NOT the default float64 coercion of the
+            # None-bearing valid_to column: micros are exact integers
+            # (float64 loses exactness past 2^53), and pandas' float→
+            # datetime path runs under errstate(over='raise'), which
+            # the 10x smoke tripped in Spark workers on nan sentinels
+            # — the IntegerArray path is overflow-safe and NA-clean.
+            df[c] = pd.to_datetime(pd.array(df[c], dtype="Int64"),
+                                   unit="us")
         yield df
 
 
