@@ -39,13 +39,16 @@ def test_hll_union_of_partials_is_register_exact(spark, sf_dir):
 
 
 def test_hll_rollup_error_envelope(spark, sf_dir):
-    """Every day-level estimate stays within 5× the nominal HLL relative
-    error (lgK=12 → ~1.6%) of the exact distinct count."""
+    """Every day-level row must carry sketch_ok=True — the unioned HLL
+    estimate within the ±5% (~3σ for lgK=12) envelope of the exact
+    distinct count that the oracle asserts (the round-5 promotion moved
+    the envelope INTO the gated output; a sketch regression flips the
+    boolean and fails both this test and the value hash)."""
     rows = hll_rollup(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_users - r.exact_users) <= max(
-            5 * 0.016 * r.exact_users, 2.0), r
+        assert r.sketch_ok is True, r
+        assert r.exact_users > 0 and r.n_hours > 0, r
 
 
 def test_lttb_keeps_endpoints_and_bucket_budget(spark, sf_dir):
