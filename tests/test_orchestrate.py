@@ -159,6 +159,36 @@ def test_resume_is_idempotent_across_repeated_resumes():
     assert r3["a"].status == "cached" and r3["a"].value == "v"
 
 
+def test_expand_dep_named_c_cannot_shadow_the_chunk():
+    """Regression (round-5 review): a default-arg chunk binding let an
+    upstream dep literally named 'c' REBIND the chunk parameter — the
+    task then silently processed the dep's return value as its chunk,
+    reporting ok. The closure binding has no parameter to collide."""
+    tasks = [Task("c", lambda: "ready")] + expand(
+        "w", sum, chunked([1, 2, 3, 4], chunk_size=2),
+        deps=("c",), retries=0)
+    res = Pipeline(tasks, sleep=lambda s: None).run()
+    assert res["w[0]"].status == "ok" and res["w[0]"].value == 3
+    assert res["w[1]"].status == "ok" and res["w[1]"].value == 7
+
+
+def test_declared_general_category_also_wins():
+    """Regression (round-5 review): with 'general' doubling as the
+    undeclared sentinel, an EXPLICIT category='general' was overridden
+    by message sniffing; None is the sentinel now."""
+    routed = []
+
+    def boom():
+        raise RuntimeError("connection reset by peer")  # sniffs 'api'
+
+    p = Pipeline([Task("t", boom, retries=0, category="general")],
+                 sleep=lambda s: None)
+    p.route_to("general", routed.append)
+    res = p.run()
+    assert res["t"].category == "general"
+    assert [r.name for r in routed] == ["t"]
+
+
 def test_declared_category_wins_over_heuristic():
     """Regression (round-4 advice): an explicit Task(category=...) was
     ignored in favor of message sniffing, so route_to('api', sink)

@@ -65,7 +65,10 @@ class Task:
     deps: tuple[str, ...] = ()
     retries: int = 1             # reference default_args retries=1
     retry_delay_s: float = 300.0  # reference retry_delay=5 min
-    category: str = "general"
+    # None = "not declared, sniff the exception" — a sentinel distinct
+    # from every real category so an EXPLICIT category='general' also
+    # wins over the heuristic
+    category: str | None = None
 
 
 def categorize(exc: BaseException) -> str:
@@ -180,12 +183,12 @@ class Pipeline:
                     last_exc = exc
             else:
                 # A category declared on the Task wins over message
-                # sniffing — the heuristic only fills the default.
+                # sniffing — the heuristic only fills the undeclared.
                 res = TaskResult(name, "failed",
                                  attempts=task.retries + 1,
                                  error=str(last_exc),
                                  category=(task.category
-                                           if task.category != "general"
+                                           if task.category is not None
                                            else categorize(last_exc)))
                 results[name] = res
                 self._notify(res)
@@ -200,16 +203,28 @@ def chunked(items: Iterable, chunk_size: int = 1000) -> list[list]:
             for i in range(0, len(items), chunk_size)]
 
 
+def _chunk_closure(fn: Callable[[list], object], chunk: list) -> Callable:
+    """Bind ``chunk`` via a real closure, not a default argument: a
+    default-arg binding (``lambda c=c, **deps: ...``) silently REBINDS
+    the chunk when an upstream dep shares the parameter's name — the
+    runner's kwarg lands on the parameter instead of **deps and the
+    task processes the dep's return value as its chunk. A closure has
+    no parameter to collide with, so any dep name is safe."""
+    def run(**_deps):
+        return fn(chunk)
+    return run
+
+
 def expand(name: str, fn: Callable[[list], object], chunks: list[list],
            deps: tuple[str, ...] = (), retries: int = 1,
            retry_delay_s: float = 300.0,
-           category: str = "general") -> list[Task]:
+           category: str | None = None) -> list[Task]:
     """Dynamic task mapping (`.expand()` at etl_process.py:192): one
     logical task becomes one Task per chunk, each independently
-    retried — a failing chunk fails (and skips) only its own branch."""
-    # **_deps swallows upstream values the runner passes as kwargs —
-    # chunk tasks depend on upstreams for ordering, not their outputs.
-    return [Task(f"{name}[{i}]", (lambda c=c, **_deps: fn(c)), deps=deps,
+    retried — a failing chunk fails (and skips) only its own branch.
+    Upstream dep values are swallowed (chunk tasks depend on upstreams
+    for ordering, not their outputs)."""
+    return [Task(f"{name}[{i}]", _chunk_closure(fn, c), deps=deps,
                  retries=retries, retry_delay_s=retry_delay_s,
                  category=category)
             for i, c in enumerate(chunks)]
