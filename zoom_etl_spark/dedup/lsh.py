@@ -119,14 +119,18 @@ def near_dup_pairs_lsh(df: DataFrame, id_col: str, emb_col: str, dim: int,
             .select(F.least("a.id", "b.id").alias("id_a"),
                     F.greatest("a.id", "b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # pin the verify stage's width — the pair frame's byte size
-    # underestimates its per-pair cosine CPU, so AQE would coalesce it
+    # pin the verify stage's width AFTER the embedding joins — the pair
+    # frame's byte size underestimates its per-pair cosine CPU, so AQE
+    # would coalesce the stage; pinning before the joins only survives
+    # when both joins broadcast, and at scales where `ids` shuffles the
+    # joins' own exchanges would re-partition and re-coalesce the data
     par = df.sparkSession.sparkContext.defaultParallelism
-    cand = (cand.repartition(par, "id_a", "id_b")
+    cand = (cand
             .join(ids.select(F.col("id").alias("id_a"),
                              F.col("emb").alias("ea")), "id_a")
             .join(ids.select(F.col("id").alias("id_b"),
-                             F.col("emb").alias("eb")), "id_b"))
+                             F.col("emb").alias("eb")), "id_b")
+            .repartition(par, "id_a", "id_b"))
     sim = cosine_similarity_arrow(F.col("ea"), F.col("eb"))
     return (cand.withColumn("raw_sim", sim)
             .filter(F.col("raw_sim") >= threshold)

@@ -58,9 +58,23 @@ def cosine_similarity_arrow(a: Column | str, b: Column | str) -> Column:
 # decoration time and would demand a live SparkSession at import
 @pandas_udf(DoubleType())
 def _cos_arrow(xs: pd.Series, ys: pd.Series) -> pd.Series:
-    va = np.stack(xs.to_numpy()).astype(np.float64)
-    vb = np.stack(ys.to_numpy()).astype(np.float64)
-    denom = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sim = np.einsum("ij,ij->i", va, vb) / denom
-    return pd.Series(sim).where(denom != 0, other=None)
+    # NULL or length-mismatched pairs return NULL instead of letting
+    # np.stack blow up the whole task on one bad row (the docstring's
+    # "NULL → NULL, matching the HOF variant" promise, made real);
+    # same-length valid pairs batch per length so ragged corpora with
+    # internally-consistent pairs still vectorize.
+    la = xs.map(lambda v: -1 if v is None else len(v)).to_numpy()
+    lb = ys.map(lambda v: -1 if v is None else len(v)).to_numpy()
+    out = np.full(len(xs), np.nan)
+    valid = (la > 0) & (la == lb)
+    for length in np.unique(la[valid]):
+        m = valid & (la == length)
+        va = np.stack(xs[m].to_numpy()).astype(np.float64)
+        vb = np.stack(ys[m].to_numpy()).astype(np.float64)
+        denom = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.einsum("ij,ij->i", va, vb) / denom
+        sim[denom == 0] = np.nan
+        out[m] = sim
+    s = pd.Series(out)
+    return s.where(np.isfinite(s), other=None)
