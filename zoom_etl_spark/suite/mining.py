@@ -764,16 +764,31 @@ def recsys_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges0 = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
                .select(F.col("o_custkey").alias("c"),
                        F.col("l_suppkey").alias("s"))
-               .distinct())
+               .distinct()
+               .localCheckpoint(eager=False))  # feeds deg_c + both splits
     # Cap + pair generation FUSED into one customer-keyed aggregate:
     # collect the (md5, s) neighborhood, sort, slice to the cap, then
     # expand ordered pairs array-locally (the graph_triangles
     # discipline) — one shuffle by c replaces the row_number window
     # (sorted exchange) AND the sort-merge self-join (two more sorted
-    # exchanges over a Σdeg²-sized join).
+    # exchanges over a Σdeg²-sized join). The cap must bound the
+    # collect BUFFER too, not just the sliced result: whale customers
+    # are pre-capped through a row_number window over ONLY the
+    # above-cap keys (a spilling sort, never an in-memory array of the
+    # full neighborhood), so every collect_list holds ≤ CAP structs no
+    # matter how fat the whales get; the whale key set is degree-rollup
+    # sized and broadcast.
     hcol = F.md5(F.concat_ws(":", F.col("c").cast("string"),
                              F.col("s").cast("string")))
-    per_c = (edges0
+    deg_c = edges0.groupBy("c").agg(F.count("*").alias("dc"))
+    whales = deg_c.filter(F.col("dc") > _JACCARD_DEG_CAP).select("c")
+    normal = edges0.join(F.broadcast(whales), "c", "left_anti")
+    w = Window.partitionBy("c").orderBy(hcol, "s")
+    whale_capped = (edges0.join(F.broadcast(whales), "c")
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= _JACCARD_DEG_CAP).drop("rn"))
+    edges_capped = normal.unionByName(whale_capped)
+    per_c = (edges_capped
              .groupBy("c")
              .agg(F.slice(F.array_sort(F.collect_list(
                       F.struct(hcol.alias("h"), F.col("s").alias("s")))),
