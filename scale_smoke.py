@@ -292,19 +292,23 @@ def main():
     elif wave == "2":
         names = wave2_queries()
     elif wave == "all":
-        names = QUERIES + wave2_queries()
+        names = QUERIES + ["flagship_topk_revenue"] + wave2_queries()
     else:
-        names = QUERIES
-    # SMOKE_SLICE=i/k runs the i-th of k contiguous slices (1-based) —
-    # bounds one OS process per slice so a single long pass can't pin
-    # streaming memory-sink tables across 150+ queries.
+        # the flagship rides the default wave-1 pass BEFORE slicing so
+        # the union of all k slices equals the unsliced pass
+        names = QUERIES + ["flagship_topk_revenue"]
+    # SMOKE_SLICE=i/k runs the i-th of k round-robin STRIPES (1-based:
+    # stripe i takes positions i-1, i-1+k, ...) — bounds one OS process
+    # per slice so a single long pass can't pin streaming memory-sink
+    # tables across 150+ queries.
     sl = os.environ.get("SMOKE_SLICE")
     if sl:
         i, k = (int(x) for x in sl.split("/"))
+        if not (1 <= i <= k):
+            raise SystemExit(f"SMOKE_SLICE={sl}: need 1 <= i <= k")
         names = [n for j, n in enumerate(names) if j % k == i - 1]
-    fns = {name: specs[name].fn for name in names}
-    if not only and not wave and not sl:
-        fns["flagship_topk_revenue"] = plans.flagship
+    fns = {name: (plans.flagship if name == "flagship_topk_revenue"
+                  else specs[name].fn) for name in names}
     timings = {}
     for name, fn in fns.items():
         t0 = time.time()
