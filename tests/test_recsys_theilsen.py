@@ -45,6 +45,31 @@ def test_item_jaccard_replays(spark, sf_dir):
         assert 0 < jac <= 1000000
 
 
+def test_capped_neighborhoods_salt_invariant(spark, sf_dir):
+    """The salts=k two-phase (bounded aggregation buffers) must select
+    EXACTLY the same capped neighborhoods as the single-phase plan:
+    every member of the global cap-smallest md5 set is also within its
+    salt bucket's cap-smallest, so the merge loses nothing."""
+    from pyspark.sql import functions as F
+
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.suite.mining import capped_neighborhoods
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s")).distinct())
+    # cap=8 far below real degrees so the cap (and the salt merge)
+    # actually binds at test SF
+    one = capped_neighborhoods(edges, "c", "s", cap=8, salts=1)
+    four = capped_neighborhoods(edges, "c", "s", cap=8, salts=4)
+    a = {r["c"]: tuple(r["ss"]) for r in one.collect()}
+    b = {r["c"]: tuple(r["ss"]) for r in four.collect()}
+    assert a == b
+    assert a and all(len(v) <= 8 for v in a.values())
+    assert any(len(v) == 8 for v in a.values())  # cap bound somewhere
+
+
 def test_theil_sen_replays(spark, sf_dir):
     row = all_queries()["theil_sen_slope"].fn(
         spark, sf_dir).collect()[0].asDict()

@@ -707,6 +707,47 @@ def skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_DEG_CAP = 64
 
 
+def capped_neighborhoods(edges: DataFrame, key: str, item: str, cap: int,
+                         salts: int = 1) -> DataFrame:
+    """(key, ss) with ``ss`` = the ``cap`` deterministically-sampled
+    items of each key's neighborhood, sorted — rank by md5(key:item),
+    the engine-portable keyed coin flip (identical hex ordering in
+    DuckDB oracles). The degree-capping/DIMSUM discipline that bounds
+    downstream pair work to |keys|·cap² no matter how fat the whales
+    get, fused into aggregates only: no row_number window exchange, no
+    extra passes over the edge list.
+
+    ``salts=1`` (default): ONE key-keyed aggregate — the right plan
+    whenever single-key neighborhoods fit an aggregation buffer (true
+    for any catalog-bounded item domain; collect_list falls back to
+    sort-based spilling under memory pressure, but the finished array
+    for one key must fit in memory). ``salts=k``: a two-phase
+    salt-split for genuinely unbounded neighborhoods — phase 1 caps
+    within (key, md5-salt) sub-buckets (buffers shrink ~k×), phase 2
+    merges the ≤k sliced arrays per key (buffer ≤ k·cap structs,
+    BOUNDED). Selection is exact and salt-invariant: every member of
+    the global cap-smallest set is also within its own salt bucket's
+    cap-smallest (property-tested for equality with salts=1). Cost of
+    the bound: one extra (key-local) exchange — pay it when the item
+    domain makes single-key arrays a memory hazard, not before."""
+    hcol = F.md5(F.concat_ws(":", F.col(key).cast("string"),
+                             F.col(item).cast("string")))
+    hs = F.struct(hcol.alias("h"), F.col(item).alias("s"))
+    capped = F.slice(F.array_sort(F.collect_list(hs)), 1, cap)
+    if salts == 1:
+        per_key = edges.groupBy(key).agg(capped.alias("hs"))
+    else:
+        lvl1 = (edges
+                .groupBy(key, F.pmod(F.crc32(F.col(item).cast("string")),
+                                     F.lit(salts)).alias("_salt"))
+                .agg(capped.alias("hs1")))
+        per_key = (lvl1.groupBy(key)
+                   .agg(F.slice(F.array_sort(
+                            F.flatten(F.collect_list("hs1"))),
+                        1, cap).alias("hs")))
+    return per_key.select(key, F.array_sort(F.col("hs.s")).alias("ss"))
+
+
 @query("recsys_item_jaccard", oracle=f"""
 WITH edges0 AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -745,14 +786,18 @@ def recsys_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buy from X also buy from Y"). Co-occurrence pairs ride Σdeg² per
     customer — the whale-customer mitigation is SHIPPED, not just
     named: every customer neighborhood is capped to a deterministic
-    uniform sample of {_JACCARD_DEG_CAP} suppliers (rank by md5(c:s)
-    — an engine-portable keyed coin flip, identical hex ordering in
-    the oracle), the DIMSUM/degree-capping discipline that bounds
-    pair work to |C|·CAP² no matter how fat the whales get. Cap and
-    pair generation are FUSED into one customer-keyed aggregate
-    (collect→sort→slice→array-local ordered-pair expansion), so the
-    whole candidate stage is one shuffle by c — no row_number window
-    exchange, no Σdeg²-row sort-merge self-join. Degrees and
+    uniform sample of {_JACCARD_DEG_CAP} suppliers
+    (``capped_neighborhoods``: rank by md5(c:s) — an engine-portable
+    keyed coin flip, identical hex ordering in the oracle), the
+    DIMSUM/degree-capping discipline that bounds pair work to
+    |C|·CAP² no matter how fat the whales get. Cap and pair
+    generation are FUSED into aggregates (collect→sort→slice→
+    array-local ordered-pair expansion), so the whole candidate stage
+    is one shuffle by c — no row_number window exchange, no Σdeg²-row
+    sort-merge self-join; supplier catalogs bound single-key arrays
+    here, and for genuinely unbounded item domains the helper's
+    salts=k two-phase keeps every aggregation buffer ≤ k·CAP structs
+    (selection provably salt-invariant, property-tested). Degrees and
     co-occurrence both come from the SAME capped edge set, so
     Jaccard stays internally consistent (≤ 1) and the statistic is
     exact over the sampled neighborhoods. The support filter prunes
@@ -764,36 +809,8 @@ def recsys_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges0 = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
                .select(F.col("o_custkey").alias("c"),
                        F.col("l_suppkey").alias("s"))
-               .distinct()
-               .localCheckpoint(eager=False))  # feeds deg_c + both splits
-    # Cap + pair generation FUSED into one customer-keyed aggregate:
-    # collect the (md5, s) neighborhood, sort, slice to the cap, then
-    # expand ordered pairs array-locally (the graph_triangles
-    # discipline) — one shuffle by c replaces the row_number window
-    # (sorted exchange) AND the sort-merge self-join (two more sorted
-    # exchanges over a Σdeg²-sized join). The cap must bound the
-    # collect BUFFER too, not just the sliced result: whale customers
-    # are pre-capped through a row_number window over ONLY the
-    # above-cap keys (a spilling sort, never an in-memory array of the
-    # full neighborhood), so every collect_list holds ≤ CAP structs no
-    # matter how fat the whales get; the whale key set is degree-rollup
-    # sized and broadcast.
-    hcol = F.md5(F.concat_ws(":", F.col("c").cast("string"),
-                             F.col("s").cast("string")))
-    deg_c = edges0.groupBy("c").agg(F.count("*").alias("dc"))
-    whales = deg_c.filter(F.col("dc") > _JACCARD_DEG_CAP).select("c")
-    normal = edges0.join(F.broadcast(whales), "c", "left_anti")
-    w = Window.partitionBy("c").orderBy(hcol, "s")
-    whale_capped = (edges0.join(F.broadcast(whales), "c")
-                    .withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") <= _JACCARD_DEG_CAP).drop("rn"))
-    edges_capped = normal.unionByName(whale_capped)
-    per_c = (edges_capped
-             .groupBy("c")
-             .agg(F.slice(F.array_sort(F.collect_list(
-                      F.struct(hcol.alias("h"), F.col("s").alias("s")))),
-                  1, _JACCARD_DEG_CAP).alias("hs"))
-             .select("c", F.array_sort(F.col("hs.s")).alias("ss"))
+               .distinct())
+    per_c = (capped_neighborhoods(edges0, "c", "s", _JACCARD_DEG_CAP)
              .localCheckpoint(eager=False))
     edges = per_c.select("c", F.explode("ss").alias("s"))
     deg = edges.groupBy("s").agg(F.count("*").alias("d"))
