@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The stdout line keeps only the 20 slowest queries so it stays under the
+driver's 2000-char capture window (a full 307-query map is ~40 KB and was
+never parseable — 5 rounds of `parsed: null`). The complete per-query
+timing / shuffle maps go to BENCH_full.json at the repo root.
 
 Timing = full plan execution to a noop sink (no driver collect transfer),
 except streaming/rows-only queries that execute inside their builder.
@@ -89,7 +94,7 @@ def main() -> None:
              lambda s, d: plans.flagship(s, d))
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "suite_total_wall_clock",
         "value": total,
         "unit": "sec",
@@ -99,18 +104,48 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if errors:
-        out["errors"] = errors
+        full["errors"] = errors
     if meter.enabled:
-        out["shuffle_write_mb"] = shuffle_write_mb
+        full["shuffle_write_mb"] = shuffle_write_mb
+        full["cost_totals_mb"] = {k: mb(v) for k, v in cost_totals.items()}
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout must not kill the run
+        errors["__bench_full_write__"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Compact stdout line: must fit the driver's 2000-char tail in full,
+    # as the LAST line, or per-query seconds never reach the official
+    # artifact (BENCH_r01..r05 all recorded `parsed: null`).
+    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    out = {
+        "metric": "suite_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in top20.items()},
+        "sf": full["sf"],
+        "cpus": int(CPUS),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_note": "20 slowest of n_queries; full map in BENCH_full.json",
+    }
+    if meter.enabled:
         out["cost_totals_mb"] = {k: mb(v) for k, v in cost_totals.items()}
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard guard: never regress to an unparseable tail
+        out.pop("queries", None)
+        out["queries_note"] = "full map in BENCH_full.json"
+        line = json.dumps(out)
+    print(line)
     try:
         spark.stop()
     except Exception:  # noqa: BLE001
         pass
     # rc=0 when the artifact is representative (>=95% of queries timed
     # cleanly); a systemic failure still exits nonzero.
-    ok = len(timings) - len(errors)
+    ok = len(timings) - len([k for k in errors if k in timings])
     sys.exit(0 if ok >= 0.95 * len(timings) else 1)
 
 

@@ -66,10 +66,9 @@ QUERIES = [
     # candidates+output, so ~100x rows at 10x points is the EXPECTED
     # shape, not a plan failure), and multi-touch attribution (per-user
     # touch lists unchanged — must scale linearly).
-    # er_blocked_linkage is EXCLUDED: replicated copies share identical
-    # names, so its name-region blocks would cross-match copies
-    # (10x data -> 100x candidates) — an artifact of the replicator,
-    # not the operator.
+    # er_blocked_linkage rides wave 2 since round 6 (the replicator's
+    # balance salt removed the clone cross-match artifact — see
+    # replicate()).
     "graph_triangles", "geo_neighbor_haversine", "attribution_multi_touch",
     # closing wave (session 3): ray-cast containment (fence areas fixed,
     # candidates ∝ local density → linear), equal-area pyramid (cell
@@ -225,12 +224,12 @@ QUERIES = [
 # Round-5 full-contract coverage (verdict item 7): wave 2 = every
 # registered query NOT in the curated wave-1 list, computed from the
 # registry so new queries can never silently miss their 10x row.
-# er_blocked_linkage stays excluded with the documented replicator
-# artifact (identical copies share names -> name-region blocks
-# cross-match copies, 10x data -> 100x candidates — an artifact of
-# key-shifted replication, not the operator; its scale posture is
-# covered by the df-capped candidate design + sf-level tests).
-SMOKE_EXCLUDED = {"er_blocked_linkage"}
+# Round 6: er_blocked_linkage is back IN — the replicator now salts
+# copied customer balances (+$2000/copy, see replicate()) so clone
+# pairs never share a balance band and the 100x cross-copy candidate
+# artifact cannot form; the query runs with its real 10x shape
+# (linear candidates, per-copy block structure unchanged).
+SMOKE_EXCLUDED: set[str] = set()
 
 
 def wave2_queries() -> list[str]:
@@ -259,6 +258,17 @@ def replicate(spark):
             rep = rep.withColumn(k, F.col(k) + F.col("__c") * STRIDE)
         if name == "events":  # keep nanos-long ts loadable via catalog path
             rep = rep.withColumn("ts", F.expr("CAST(unix_micros(ts) AS BIGINT) * 1000"))
+        if name == "customer":
+            # Replication-aware ER twin (round-5 verdict item 2): copies
+            # share c_name AND c_acctbal, so er_blocked_linkage's
+            # (name-region, balance-band) blocks would cross-match every
+            # clone pair (10x data -> 100x candidates — a replicator
+            # artifact, not the operator). Shifting each copy's balance
+            # by $2000 (200 bands, far past the $10 band + $5 offset)
+            # makes copies distinct entities in EVERY banding pass while
+            # leaving within-copy match structure byte-identical.
+            rep = rep.withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.col("__c") * F.lit(2000.0))
         rep.drop("__c").write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
     for name in UNKEYED:
         table(spark, SRC, name).write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")

@@ -12,12 +12,18 @@ machinery) and resolves each output column to the set of
 
 Scope (documented, tested): projections, filters, equi/theta joins,
 aggregates, windows, sorts, limits, explode-free expression trees —
-i.e. the alias/attribute graph. Lineage through ``Union`` follows the
-first child's attribute ids (Spark reuses them for the union output);
-positional merging of the remaining children is not traced. Generators
-(explode) propagate through their generator expression like any other
-alias. Literals and rand() contribute no lineage (empty set), which is
-itself the correct answer.
+i.e. the alias/attribute graph — and ``Union``. A union's output
+reuses the FIRST child's attribute ids, so the alias graph alone only
+traces branch one; ``_union_edges`` walks the analyzed JVM plan and
+adds one positional edge per (union output attr -> each child's attr
+at that position), so ``unionByName``-heavy shapes (the S3/S6
+multi-status scans) resolve every branch's base columns.
+``Intersect``/``Except`` need no such edges: their output VALUES come
+only from the left child, which is exactly the id the alias graph
+already follows. Generators (explode) propagate through their
+generator expression like any other alias. Literals and rand()
+contribute no lineage (empty set), which is itself the correct
+answer.
 
 Cost: pure driver-side metadata walk — the plan JSON is KBs; nothing
 executes on the cluster.
@@ -94,6 +100,31 @@ def _leaf_label(jleaf, idx):
     return f"{cls}#{idx}"
 
 
+def _union_edges(jplan, edges) -> None:
+    """Add positional lineage edges for every Union node in the JVM
+    plan: Union.output reuses the head child's exprIds, so for each
+    output position i record output[i] -> child_k.output[i] for ALL
+    children (the head edge is a harmless self-loop the resolver's
+    seen-set absorbs). Driver-side metadata walk, nothing executes."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        children = node.children()
+        for k in range(children.length()):
+            stack.append(children.apply(k))
+        if node.getClass().getSimpleName() != "Union":
+            continue
+        out = node.output()
+        for i in range(out.length()):
+            dst = out.apply(i).exprId().id()
+            for k in range(children.length()):
+                cout = children.apply(k).output()
+                if i < cout.length():
+                    src = cout.apply(i).exprId().id()
+                    if src != dst:
+                        edges[dst].add(src)
+
+
 def column_lineage(df: DataFrame) -> dict[str, set[tuple[str, str]]]:
     """Map each output column of ``df`` to the set of ``(source,
     column)`` base-relation attributes it transitively depends on."""
@@ -112,6 +143,7 @@ def column_lineage(df: DataFrame) -> dict[str, set[tuple[str, str]]]:
                 _collect_edges(tree, edges)
         if node.get("num-children", 0) == 0 and "output" in node:
             json_leaves.append(node)
+    _union_edges(jplan, edges)
 
     # 2) leaf identity: JSON leaves pair positionally with the JVM
     #    plan's collectLeaves() (both are pre-order)
