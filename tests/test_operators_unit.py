@@ -4,6 +4,7 @@ last-wins ordering (A5), running sums, HLL accuracy."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from zoom_etl_spark.functions.text import parse_timestamp_ntz, sanitize_name
@@ -128,19 +129,21 @@ def test_gapfill_linear_interpolates_between_observations(spark):
     }
 
 
-def test_approx_quantile_rank_error(spark, sf_dir):
+@pytest.mark.parametrize("accuracy", [10000, 1000])
+def test_approx_quantile_rank_error(spark, sf_dir, accuracy):
     """approx_percentile rank-error gate, measured the honest way: the
     true rank interval of the sketched value (ties included) must lie
-    within 2% of the target rank. NOTE the nominal GK bound (1/accuracy
-    = 0.01% here) does NOT survive partition-merge: merging per-partition
-    summaries degrades it (measured ~0.9% at a 32-way merge) — the gate
-    pins the practical contract a 1000-executor deployment actually
-    gets, plus quantile monotonicity."""
+    within 2% of the target rank. NOTE the nominal GK bound (1/accuracy)
+    does NOT survive partition-merge: merging per-partition summaries
+    degrades it — the gate pins the practical contract a 1000-executor
+    deployment actually gets, plus quantile monotonicity. accuracy=1000
+    is the resolution the registered agg_approx_quantile ships with
+    (round 6: sized for the ε=0.02 envelope, measured 0.1% merged)."""
     from zoom_etl_spark.catalog import table as t
     e = t(spark, sf_dir, "events")
     n = e.count()
     row = e.agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("a")
+        F.percentile_approx("value", [0.5, 0.95, 0.99], accuracy).alias("a")
     ).collect()[0]
     p50, p95, p99 = row.a
     assert p50 <= p95 <= p99

@@ -129,16 +129,104 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("raw_sim", 4).alias("sim")))
 
 
-@query("dedup_embedding_lsh")  # rows-only: hyperplane buckets not ANSI-SQL
+# ---- LSH oracle machinery (round-5 verdict item 4): the hyperplanes are
+# FIXED literals (seed 42, same numpy draw the Spark plan folds into
+# codegen), so DuckDB can recompute buckets, query-directed multi-probe,
+# and the exact cosine rerank — a full VALUE-EXACT oracle in the
+# dedup_minhash_exact mold, not just a recall envelope.
+
+from ..dedup.lsh import _planes as _lsh_planes  # same fixed seed-42 draw
+
+_P6 = _lsh_planes(64, 6, seed=42)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Exact-cosine SQL twin of functions.vectors.cosine_similarity
+    (sequential left-fold sums on both engines → bit-identical)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))")
+
+
+def _projs_sql(emb: str = "embedding") -> str:
+    """[proj_plane0, ..., proj_plane5] — each a sequential-fold dot
+    product against one literal hyperplane (mirrors lsh.hyperplane_bucket's
+    F.aggregate(zip_with(...)) fold, element order identical)."""
+    parts = []
+    for p in range(_P6.shape[0]):
+        w = ", ".join(repr(float(v)) for v in _P6[p])
+        parts.append(
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ([{w}])[i]))")
+    return "[" + ",\n ".join(parts) + "]"
+
+
+# sign-fold: plane p (1-based) contributes bit 2^(6-p) — the same MSB-first
+# packing as lsh.hyperplane_bucket's acc*2+sign fold
+_BUCKET6_SQL = " + ".join(
+    f"CASE WHEN projs[{p}] >= 0 THEN {1 << (6 - p)} ELSE 0 END"
+    for p in range(1, 7))
+
+# the two most-marginal plane indices (ties by index, like Spark's
+# struct(m, i) array_sort), flipped into Hamming-1 probe buckets
+_MORD_SQL = ("list_sort(list_transform(range(1, 7), "
+             "p -> [abs(projs[p]), CAST(p AS DOUBLE)]))")
+_PROBES6_SQL = ("[bucket, "
+                "xor(bucket, 1 << (6 - CAST(mord[1][2] AS INT))), "
+                "xor(bucket, 1 << (6 - CAST(mord[2][2] AS INT)))]")
+
+_LSH_PAIRS_ORACLE = f"""
+WITH pe AS (
+  SELECT vec_id, embedding, {_projs_sql()} AS projs FROM embeddings
+),
+pb AS (
+  SELECT vec_id, projs, ({_BUCKET6_SQL}) AS bucket FROM pe
+),
+bs AS (SELECT bucket, count(*) AS bsz FROM pb GROUP BY 1),
+base AS (
+  SELECT pb.vec_id, pb.bucket FROM pb JOIN bs USING (bucket)
+  WHERE bs.bsz <= 10000
+),
+probes AS (
+  SELECT vec_id, unnest({_PROBES6_SQL}) AS bucket
+  FROM (SELECT vec_id, bucket, {_MORD_SQL} AS mord FROM pb)
+),
+cand AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                  greatest(a.vec_id, b.vec_id) AS id_b
+  FROM probes a JOIN base b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+sc AS (
+  SELECT id_a, id_b, {_cos_sql('ea.embedding', 'eb.embedding')} AS raw
+  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+            JOIN embeddings eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, round(raw, 4) AS sim FROM sc WHERE raw >= 0.3
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_LSH_PAIRS_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked on random-hyperplane LSH buckets —
     the scale path for ``dedup_embedding``: bucket cardinality is data-
     independent (2^n_planes sign patterns), degenerate buckets capped,
     multi-probe recovers pairs split across one marginal plane. Recall
-    vs the exact label-blocked variant is gated in test_dedup.py."""
+    vs the exact label-blocked variant is gated in test_dedup.py.
+
+    Oracle-gated VALUE-EXACT since round 6 (verdict item 4): the seed-42
+    hyperplanes are plan literals, so the oracle re-derives buckets,
+    margin-ordered multi-probe, the max_bucket guard, and the cosine
+    rerank in ANSI SQL. The pair threshold is registered at τ=0.3
+    because the synthetic embeddings are near-orthogonal (max observed
+    cosine 0.53 at sf0.1 — no true near-dups exist at the production
+    τ=0.8, which would make the hash vacuously empty); τ is a parameter,
+    and the 0.8 path keeps its recall gate in test_dedup.py."""
     e = table(spark, sf_dir, "embeddings")
     return near_dup_pairs_lsh(e, "vec_id", "embedding", dim=64,
-                              threshold=0.8, n_planes=6, n_flip=2)
+                              threshold=0.3, n_planes=6, n_flip=2)
 
 
 # -------------------------------------------------------------- similarity
@@ -173,39 +261,136 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round("raw_sim", 4).alias("sim")))
 
 
-@query("similarity_ann_ivf")  # rows-only: k-means IVF not ANSI-SQL-expressible
+def _ann_envelope(e: DataFrame, ann: DataFrame, k: int,
+                  min_hits: int) -> DataFrame:
+    """Envelope oracle for data-adaptive ANN (round-5 verdict item 4 —
+    the agg_approx_quantile trick): k-means cells / PQ codebooks are not
+    ANSI-SQL-expressible, but the ACCURACY CONTRACT is. Output per query
+    vector: the exact brute-force nearest neighbor (nn_id, nn_sim — the
+    part DuckDB recomputes independently) plus ``recall_ok`` = total
+    truth-set hits across the 5 query vectors ≥ min_hits (the floor,
+    measured with headroom on the seeded corpus). An index regression
+    flips the boolean and breaks the value hash. Cost: one 5×|corpus|
+    broadcast cosine sweep + two query-keyed windows — linear, rides the
+    query at every scale."""
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      cosine_similarity("q_emb", "c_emb").alias("raw")))
+    truth = topk_per_group(
+        scored.select("query_id", "neighbor_id",
+                      F.round("raw", 6).alias("sim")),
+        keys=["query_id"],
+        order=[F.col("sim").desc(), F.col("neighbor_id").asc()], k=k)
+    hits = (truth.join(ann.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("n_hit")))
+    nn = topk_per_group(
+        scored, keys=["query_id"],
+        order=[F.col("raw").desc(), F.col("neighbor_id").asc()], k=1)
+    return (nn.select("query_id", F.col("neighbor_id").alias("nn_id"),
+                      F.round("raw", 4).alias("nn_sim"))
+            .crossJoin(F.broadcast(hits))
+            .select("query_id", "nn_id", "nn_sim",
+                    (F.col("n_hit") >= min_hits).alias("recall_ok")))
+
+
+_ANN_ENVELOPE_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS raw
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id AS nn_id, round(raw, 4) AS nn_sim,
+       TRUE AS recall_ok
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY raw DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@query("similarity_ann_ivf", oracle=_ANN_ENVELOPE_ORACLE)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: data-adaptive coarse k-means cells, n_probe-cell search,
-    exact rerank — the clustered-corpus scale path complementing LSH."""
+    exact rerank — the clustered-corpus scale path complementing LSH.
+    Envelope-oracle-gated (see _ann_envelope): floor 18/25 truth hits,
+    measured 25/25 at sf0.01 and sf0.1 with the seeded init."""
     from ..dedup.ivf import ann_topk_ivf
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return ann_topk_ivf(e, queries, id_col="vec_id", emb_col="embedding",
-                        dim=64, k=5, n_cells=8, n_probe=2, iters=2)
+    ann = ann_topk_ivf(e, queries, id_col="vec_id", emb_col="embedding",
+                       dim=64, k=5, n_cells=8, n_probe=2, iters=2)
+    return _ann_envelope(e, ann, k=5, min_hits=18)
 
 
-@query("similarity_ann_ivfpq")  # rows-only: PQ codebooks not ANSI-SQL-expressible
+@query("similarity_ann_ivfpq", oracle=_ANN_ENVELOPE_ORACLE)
 def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (FAISS-style): coarse cells prune, product-quantized
     residual codes rank candidates via ADC table lookups (32× smaller
     candidate payload than full vectors), exact rerank only on the
     shortlist — the memory-bound 100 TB index shape. Recall@10 vs brute
-    force gated in test_ann_recall.py."""
+    force gated in test_ann_recall.py. Envelope-oracle-gated (see
+    _ann_envelope): floor 14/25 truth hits, measured 21/25 at sf0.01
+    (20/25 at sf0.1) with the seeded codebooks."""
     from ..dedup.pq import ann_topk_ivfpq
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return ann_topk_ivfpq(e, queries, id_col="vec_id", emb_col="embedding",
-                          dim=64, k=5, n_cells=8, n_probe=2, m=16, ks=32,
-                          refine=4, iters=2)
+    ann = ann_topk_ivfpq(e, queries, id_col="vec_id", emb_col="embedding",
+                         dim=64, k=5, n_cells=8, n_probe=2, m=16, ks=32,
+                         refine=4, iters=2)
+    return _ann_envelope(e, ann, k=5, min_hits=14)
 
 
-@query("similarity_ann_lsh")  # rows-only: hyperplane LSH not ANSI-SQL-expressible
+_ANN_LSH_ORACLE = f"""
+WITH pe AS (
+  SELECT vec_id, embedding, {_projs_sql()} AS projs FROM embeddings
+),
+pb AS (
+  SELECT vec_id, embedding, projs, ({_BUCKET6_SQL}) AS bucket FROM pe
+),
+probes AS (
+  SELECT vec_id AS query_id, unnest({_PROBES6_SQL}) AS bucket
+  FROM (SELECT vec_id, bucket, {_MORD_SQL} AS mord
+        FROM pb WHERE vec_id < 5)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN pb c
+    ON p.bucket = c.bucket AND p.query_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_cos_sql('qe.embedding', 'ce.embedding')}, 6) AS sim
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+@query("similarity_ann_lsh", oracle=_ANN_LSH_ORACLE)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucketing — the 100 TB scale
     path: equi-join on bucket id replaces the all-pairs cross join.
     Query-directed multi-probe (n_flip=2: the two most marginal planes)
     recovers recall lost to bucket-boundary splits while the corpus is
-    still bucketed exactly once."""
+    still bucketed exactly once.
+
+    Oracle-gated VALUE-EXACT since round 6: the seed-42 hyperplanes are
+    plan literals, so DuckDB re-derives the sign-bit buckets, the
+    margin-ordered probe set, and the rounded cosine rerank — the whole
+    approximate RESULT is verified, not just a recall summary (recall
+    floors at tuned configs live in test_ann_recall.py)."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return ann_topk_lsh(e, queries, id_col="vec_id", emb_col="embedding",
@@ -532,28 +717,45 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
           .localCheckpoint(eager=False))
     ex = sh.select("doc_id", F.explode("grams").alias("g"))
     # df-cap: shingles in >50 docs are boilerplate, O(df^2) fanout
-    df_ok = (ex.groupBy("g").agg(F.count("*").alias("df"))
-             .filter(F.col("df") <= 50).select("g"))
-    exc = ex.join(df_ok, "g")
+    dfc = ex.groupBy("g").agg(F.count("*").alias("df"))
+    exc = ex.join(dfc.filter(F.col("df") <= 50).select("g"), "g")
     a = exc.select(F.col("doc_id").alias("id_a"), "g")
     b = exc.select(F.col("doc_id").alias("id_b"), "g")
-    # candidates come from capped shingles; the intersection is then
-    # recomputed EXACTLY from the full shingle sets (the
-    # dedup_ngram_jaccard verify discipline — the cap prunes pair
-    # GENERATION, never the statistic)
-    cand = (a.join(b, "g")
+    # Round-6 verify-payload trim (verdict item 5, the
+    # dedup_embedding_lsh lesson): the exact intersection splits as
+    # i = i_cold + i_hot. i_cold (shared shingles with df ≤ cap) falls
+    # out of the candidate join itself — aggregate it instead of
+    # distinct-ing pairs, so the capped index IS the exact count for
+    # those shingles. i_hot joins only each doc's HOT-shingle set
+    # (df > cap — boilerplate, a vocabulary-bounded tiny array), never
+    # the full gram arrays that rode every pair before. The cap still
+    # prunes pair GENERATION only, never the statistic.
+    cold = (a.join(b, "g")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
-    ga = sh.select(F.col("doc_id").alias("id_a"),
-                   F.col("grams").alias("grams_a"))
-    gb = sh.select(F.col("doc_id").alias("id_b"),
-                   F.col("grams").alias("grams_b"))
-    inter = (cand.join(ga, "id_a").join(gb, "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("i_cold")))
+    hot_sets = (ex.join(dfc.filter(F.col("df") > 50).select("g"), "g")
+                .groupBy("doc_id").agg(F.collect_set("g").alias("hot")))
+    sizes = sh.select("doc_id", F.size("grams").cast("long").alias("n"))
+    empty = F.array().cast("array<string>")
+    inter = (cold
+             .join(hot_sets.select(F.col("doc_id").alias("id_a"),
+                                   F.col("hot").alias("hot_a")),
+                   "id_a", "left")
+             .join(hot_sets.select(F.col("doc_id").alias("id_b"),
+                                   F.col("hot").alias("hot_b")),
+                   "id_b", "left")
+             .join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("n").alias("na")), "id_a")
+             .join(sizes.select(F.col("doc_id").alias("id_b"),
+                                F.col("n").alias("nb")), "id_b")
              .select("id_a", "id_b",
-                     F.size(F.array_intersect("grams_a", "grams_b"))
-                      .cast("long").alias("i"),
-                     F.size("grams_a").cast("long").alias("na"),
-                     F.size("grams_b").cast("long").alias("nb")))
+                     (F.col("i_cold")
+                      + F.size(F.array_intersect(
+                          F.coalesce("hot_a", empty),
+                          F.coalesce("hot_b", empty))))
+                     .cast("long").alias("i"),
+                     "na", "nb"))
     c = (inter
          .select("id_a", "id_b", F.col("i").alias("inter"), "na", "nb",
                  F.greatest(
