@@ -41,6 +41,35 @@ def _sf_label(sf_dir: str) -> float | str:
     return tail
 
 
+def compact_line(full: dict, max_len: int = 1900) -> str:
+    """The stdout JSON line: total + the 20 slowest queries + cost
+    totals, guaranteed under ``max_len`` so the driver's 2000-char tail
+    always captures it whole (BENCH_r01..r05 recorded `parsed: null`
+    because the full 307-query map was a ~40 KB line). The complete
+    maps live in BENCH_full.json."""
+    timings = full["queries"]
+    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": {k: round(v, 2) for k, v in top20.items()},
+        "sf": full["sf"],
+        "cpus": full["cpus"],
+        "n_queries": full["n_queries"],
+        "n_errors": len(full.get("errors", {})),
+        "queries_note": "20 slowest of n_queries; full map in BENCH_full.json",
+    }
+    if "cost_totals_mb" in full:
+        out["cost_totals_mb"] = full["cost_totals_mb"]
+    line = json.dumps(out)
+    if len(line) > max_len:  # hard guard: never regress to unparseable
+        out.pop("queries", None)
+        out["queries_note"] = "full map in BENCH_full.json"
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     spark = get_spark("zoom-etl-spark-bench", cpus=CPUS,
                       shuffle_partitions=max(int(CPUS) * 2, 16), ui=True)
@@ -116,29 +145,7 @@ def main() -> None:
     except OSError as e:  # read-only checkout must not kill the run
         errors["__bench_full_write__"] = f"{type(e).__name__}: {e}"[:200]
 
-    # Compact stdout line: must fit the driver's 2000-char tail in full,
-    # as the LAST line, or per-query seconds never reach the official
-    # artifact (BENCH_r01..r05 all recorded `parsed: null`).
-    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    out = {
-        "metric": "suite_total_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in top20.items()},
-        "sf": full["sf"],
-        "cpus": int(CPUS),
-        "n_queries": len(timings),
-        "n_errors": len(errors),
-        "queries_note": "20 slowest of n_queries; full map in BENCH_full.json",
-    }
-    if meter.enabled:
-        out["cost_totals_mb"] = {k: mb(v) for k, v in cost_totals.items()}
-    line = json.dumps(out)
-    if len(line) > 1900:  # hard guard: never regress to an unparseable tail
-        out.pop("queries", None)
-        out["queries_note"] = "full map in BENCH_full.json"
-        line = json.dumps(out)
-    print(line)
+    print(compact_line(full))
     try:
         spark.stop()
     except Exception:  # noqa: BLE001
