@@ -29,6 +29,9 @@ from zoom_etl_spark.metrics import StageMetrics, mb  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(min(os.cpu_count() or 8, 32)))
+# full per-query maps land here (tests point it at a tmp dir)
+FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full.json")
 
 
 def _sf_label(sf_dir: str) -> float | str:
@@ -60,11 +63,14 @@ def compact_line(full: dict, max_len: int = 1900) -> str:
         "n_errors": len(full.get("errors", {})),
         "queries_note": "20 slowest of n_queries; full map in BENCH_full.json",
     }
+    if full.get("errors"):  # names only — messages live in BENCH_full.json
+        out["error_names"] = sorted(full["errors"])[:10]
     if "cost_totals_mb" in full:
         out["cost_totals_mb"] = full["cost_totals_mb"]
     line = json.dumps(out)
     if len(line) > max_len:  # hard guard: never regress to unparseable
         out.pop("queries", None)
+        out.pop("error_names", None)
         out["queries_note"] = "full map in BENCH_full.json"
         line = json.dumps(out)
     return line
@@ -137,10 +143,8 @@ def main() -> None:
     if meter.enabled:
         full["shuffle_write_mb"] = shuffle_write_mb
         full["cost_totals_mb"] = {k: mb(v) for k, v in cost_totals.items()}
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_full.json")
     try:
-        with open(full_path, "w") as fh:
+        with open(FULL_PATH, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError as e:  # read-only checkout must not kill the run
         errors["__bench_full_write__"] = f"{type(e).__name__}: {e}"[:200]

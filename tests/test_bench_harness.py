@@ -1,9 +1,11 @@
 """bench.py must survive per-query failures: one flaky query (round 3's
 BENCH_r03 was rc=1 from a single transient streaming-state abort) may not
-zero the whole perf artifact. Forced-failure contract: a query that
-raises is recorded under "errors", every other query still gets timed,
-exactly one parseable JSON line is printed, and the exit code is 0 while
->=95% of queries timed cleanly."""
+zero the whole perf artifact. Forced-failure contract (round 6: stdout is
+the COMPACT line — full maps live in BENCH_full.json): a query that
+raises is recorded in the full artifact's "errors" and named on the
+compact line, every other query still gets timed, exactly one parseable
+JSON line is printed, and the exit code is 0 while >=95% of queries
+timed cleanly."""
 
 from __future__ import annotations
 
@@ -28,7 +30,9 @@ def _specs_with_bomb(spark):
     return specs
 
 
-def test_bench_survives_injected_failure(spark, monkeypatch, capsys):
+def test_bench_survives_injected_failure(spark, monkeypatch, capsys,
+                                         tmp_path):
+    monkeypatch.setattr(bench, "FULL_PATH", str(tmp_path / "full.json"))
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setattr(bench, "all_queries",
                         lambda: _specs_with_bomb(spark))
@@ -43,20 +47,25 @@ def test_bench_survives_injected_failure(spark, monkeypatch, capsys):
     assert exc.value.code == 0  # 1 error out of 22 timings is < 5%
 
     line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1900  # fits the driver's 2000-char tail whole
     out = json.loads(line)  # ONE parseable JSON line no matter what
     assert out["metric"] == "suite_total_wall_clock"
-    assert "boom_q" in out["errors"]
-    assert "injected flake" in out["errors"]["boom_q"]
-    assert "boom_q" in out["queries"]  # timed (fail-fast) but flagged
-    assert "flagship_topk_revenue" in out["queries"]
-    assert sum(1 for n in out["queries"] if n.startswith("ok_")) == 20
+    assert out["n_errors"] == 1 and out["error_names"] == ["boom_q"]
+    assert out["n_queries"] == 22  # 20 ok + boom_q + flagship all timed
+    full = json.loads((tmp_path / "full.json").read_text())
+    assert "injected flake" in full["errors"]["boom_q"]
+    assert "boom_q" in full["queries"]  # timed (fail-fast) but flagged
+    assert "flagship_topk_revenue" in full["queries"]
+    assert sum(1 for n in full["queries"] if n.startswith("ok_")) == 20
 
 
-def test_bench_systemic_failure_exits_nonzero(spark, monkeypatch, capsys):
+def test_bench_systemic_failure_exits_nonzero(spark, monkeypatch, capsys,
+                                              tmp_path):
     def boom(s, sf_dir):
         raise RuntimeError("everything is broken")
 
     specs = {f"q{i}": types.SimpleNamespace(fn=boom) for i in range(10)}
+    monkeypatch.setattr(bench, "FULL_PATH", str(tmp_path / "full.json"))
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setattr(bench, "all_queries", lambda: specs)
     monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
@@ -70,4 +79,6 @@ def test_bench_systemic_failure_exits_nonzero(spark, monkeypatch, capsys):
     assert exc.value.code == 1  # systemic breakage must still scream
 
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert len(out["errors"]) == 10
+    assert out["n_errors"] == 10
+    full = json.loads((tmp_path / "full.json").read_text())
+    assert len(full["errors"]) == 10
