@@ -47,3 +47,55 @@ def test_zvalue_interleave_known_case(spark):
     got = {(r.x, r.y): r.z for r in
            df.withColumn("z", zvalue([F.col("x"), F.col("y")], bits=1)).collect()}
     assert got == {(0, 0): 0, (0, 100): 1, (100, 0): 2, (100, 100): 3}
+
+
+def test_zorder_write_skips_real_parquet_files(spark, tmp_path):
+    """End-to-end layout proof on real parquet footers: a y-only range
+    predicate over an x-SORTED table can skip nothing (every file spans
+    y's full range), while the Z-ORDERED layout of the same rows keeps
+    per-file y-intervals tight enough to skip most files. This is the
+    mechanism the registered layout_zorder_cells query's cell extents
+    quantify, driven through operators/zonemap.collect_file_stats —
+    the same stats a table-format commit log would record at write
+    time."""
+    import random
+
+    from zoom_etl_spark.operators.zonemap import (collect_file_stats,
+                                                  prune_files)
+    from zoom_etl_spark.operators.zorder import zvalue_minmax
+
+    rnd = random.Random(11)
+    data = [(rnd.randrange(100000), rnd.randrange(100000))
+            for _ in range(40000)]
+    df = spark.createDataFrame(data, "x int, y int")
+    n_files = 16
+
+    px = str(tmp_path / "by_x")
+    (df.repartitionByRange(n_files, "x")
+       .sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(px))
+    pz = str(tmp_path / "by_z")
+    z = zvalue_minmax([F.col("x"), F.col("y")],
+                      [F.lit(0), F.lit(0)],
+                      [F.lit(99999), F.lit(99999)], bits=8)
+    (df.withColumn("__z", z)
+       .repartitionByRange(n_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(pz))
+
+    lo, hi = 40000, 50000  # a 10% band on y ONLY
+    sx = collect_file_stats(px, ["y"])
+    sz = collect_file_stats(pz, ["y"])
+    keep_x = prune_files(sx, "y", "between", lo, hi)
+    keep_z = prune_files(sz, "y", "between", lo, hi)
+    # x-sorted: every file spans ~the full y range — nothing skippable
+    assert len(keep_x) == len(sx)
+    # z-ordered: most files' y-interval misses the band entirely
+    assert len(keep_z) <= len(sz) // 2, (len(keep_z), len(sz))
+    # pruning is a performance decision, never a correctness one
+    n_full = spark.read.parquet(pz).filter(
+        (F.col("y") >= lo) & (F.col("y") <= hi)).count()
+    kept_df = spark.read.parquet(*keep_z).filter(
+        (F.col("y") >= lo) & (F.col("y") <= hi)).count()
+    assert kept_df == n_full

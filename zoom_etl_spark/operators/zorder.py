@@ -29,15 +29,44 @@ def _bucket(col: Column, bits: int) -> Column:
                    F.lit((1 << bits) - 1)).cast("long")
 
 
-def zvalue(cols: Sequence[Column], bits: int = 8) -> Column:
-    """Morton interleave of each column's bucket bits (MSB-first)."""
-    buckets = [_bucket(c, bits) for c in cols]
+def _interleave(buckets: Sequence[Column], bits: int) -> Column:
+    """Morton interleave of per-column bucket bits (MSB-first): with
+    buckets [x, y], x's bit i lands at output bit len*i+1 and y's at
+    len*i — the canonical Z-curve."""
     z = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):          # high bits first
         for bk in buckets:
             bit = F.shiftright(bk, b).bitwiseAND(F.lit(1))
             z = F.shiftleft(z, 1).bitwiseOR(bit)
     return z
+
+
+def zvalue(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Morton interleave of each column's equi-depth bucket bits."""
+    return _interleave([_bucket(c, bits) for c in cols], bits)
+
+
+def zvalue_minmax(cols: Sequence[Column], lows: Sequence[Column],
+                  highs: Sequence[Column], bits: int = 8) -> Column:
+    """Morton key from (min,max)-normalized integer buckets — the fully
+    DISTRIBUTED variant of :func:`zvalue`: no global window, just a
+    1-row min/max stats frame the caller broadcasts (or literals from
+    table statistics). bucket = ((x - lo) * 2^bits) DIV (hi - lo + 1),
+    exact integer arithmetic in [0, 2^bits) — truncation equals floor
+    on the non-negative operands, so DuckDB `//` reproduces it
+    bit-for-bit (the oracle-expressible path). Equi-depth ranking
+    (:func:`zvalue`) is skew-resistant; min/max bucketing is
+    stats-cheap — pick by column distribution."""
+    buckets = []
+    for c, lo, hi in zip(cols, lows, highs):
+        span = hi.cast("long") - lo.cast("long") + F.lit(1)
+        num = (c.cast("long") - lo.cast("long")) * F.lit(1 << bits)
+        # floor(double-div) is EXACT for non-negative int operands with
+        # numerator < 2^53 (division error < 0.5 ulp < 1/span) — and
+        # numerator ≤ span·2^bits keeps that bound for any real key
+        # domain at bits ≤ 16
+        buckets.append(F.floor(num / span).cast("long"))
+    return _interleave(buckets, bits)
 
 
 def zorder_sort(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:

@@ -72,6 +72,7 @@ def _load_suite() -> None:
         geo,
         graph,
         joins,
+        layout,
         merge,
         mining,
         mleval,
