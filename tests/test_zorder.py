@@ -99,3 +99,28 @@ def test_zorder_write_skips_real_parquet_files(spark, tmp_path):
     kept_df = spark.read.parquet(*keep_z).filter(
         (F.col("y") >= lo) & (F.col("y") <= hi)).count()
     assert kept_df == n_full
+
+
+def test_zvalue_minmax_known_case(spark):
+    """bits=2 over domain [0,3]: bucket is the value itself, so the
+    Morton code is the textbook interleave — x bit i at output 2i+1,
+    y bit i at 2i."""
+    from zoom_etl_spark.operators.zorder import zvalue_minmax
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    z = zvalue_minmax([F.col("x"), F.col("y")],
+                      [F.lit(0), F.lit(0)], [F.lit(3), F.lit(3)], bits=2)
+    got = {(r.x, r.y): r.z for r in df.withColumn("z", z).collect()}
+    def morton(x, y):
+        out = 0
+        for i in range(2):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+    # bucket normalization: a [0,99] domain lands every value in-range
+    big = spark.createDataFrame([(0, 99), (99, 0), (50, 50)], "x int, y int")
+    z8 = zvalue_minmax([F.col("x"), F.col("y")],
+                       [F.lit(0), F.lit(0)], [F.lit(99), F.lit(99)], bits=8)
+    vals = [r.z for r in big.withColumn("z", z8).collect()]
+    assert all(0 <= v < (1 << 16) for v in vals)
