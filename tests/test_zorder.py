@@ -124,3 +124,38 @@ def test_zvalue_minmax_known_case(spark):
                        [F.lit(0), F.lit(0)], [F.lit(99), F.lit(99)], bits=8)
     vals = [r.z for r in big.withColumn("z", z8).collect()]
     assert all(0 <= v < (1 << 16) for v in vals)
+
+
+def test_zvalue_minmax_bucket_division_is_exact(spark):
+    """The operator's floor-of-double bucket division must equal exact
+    integer floor division across a randomized domain sweep including
+    boundary-bait numerators (exact multiples of the span and
+    off-by-one around them) — the documented < 2^53 exactness
+    argument, asserted rather than trusted."""
+    import random
+
+    from zoom_etl_spark.operators.zorder import zvalue_minmax
+
+    rnd = random.Random(5)
+    rows = []
+    for _ in range(300):
+        lo = rnd.randrange(0, 1 << 30)
+        span = rnd.randrange(1, 1 << 31)
+        hi = lo + span - 1
+        xs = {lo, hi, lo + span // 2}
+        for k in range(0, 256, 51):  # exact bucket-boundary multiples
+            edge = lo + (k * span) // 256
+            xs |= {max(lo, edge - 1), edge, min(hi, edge + 1)}
+        rows += [(x, lo, hi) for x in xs]
+    df = spark.createDataFrame(rows, "x long, lo long, hi long")
+    z = zvalue_minmax([F.col("x"), F.col("x")],
+                      [F.col("lo"), F.col("lo")],
+                      [F.col("hi"), F.col("hi")], bits=8)
+    got = [(r.x, r.lo, r.hi, r.z) for r in df.withColumn("z", z).collect()]
+    for x, lo, hi, zv in got:
+        b = ((x - lo) * 256) // (hi - lo + 1)   # exact Python ints
+        want = 0
+        for i in range(8):
+            bit = (b >> i) & 1
+            want |= bit << (2 * i + 1) | bit << (2 * i)
+        assert zv == want, (x, lo, hi, zv, want)
