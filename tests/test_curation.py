@@ -216,3 +216,68 @@ def test_split_leakage_free_no_cluster_straddle(spark, sf_dir):
     n = sum(c.values())
     assert 0.6 < c["train"] / n < 0.95
     assert c["val"] > 0 and c["test"] > 0
+
+
+def test_shard_shuffle_accounts_for_every_doc(spark, sf_dir):
+    """The manifest is a partition of the corpus: shard doc counts sum
+    to the table count, token counts sum to the corpus token total, and
+    two runs are identical (the seeded hash makes the shuffle a pure
+    function of doc_id)."""
+    from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import queries
+    q = queries()["curation_shard_shuffle"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert a == b
+    assert sorted(r.shard for r in a) == list(range(8))
+    docs = table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in a) == docs.count()
+    total_tok = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "),
+                              lambda x: x != "")))).first()[0]
+    assert sum(r.n_tokens for r in a) == total_tok
+    for r in a:
+        assert r.first_hv <= r.last_hv
+
+
+def test_shard_shuffle_checksum_pins_membership(spark, sf_dir, monkeypatch):
+    """Dropping one document flips exactly its shard's checksum (and
+    count); every other shard's manifest row is byte-identical — the
+    membership-integrity property the xor checksum exists for."""
+    from zoom_etl_spark.suite import curation
+    full = spark.createDataFrame(
+        [(i, f"w{i} w{i} text body") for i in range(50)],
+        "doc_id long, text string")
+    monkeypatch.setattr(curation, "table", lambda s, d, n: full)
+    before = {r.shard: r for r in
+              curation.curation_shard_shuffle(spark, sf_dir).collect()}
+    victim = 7
+    monkeypatch.setattr(curation, "table",
+                        lambda s, d, n: full.filter(F.col("doc_id") != victim))
+    after = {r.shard: r for r in
+             curation.curation_shard_shuffle(spark, sf_dir).collect()}
+    changed = [s for s in before
+               if s not in after or before[s] != after[s]]
+    assert len(changed) == 1
+    s = changed[0]
+    assert before[s].n_docs - after.get(s, None).n_docs == 1
+    assert before[s].checksum != after[s].checksum
+
+
+def test_vocab_oov_rate_hand_computed(spark, sf_dir, monkeypatch):
+    """22 planted tokens: w00..w19 (3 occurrences each) form the top-20
+    vocab; 'rare1 rare2' in source B are OOV. Hand-computed rates."""
+    from zoom_etl_spark.suite import curation
+    common = " ".join(f"w{i:02d}" for i in range(20))
+    planted = spark.createDataFrame(
+        [(1, common, "A"), (2, common, "A"),
+         (3, common + " rare1 rare2 rare1", "B")],
+        "doc_id long, text string, source string")
+    monkeypatch.setattr(curation, "table", lambda s, d, n: planted)
+    out = {r.source: r for r in
+           curation.vocab_oov_rate(spark, sf_dir).collect()}
+    assert out["A"].n_tokens == 40 and out["A"].oov_occ == 0
+    assert out["A"].distinct_oov == 0 and out["A"].oov_rate == 0.0
+    assert out["B"].n_tokens == 23 and out["B"].oov_occ == 3
+    assert out["B"].distinct_oov == 2
+    assert out["B"].oov_rate == round(3 / 23, 4)

@@ -1179,3 +1179,113 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n", "total_ngrams", "distinct_ngrams",
                     F.expr("CAST(1000000 * distinct_ngrams div "
                            "total_ngrams AS BIGINT)").alias("distinct_ppm")))
+
+
+@query("curation_shard_shuffle", oracle="""
+WITH h AS (
+  SELECT md5('s42:' || CAST(doc_id AS VARCHAR)) AS hsh,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT hsh, n_tok,
+         CAST(('0x' || substr(hsh, 1, 4)) AS BIGINT) % 8 AS shard,
+         CAST(('0x' || substr(hsh, 1, 15)) AS BIGINT) AS hv
+  FROM h
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       bit_xor(hv) AS checksum,
+       min(hv) AS first_hv,
+       max(hv) AS last_hv
+FROM s
+GROUP BY 1
+ORDER BY shard
+""")
+def curation_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard manifest — the reproducible
+    pre-training data-ordering step (shuffle the corpus once, write N
+    shards, train in shard/hash order). Shard = 16-bit md5 prefix mod 8
+    (row-local — the 100 TB shuffle is a plain hash exchange, NEVER a
+    global row_number, which would serialize through one task); within a
+    shard the read order is the md5 order, so the manifest's first/last
+    60-bit hash prefixes pin the boundaries (numeric, not the hex
+    string, so every buffer slot is fixed-width and the aggregate stays
+    a map-combined HashAggregate — string min/max would demote it to a
+    per-partition SortAggregate) and an order-insensitive 60-bit xor
+    checksum pins shard MEMBERSHIP (a dropped or duplicated doc flips
+    it). Seeded ('s42:') so re-runs and engines agree — the determinism
+    the reference's extract-order-dependent loads lack
+    (src/zoom/extract.py). Plan: scan -> row-local hash/projection ->
+    one 8-group map-combined aggregate; at any scale this is one pass
+    over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string")))
+    s = d.select(
+        F.size(_toks()).cast("long").alias("n_tok"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8)
+        .cast("int").alias("shard"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("hv"))
+    return (s.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.bit_xor("hv").alias("checksum"),
+                 F.min("hv").alias("first_hv"),
+                 F.max("hv").alias("last_hv"))
+            .orderBy("shard"))
+
+
+@query("vocab_oov_rate", oracle="""
+WITH occ AS (
+  SELECT source, tok, count(*) AS c FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, sum(c) AS cnt FROM occ GROUP BY 1)
+  ORDER BY cnt DESC, tok LIMIT 20
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+         AS oov_occ,
+       CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN occ.tok END)
+            AS BIGINT) AS distinct_oov,
+       round(CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 4) AS oov_rate
+FROM occ LEFT JOIN vocab v ON occ.tok = v.tok
+GROUP BY source
+""")
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary rate per source — the
+    tokenizer-fit statistic a training pipeline checks before committing
+    a vocab (a source whose OOV rate spikes is about to train badly).
+    Vocab = top-20 tokens by global frequency, ties broken by token so
+    both engines pick the identical set.
+
+    Plan: occurrences are pre-reduced to (source, token) counts BEFORE
+    anything else (one map-combined exchange bounded by
+    |sources| x |vocab|, not corpus tokens); the top-K is a sort-limit
+    over that tiny frame (TakeOrdered, no window); membership is a
+    broadcast left join. At 100 TB the only corpus-sized work is the
+    first combine — exactly the floor for an exact count."""
+    d = table(spark, sf_dir, "documents")
+    occ = (d.select("source", F.explode(_toks()).alias("tok"))
+           .groupBy("source", "tok").agg(F.count("*").alias("c")))
+    vocab = (occ.groupBy("tok").agg(F.sum("c").alias("cnt"))
+             .orderBy(F.desc("cnt"), "tok").limit(20)
+             .select("tok", F.lit(1).alias("_inv")))
+    j = occ.join(F.broadcast(vocab), "tok", "left")
+    oov_c = F.when(F.col("_inv").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (j.groupBy("source")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.sum(oov_c).cast("long").alias("oov_occ"),
+                 F.count_distinct(
+                     F.when(F.col("_inv").isNull(), F.col("tok")))
+                 .cast("long").alias("distinct_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("oov_occ") / F.col("n_tokens"), 4)))
