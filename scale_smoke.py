@@ -24,8 +24,13 @@ from zoom_etl_spark.registry import all_queries  # noqa: E402
 from zoom_etl_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/zes_sf1"
-COPIES = 10
+# SMOKE_COPIES: replication factor (default 10 = the standing per-round
+# smoke; 30 gives the weak-scaling second decade — time(30x)/time(10x)
+# ~ 3 for linear plans). Non-default factors land in their own /tmp dir
+# so the standing 10x replica is never clobbered.
+COPIES = int(os.environ.get("SMOKE_COPIES", "10"))
+OUT = os.environ.get(
+    "SMOKE_OUT", "/tmp/zes_sf1" if COPIES == 10 else f"/tmp/zes_x{COPIES}")
 STRIDE = 100_000_000
 
 QUERIES = [
@@ -332,7 +337,7 @@ def main():
             if view.isTemporary:
                 spark.catalog.dropTempView(view.name)
         print(f"# {timings[name]:8.2f}s {name}", file=sys.stderr)
-    print(json.dumps({"metric": "scale_smoke_10x", "unit": "sec",
+    print(json.dumps({"metric": f"scale_smoke_{COPIES}x", "unit": "sec",
                       "copies": COPIES, "queries": timings,
                       "value": round(sum(timings.values()), 2)}))
 
