@@ -207,3 +207,52 @@ def test_haversine_oracle_guard_band(spark, sf_dir):
          .alias("km_floor_gap")).first()
     assert row.cutoff_gap > 1e-3, row     # >= 1 mm from the 250 km line
     assert row.km_floor_gap > 1e-4, row   # >= 0.1 mm from a km boundary
+
+
+def test_trajectory_hausdorff_equals_brute_force(spark):
+    """Prune soundness + verify exactness in one assertion: the
+    cell-cover-blocked query's output at sf0.01 must equal the
+    brute-force symmetric Hausdorff over ALL user pairs (numpy, exact
+    integers) gated at the same threshold. A prune that drops a true
+    pair, or a verify that mis-aggregates, both break equality."""
+    import numpy as np
+
+    from zoom_etl_spark.registry import queries
+
+    sf = "/root/testdata/sf0.01"
+    got = {(r.ua, r.ub): r.h2 for r in
+           queries()["geo_trajectory_hausdorff"](spark, sf).collect()}
+
+    import duckdb
+    con = duckdb.connect()
+    rows = con.sql(f"""
+        SELECT user_id,
+               (user_id * 7919) % 4000 - 2000
+                 + ((event_id * 131) % 201 - 100) AS y,
+               ((user_id % 8000) * (user_id % 8000) * 31
+                 + user_id * 104729) % 8000 - 4000
+                 + ((event_id * 137) % 201 - 100) AS x
+        FROM '{sf}/events.parquet'""").fetchall()
+    by_uid: dict = {}
+    for uid, y, x in rows:
+        by_uid.setdefault(uid, []).append((y, x))
+    pts = {u: np.array(v, dtype=np.int64) for u, v in by_uid.items()}
+
+    def h2(a, b):
+        d = ((a[:, None, 0] - b[None, :, 0]) ** 2
+             + (a[:, None, 1] - b[None, :, 1]) ** 2)
+        return max(d.min(axis=1).max(), d.min(axis=0).max())
+
+    uids = sorted(pts)
+    want = {}
+    for i, ua in enumerate(uids):
+        for ub in uids[i + 1:]:
+            # cheap bbox prune for the TEST loop only (exactness-safe:
+            # if bboxes are > R apart on an axis, H > R)
+            if (abs(int(pts[ua][:, 0].min()) - int(pts[ub][:, 0].min()))
+                    > 2500):
+                continue
+            v = int(h2(pts[ua], pts[ub]))
+            if v <= 10_000:
+                want[(ua, ub)] = v
+    assert got == want and len(want) > 0

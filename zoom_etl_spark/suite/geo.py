@@ -646,3 +646,136 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     corout = corec.select("cy", "cx", "n", F.lit("core").alias("role"),
                           "cluster")
     return corout.unionByName(border).unionByName(noise)
+
+
+# trajectory synthesis: each user gets a deterministic HOME (key-mixed
+# centidegrees over a ±20°/±40° region so users actually co-locate) and
+# each event a bounded ±1° offset — coherent, localized trajectories in
+# exact integers (the family's zero-float discipline). The quadratic
+# x-mix reduces modulo the range BEFORE squaring (overflow-safe at
+# replicated 1e10 key ranges, same lesson as _X above).
+_TY = ("(user_id * 7919) % 4000 - 2000"
+       " + ((event_id * 131) % 201 - 100)")
+_TX = ("((user_id % 8000) * (user_id % 8000) * 31 + user_id * 104729)"
+       " % 8000 - 4000 + ((event_id * 137) % 201 - 100)")
+_TRAJ_R2 = 10_000  # Hausdorff gate: 100 centidegrees (= 1 cell), squared
+
+
+@query("geo_trajectory_hausdorff", oracle=f"""
+WITH pts AS (
+  SELECT user_id AS uid, {_TY} AS y, {_TX} AS x FROM events
+),
+cells AS (
+  SELECT DISTINCT uid, CAST(floor(y / 100.0) AS BIGINT) AS cy,
+         CAST(floor(x / 100.0) AS BIGINT) AS cx
+  FROM pts
+),
+ncells AS (SELECT uid, count(*) AS nc FROM cells GROUP BY 1),
+probe AS (
+  SELECT c.uid, c.cy, c.cx, c.cy + dy.d AS py, c.cx + dx.d AS px
+  FROM cells c, (VALUES (-1),(0),(1)) dy(d), (VALUES (-1),(0),(1)) dx(d)
+),
+cover AS (
+  SELECT p.uid AS ua, b.uid AS ub, p.cy, p.cx
+  FROM probe p JOIN cells b ON p.py = b.cy AND p.px = b.cx AND p.uid <> b.uid
+  GROUP BY 1, 2, 3, 4
+),
+covcnt AS (SELECT ua, ub, count(*) AS ncov FROM cover GROUP BY 1, 2),
+cand AS (
+  SELECT c1.ua AS ua, c1.ub AS ub
+  FROM covcnt c1
+  JOIN ncells na ON na.uid = c1.ua AND c1.ncov = na.nc
+  JOIN covcnt c2 ON c2.ua = c1.ub AND c2.ub = c1.ua
+  JOIN ncells nb ON nb.uid = c1.ub AND c2.ncov = nb.nc
+  WHERE c1.ua < c1.ub
+),
+dmin AS (
+  SELECT cand.ua AS ua, cand.ub AS ub, a.y, a.x,
+         min((a.y - b.y) * (a.y - b.y) + (a.x - b.x) * (a.x - b.x)) AS md
+  FROM cand JOIN pts a ON a.uid = cand.ua JOIN pts b ON b.uid = cand.ub
+  GROUP BY 1, 2, 3, 4
+),
+hab AS (SELECT ua, ub, max(md) AS h2ab FROM dmin GROUP BY 1, 2),
+dmin2 AS (
+  SELECT cand.ua AS ua, cand.ub AS ub, b.y, b.x,
+         min((a.y - b.y) * (a.y - b.y) + (a.x - b.x) * (a.x - b.x)) AS md
+  FROM cand JOIN pts a ON a.uid = cand.ua JOIN pts b ON b.uid = cand.ub
+  GROUP BY 1, 2, 3, 4
+),
+hba AS (SELECT ua, ub, max(md) AS h2ba FROM dmin2 GROUP BY 1, 2)
+SELECT hab.ua AS ua, hab.ub AS ub, greatest(h2ab, h2ba) AS h2
+FROM hab JOIN hba ON hab.ua = hba.ua AND hab.ub = hba.ub
+WHERE greatest(h2ab, h2ba) <= {_TRAJ_R2}
+""")
+def geo_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (REPOSE, ICDE 2021 shape): find all
+    user-trajectory pairs whose symmetric Hausdorff distance is within
+    1° — "these two entities move through the same places" — without
+    ever scoring all user pairs.
+
+    Prune-then-verify, both stages cell-blocked and exact-integer:
+
+    1. CELL-COVER PRUNE (sound for H <= cell size): if H(A,B) <= R and
+       cells are R-sized, every cell of A must contain a point of A
+       whose nearest B-point sits within the cell's 3x3 probe — so a
+       pair where ANY a-cell sees no B-cell in its probe cannot pass
+       the gate, in either direction. Cell sets are tiny (<= bbox of a
+       ±1° trajectory), so this stage joins cell-level frames only:
+       candidates emerge from an equi-join on probe cells, never a
+       user-pair cross product.
+    2. EXACT VERIFY on survivors: both directed Hausdorff halves from
+       one orientation-doubled equi-join — min over partner points per
+       (pair, point), max over points per direction, greatest of the
+       two directions — all integer min/max on squared centidegree
+       distances (no floats, no rounding: the oracle hash is exact).
+
+    Scale: stage-1 cost is corpus-linear (cell frames) plus
+    candidate-linear; stage-2 is candidates x |A| x |B| with point
+    counts bounded per user. Under uniform-density replication
+    candidate PAIRS grow ~density² — the geo_neighbor_haversine
+    precedent: that is the workload's true output shape, not a plan
+    failure. Like every dedup-family operator, the expensive stage
+    runs only on pairs that survived a cheap sound prune."""
+    e = table(spark, sf_dir, "events")
+    pts = e.select(F.col("user_id").alias("uid"),
+                   F.expr(_TY).alias("y"), F.expr(_TX).alias("x"))
+    cells = (pts.select("uid", F.floor(F.col("y") / 100.0).alias("cy"),
+                        F.floor(F.col("x") / 100.0).alias("cx"))
+             .distinct())
+    nc = cells.groupBy("uid").agg(F.count("*").alias("nc"))
+    offs = F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    probe = (cells.select("uid", "cy", "cx", F.explode(offs).alias("o"))
+             .select("uid", "cy", "cx",
+                     (F.col("cy") + F.col("o.dy")).alias("py"),
+                     (F.col("cx") + F.col("o.dx")).alias("px")))
+    bc = cells.select(F.col("uid").alias("ub"), F.col("cy").alias("bcy"),
+                      F.col("cx").alias("bcx"))
+    cover = (probe.join(bc, (F.col("py") == F.col("bcy"))
+                        & (F.col("px") == F.col("bcx"))
+                        & (F.col("uid") != F.col("ub")))
+             .select(F.col("uid").alias("ua"), "ub", "cy", "cx").distinct())
+    covcnt = cover.groupBy("ua", "ub").agg(F.count("*").alias("ncov"))
+    # directed full-coverage: every cell of ua sees ub in its probe
+    full = (covcnt.join(nc.select(F.col("uid").alias("ua"),
+                                  F.col("nc").alias("nca")), "ua")
+            .filter(F.col("ncov") == F.col("nca")).select("ua", "ub"))
+    cand = (full.join(full.select(F.col("ua").alias("ub"),
+                                  F.col("ub").alias("ua")), ["ua", "ub"])
+            .filter(F.col("ua") < F.col("ub")))
+    orient = cand.unionByName(cand.select(F.col("ub").alias("ua"),
+                                          F.col("ua").alias("ub")))
+    a = pts.select(F.col("uid").alias("ua"), F.col("y").alias("ay"),
+                   F.col("x").alias("ax"))
+    b = pts.select(F.col("uid").alias("ub"), F.col("y").alias("by"),
+                   F.col("x").alias("bx"))
+    d2 = ((F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+          + (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")))
+    hdir = (orient.join(a, "ua").join(b, "ub")
+            .groupBy("ua", "ub", "ay", "ax")
+            .agg(F.min(d2).alias("md"))
+            .groupBy("ua", "ub").agg(F.max("md").alias("hd")))
+    return (hdir.groupBy(F.least("ua", "ub").alias("ua"),
+                         F.greatest("ua", "ub").alias("ub"))
+            .agg(F.max("hd").alias("h2"))
+            .filter(F.col("h2") <= _TRAJ_R2))
