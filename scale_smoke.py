@@ -292,11 +292,27 @@ def main():
     spark = get_spark("zes-scale-smoke", cpus=cpus,
                       shuffle_partitions=int(cpus) * 4)
     spark.sparkContext.setLogLevel("ERROR")
+    # replica dirs carry a copies marker so an explicit SMOKE_OUT can
+    # never silently pair an old replica with a new factor (the metric
+    # line stamps COPIES — a mismatch would mislabel a scaling point).
+    # A markerless pre-existing dir is only trusted for the legacy
+    # default factor 10.
+    marker = f"{OUT}/_copies.json"
     if not os.path.exists(f"{OUT}/lineitem.parquet"):
         t0 = time.time()
         replicate(spark)
+        with open(marker, "w") as fh:
+            json.dump({"copies": COPIES, "src": SRC}, fh)
         print(f"# replicated {COPIES}x into {OUT} in {time.time()-t0:.0f}s",
               file=sys.stderr)
+    else:
+        have = (json.load(open(marker))["copies"] if os.path.exists(marker)
+                else 10)
+        if have != COPIES:
+            raise SystemExit(
+                f"replica at {OUT} was built with copies={have}, but "
+                f"SMOKE_COPIES={COPIES}; delete it or point SMOKE_OUT "
+                "elsewhere")
 
     from zoom_etl_spark import plans
     specs = all_queries()

@@ -260,7 +260,7 @@ def test_shard_shuffle_checksum_pins_membership(spark, sf_dir, monkeypatch):
                if s not in after or before[s] != after[s]]
     assert len(changed) == 1
     s = changed[0]
-    assert before[s].n_docs - after.get(s, None).n_docs == 1
+    assert before[s].n_docs - after[s].n_docs == 1
     assert before[s].checksum != after[s].checksum
 
 
