@@ -1008,7 +1008,7 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("stream_cusum_ivm", oracle="""
-WITH RECURSIVE b AS (
+WITH b AS (
   SELECT min(ts) AS t0, max(ts) AS t1 FROM events
 ),
 hzn AS (
@@ -1022,29 +1022,40 @@ cal AS (
   FROM events, hzn WHERE ts < mid GROUP BY 1
 ),
 q AS (
-  SELECT e.event_type, e.event_id,
+  SELECT e.event_type, e.event_id, e.ts,
          CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v,
-         coalesce(cal.mu, 0) AS mu,
-         row_number() OVER (PARTITION BY e.event_type
-                            ORDER BY e.ts, e.event_id) AS rn
+         coalesce(cal.mu, 0) AS mu
   FROM events e LEFT JOIN cal ON e.event_type = cal.event_type
 ),
-rec AS (
-  SELECT event_type, event_id, rn, mu,
-         greatest(0, v - mu - mu // 20) AS hi,
-         greatest(0, mu - v - mu // 20) AS lo
-  FROM q WHERE rn = 1
-  UNION ALL
-  SELECT q.event_type, q.event_id, q.rn, q.mu,
-         greatest(0, rec.hi + q.v - q.mu - q.mu // 20),
-         greatest(0, rec.lo + q.mu - q.v - q.mu // 20)
-  FROM q JOIN rec ON q.event_type = rec.event_type
-                 AND q.rn = rec.rn + 1
+-- the fold max(0, S + d) restated CLOSED-FORM as prefix sums:
+-- S_n = P_n - min(0, min_{k<=n} P_k). Row-identical to the recursive
+-- CTE (verified both SFs) but window-based, so the oracle stays
+-- feasible at any scale — the recursion's depth is events-per-type
+-- and DuckDB never finished it at sf0.1.
+p AS (
+  SELECT event_type, event_id, ts, mu,
+         sum(v - mu - mu // 20) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phi,
+         sum(mu - v - mu // 20) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS plo
+  FROM q
+),
+s AS (
+  SELECT event_type, event_id, mu,
+         phi - least(0, min(phi) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS hi,
+         plo - least(0, min(plo) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS lo
+  FROM p
 )
 SELECT event_type, event_id,
        CAST(hi AS BIGINT) AS cusum_hi, CAST(lo AS BIGINT) AS cusum_lo,
        (hi > mu // 2) AS alarm_hi, (lo > mu // 2) AS alarm_lo
-FROM rec
+FROM s
 """)
 def stream_cusum_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online change detection as a streaming IVM: per-type two-sided
