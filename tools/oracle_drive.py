@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Full-contract oracle drive at an arbitrary SF — the tool behind the
+three-SF correctness matrix (CORRECTNESS_SF0001_r06.json / the driver's
+sf0.01 gate / CORRECTNESS_SF01_r06.json).
+
+Runs every registered query on a fresh driver-style session (plain
+``SparkSession.builder`` + the engine's ``configure()`` path, launched
+from the repo root so Python workers resolve the package) and compares
+each against its DuckDB oracle, appending one JSON line per query so a
+killed run resumes for free.
+
+Hard-won harness specifics (round 6):
+  * driver memory 16g — streaming drains at sf0.1 GC-stall a default
+    heap and look hung;
+  * a ``con.interrupt()`` watchdog (default 240 s) — a scale-bound
+    ORACLE (deep recursive CTE) is indistinguishable from a hung Spark
+    query without it; the interrupt surfaces it as a recorded
+    exception instead of wedging the drive.
+
+Usage:
+  python tools/oracle_drive.py --sf /root/testdata/sf0.1 \
+      --out /tmp/drive.jsonl [--only q1,q2] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/oracle_drive.jsonl")
+    ap.add_argument("--only", default="",
+                    help="comma-separated query names (default: all)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip queries already recorded in --out")
+    ap.add_argument("--oracle-timeout", type=float, default=240.0)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from oracle_harness import compare, duck_connection
+
+    done: set[str] = set()
+    if args.resume and os.path.exists(args.out):
+        done = {json.loads(l)["q"] for l in open(args.out)}
+
+    spark = (SparkSession.builder.master(
+                 f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "16g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = args.only.split(",") if args.only else sorted(qs)
+    con = duck_connection(args.sf)
+    out = open(args.out, "a" if args.resume else "w")
+    n_ok = n_bad = 0
+    for name in names:
+        if name in done:
+            continue
+        t0 = time.time()
+        try:
+            d = qs[name](spark, args.sf)
+            if name in oracles:
+                w = threading.Timer(args.oracle_timeout, con.interrupt)
+                w.start()
+                try:
+                    r = compare(d, con, oracles[name])
+                finally:
+                    w.cancel()
+                rec = {"q": name, "ok": bool(r["ok"]),
+                       "rows": r.get("spark_rows"),
+                       "detail": r["detail"][:200],
+                       "sec": round(time.time() - t0, 2)}
+            else:
+                rec = {"q": name, "ok": None, "rows": d.count(),
+                       "sec": round(time.time() - t0, 2)}
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            rec = {"q": name, "ok": False, "err": repr(e)[:300],
+                   "sec": round(time.time() - t0, 2)}
+        n_ok += rec["ok"] is True
+        n_bad += rec["ok"] is False
+        out.write(json.dumps(rec) + "\n")
+        out.flush()
+    out.close()
+    print(json.dumps({"metric": "oracle_drive", "sf": args.sf,
+                      "n": len(names) - len(done), "value_exact": n_ok,
+                      "failed": n_bad, "out": args.out}))
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
