@@ -1208,3 +1208,53 @@ def stream_drift_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (F.col("nc") + 1.0) / (F.col("tc") + 22.0)
     return (j.groupBy("event_type")
              .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))
+
+
+@query("stream_shard_manifest_ivm", oracle="""
+WITH h AS (
+  SELECT md5('s42:' || CAST(event_id AS VARCHAR)) AS hsh,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT cents,
+         CAST(('0x' || substr(hsh, 1, 4)) AS BIGINT) % 8 AS shard,
+         CAST(('0x' || substr(hsh, 1, 15)) AS BIGINT) AS hv
+  FROM h
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       bit_xor(hv) AS checksum
+FROM s GROUP BY 1
+""")
+def stream_shard_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard manifest maintained as a streaming IVM — the
+    production form of ``curation_shard_shuffle``'s manifest: data
+    lands continuously and the per-shard doc counts, payload totals
+    and membership checksums must stay current WITHOUT rescanning the
+    corpus. The xor checksum is the perfect IVM statistic — xor is its
+    own inverse, so arrivals (and, in a retraction-capable pipeline,
+    deletes) fold into two BIGINTs of state per shard; Spark's
+    streaming HashAggregate keeps exactly that state and re-emits on
+    change (built-ins first — no custom state operator). 8 groups of
+    O(1) state forever; converged emission (max_by on the monotone
+    count) value-hash-matches the batch manifest oracle at every SF."""
+    stream = read_events_stream(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("s42:"), F.col("event_id").cast("string")))
+    keyed = stream.select(
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8)
+        .cast("int").alias("shard"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("hv"))
+    agg = (keyed.groupBy("shard")
+           .agg(F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents"),
+                F.bit_xor("hv").alias("checksum")))
+    run_available_now(agg, "stream_shard_manifest_log",
+                      output_mode="update", n_state_partitions=16)
+    log = spark.table("stream_shard_manifest_log")
+    return (log.groupBy("shard")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("cents", "n_events").alias("cents"),
+                 F.max_by("checksum", "n_events").alias("checksum")))
