@@ -292,27 +292,33 @@ def main():
     spark = get_spark("zes-scale-smoke", cpus=cpus,
                       shuffle_partitions=int(cpus) * 4)
     spark.sparkContext.setLogLevel("ERROR")
-    # replica dirs carry a copies marker so an explicit SMOKE_OUT can
-    # never silently pair an old replica with a new factor (the metric
-    # line stamps COPIES — a mismatch would mislabel a scaling point).
-    # A markerless pre-existing dir is only trusted for the legacy
-    # default factor 10.
+    # replica dirs carry a completion marker (written LAST) recording
+    # both the factor and the source, so an existing dir can never be
+    # silently paired with a different factor/source (the metric line
+    # stamps COPIES — a mismatch would mislabel a scaling point) and a
+    # replication killed mid-run is re-run, not trusted. A markerless
+    # dir with every table present is trusted only for the legacy
+    # default (factor 10 of the default SRC).
     marker = f"{OUT}/_copies.json"
-    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+    all_tables = [f"{OUT}/{n}.parquet" for n in (*KEYED, *UNKEYED)]
+    if os.path.exists(marker):
+        have = json.load(open(marker))
+        if have.get("copies") != COPIES or have.get("src") != SRC:
+            raise SystemExit(
+                f"replica at {OUT} was built as copies="
+                f"{have.get('copies')} of {have.get('src')}, but this "
+                f"run wants copies={COPIES} of {SRC}; delete it or "
+                "point SMOKE_OUT elsewhere")
+    elif all(os.path.exists(p) for p in all_tables) and COPIES == 10 \
+            and SRC == "/root/testdata/sf0.1":
+        pass  # complete legacy default replica, pre-marker
+    else:
         t0 = time.time()
         replicate(spark)
         with open(marker, "w") as fh:
             json.dump({"copies": COPIES, "src": SRC}, fh)
         print(f"# replicated {COPIES}x into {OUT} in {time.time()-t0:.0f}s",
               file=sys.stderr)
-    else:
-        have = (json.load(open(marker))["copies"] if os.path.exists(marker)
-                else 10)
-        if have != COPIES:
-            raise SystemExit(
-                f"replica at {OUT} was built with copies={have}, but "
-                f"SMOKE_COPIES={COPIES}; delete it or point SMOKE_OUT "
-                "elsewhere")
 
     from zoom_etl_spark import plans
     specs = all_queries()

@@ -286,34 +286,40 @@ def test_state_rows_plateau_at_keyspace(spark, sf_dir):
     assert max(rows) == n_types, (rows, n_types)
 
 
-def test_shard_manifest_checksum_localizes_membership(spark, sf_dir):
-    """The manifest's xor checksum pins shard membership: recomputing
-    the same statistic batch-side with one event excluded changes
-    exactly the victim's shard row (checksum AND count), every other
-    row byte-identical — the integrity property that makes the
-    streaming IVM's O(1) state sufficient."""
+def test_shard_manifest_ivm_converges_and_localizes_membership(
+        spark, sf_dir):
+    """Drives the REAL streaming query: its converged manifest must
+    equal the batch manifest computed directly (same shared
+    shard_key_cols keying — catches a broken max_by finalize or drain),
+    and the xor checksum must pin membership: excluding one event from
+    the batch statistic changes exactly the victim's shard row."""
     from pyspark.sql import functions as F
 
     from zoom_etl_spark.catalog import table
+    from zoom_etl_spark.registry import queries
+    from zoom_etl_spark.suite.curation import shard_key_cols
 
-    def manifest(df):
-        h = F.md5(F.concat(F.lit("s42:"), F.col("event_id").cast("string")))
+    def batch_manifest(df):
+        shard, hv = shard_key_cols(F.col("event_id"))
         keyed = df.select(
-            (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8)
-            .cast("int").alias("shard"),
+            shard.alias("shard"),
             F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("hv"))
-        return {r.shard: r for r in
+            hv.alias("hv"))
+        return {r.shard: (r.n_events, r.cents, r.checksum) for r in
                 keyed.groupBy("shard")
                 .agg(F.count("*").alias("n_events"),
                      F.sum("cents").alias("cents"),
                      F.bit_xor("hv").alias("checksum")).collect()}
 
     e = table(spark, sf_dir, "events")
-    full = manifest(e)
-    cut = manifest(e.filter(F.col("event_id") != 17))
+    full = batch_manifest(e)
+    streamed = {r.shard: (r.n_events, r.cents, r.checksum) for r in
+                queries()["stream_shard_manifest_ivm"](spark, sf_dir)
+                .collect()}
+    assert streamed == full
+    cut = batch_manifest(e.filter(F.col("event_id") != 17))
     changed = [s for s in full if full[s] != cut.get(s)]
     assert len(changed) == 1
     s = changed[0]
-    assert full[s].n_events - cut[s].n_events == 1
-    assert full[s].checksum != cut[s].checksum
+    assert full[s][0] - cut[s][0] == 1
+    assert full[s][2] != cut[s][2]

@@ -52,9 +52,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from oracle_harness import compare, duck_connection
 
+    # resume skips only queries that COMPLETED (ok or rows-only); a
+    # recorded failure re-runs — otherwise a resumed drive would exit 0
+    # over a file that contains a real mismatch
     done: set[str] = set()
     if args.resume and os.path.exists(args.out):
-        done = {json.loads(l)["q"] for l in open(args.out)}
+        done = {r["q"] for r in map(json.loads, open(args.out))
+                if r["ok"] is not False}
 
     spark = (SparkSession.builder.master(
                  f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -74,6 +78,11 @@ def main() -> None:
         try:
             d = qs[name](spark, args.sf)
             if name in oracles:
+                # materialize the Spark side BEFORE arming the oracle
+                # watchdog: compare() collects Spark first, so a slow
+                # Spark phase would otherwise eat the DuckDB budget
+                # (no-op interrupt) or trip it on a healthy oracle
+                d = d.localCheckpoint(eager=True)
                 w = threading.Timer(args.oracle_timeout, con.interrupt)
                 w.start()
                 try:
@@ -95,8 +104,16 @@ def main() -> None:
         out.write(json.dumps(rec) + "\n")
         out.flush()
     out.close()
+    # final tally re-reads the whole file so the summary and exit code
+    # reflect every recorded line (including prior runs under --resume),
+    # not just this process's slice
+    final = {}
+    for r in map(json.loads, open(args.out)):
+        final[r["q"]] = r  # last record per query wins (failures re-run)
+    n_ok = sum(1 for r in final.values() if r["ok"] is True)
+    n_bad = sum(1 for r in final.values() if r["ok"] is False)
     print(json.dumps({"metric": "oracle_drive", "sf": args.sf,
-                      "n": len(names) - len(done), "value_exact": n_ok,
+                      "n": len(final), "value_exact": n_ok,
                       "failed": n_bad, "out": args.out}))
     sys.exit(1 if n_bad else 0)
 

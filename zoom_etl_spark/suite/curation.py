@@ -1181,6 +1181,19 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "total_ngrams AS BIGINT)").alias("distinct_ppm")))
 
 
+def shard_key_cols(id_col):
+    """Seeded-md5 shard keying shared by the batch manifest
+    (``curation_shard_shuffle``) and its streaming IVM twin
+    (``stream_shard_manifest_ivm``) — the correspondence between the
+    two manifests is load-bearing, so the seed, prefix widths and
+    shard count live HERE only: (shard = 16-bit prefix mod 8 as int,
+    hv = 60-bit numeric prefix as long)."""
+    h = F.md5(F.concat(F.lit("s42:"), id_col.cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8).cast("int")
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return shard, hv
+
+
 @query("curation_shard_shuffle", oracle="""
 WITH h AS (
   SELECT md5('s42:' || CAST(doc_id AS VARCHAR)) AS hsh,
@@ -1222,12 +1235,10 @@ def curation_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 8-group map-combined aggregate; at any scale this is one pass
     over the corpus."""
     d = table(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string")))
+    shard, hv = shard_key_cols(F.col("doc_id"))
     s = d.select(
         F.size(_toks()).cast("long").alias("n_tok"),
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8)
-        .cast("int").alias("shard"),
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("hv"))
+        shard.alias("shard"), hv.alias("hv"))
     return (s.groupBy("shard")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tok").alias("n_tokens"),

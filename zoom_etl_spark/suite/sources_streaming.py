@@ -1240,13 +1240,13 @@ def stream_shard_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     change (built-ins first — no custom state operator). 8 groups of
     O(1) state forever; converged emission (max_by on the monotone
     count) value-hash-matches the batch manifest oracle at every SF."""
+    from .curation import shard_key_cols
     stream = read_events_stream(spark, sf_dir)
-    h = F.md5(F.concat(F.lit("s42:"), F.col("event_id").cast("string")))
+    shard, hv = shard_key_cols(F.col("event_id"))
     keyed = stream.select(
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8)
-        .cast("int").alias("shard"),
+        shard.alias("shard"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("hv"))
+        hv.alias("hv"))
     agg = (keyed.groupBy("shard")
            .agg(F.count("*").alias("n_events"),
                 F.sum("cents").alias("cents"),
