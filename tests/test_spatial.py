@@ -209,17 +209,31 @@ def test_haversine_oracle_guard_band(spark, sf_dir):
     assert row.km_floor_gap > 1e-4, row   # >= 0.1 mm from a km boundary
 
 
-def test_trajectory_hausdorff_equals_brute_force(spark):
+def test_trajectory_hausdorff_equals_brute_force(spark, sf_dir):
     """Prune soundness + verify exactness in one assertion: the
-    cell-cover-blocked query's output at sf0.01 must equal the
+    cell-cover-blocked query's output at the fixture SF must equal the
     brute-force symmetric Hausdorff over ALL user pairs (numpy, exact
     integers) gated at the same threshold. A prune that drops a true
-    pair, or a verify that mis-aggregates, both break equality."""
+    pair, or a verify that mis-aggregates, both break equality. The
+    numpy all-pairs loop is feasible through sf0.01; larger fixture SFs
+    skip rather than run an hours-long quadratic reference."""
     import numpy as np
 
     from zoom_etl_spark.registry import queries
 
-    sf = "/root/testdata/sf0.01"
+    import os
+
+    sf = sf_dir
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    if n_events > 200_000:
+        import pytest
+        pytest.skip(f"brute-force Hausdorff reference is quadratic; "
+                    f"{n_events} events is past the sf0.01-scale budget")
+    if n_events < 5_000 and os.path.isdir("/root/testdata/sf0.01"):
+        # sf0.001 has only ~15 users and ZERO pairs within the
+        # threshold — parity would hold vacuously (empty == empty).
+        # sf0.01 is the smallest fixture with a non-degenerate answer.
+        sf = "/root/testdata/sf0.01"
     got = {(r.ua, r.ub): r.h2 for r in
            queries()["geo_trajectory_hausdorff"](spark, sf).collect()}
 

@@ -51,13 +51,23 @@ def test_zvalue_interleave_known_case(spark):
 
 def test_zorder_write_skips_real_parquet_files(spark, tmp_path):
     """End-to-end layout proof on real parquet footers: a y-only range
-    predicate over an x-SORTED table can skip nothing (every file spans
-    y's full range), while the Z-ORDERED layout of the same rows keeps
-    per-file y-intervals tight enough to skip most files. This is the
-    mechanism the registered layout_zorder_cells query's cell extents
-    quantify, driven through operators/zonemap.collect_file_stats —
-    the same stats a table-format commit log would record at write
-    time."""
+    predicate over an x-PARTITIONED table can skip nothing (every file
+    spans y's full range), while the Z-ORDERED layout of the same rows
+    keeps per-file y-intervals tight enough to skip most files. This is
+    the mechanism the registered layout_zorder_cells query's cell
+    extents quantify, driven through operators/zonemap.
+    collect_file_stats — the same stats a table-format commit log would
+    record at write time.
+
+    Layout is DETERMINISTIC by construction (round-7 derandomization):
+    files are written partitionBy an EXPLICIT bucket column — x-range
+    sixteenths on one side, Z-value sixteenths (z // 4096 over the
+    16-bit Morton domain) on the other — never repartitionByRange,
+    whose SAMPLED boundaries shift with whatever session state earlier
+    tests leave behind and once flipped this test's hard file-count
+    bound in-suite. Fixed seed + explicit buckets ⇒ identical files
+    under any test order."""
+    import glob as _glob
     import random
 
     from zoom_etl_spark.operators.zonemap import (collect_file_stats,
@@ -70,28 +80,39 @@ def test_zorder_write_skips_real_parquet_files(spark, tmp_path):
     df = spark.createDataFrame(data, "x int, y int")
     n_files = 16
 
+    def write_bucketed(d, bucket_col, path):
+        # one file per explicit bucket: hash-repartition ON the bucket
+        # (deterministic Murmur3, no sampling) so each partitionBy dir
+        # receives exactly one writer task's file
+        (d.repartition(n_files, "__p")
+          .write.mode("overwrite").partitionBy("__p").parquet(path))
+        stats = {}
+        for sub in sorted(_glob.glob(path + "/__p=*")):
+            stats.update(collect_file_stats(sub, ["y"]))
+        return stats
+
     px = str(tmp_path / "by_x")
-    (df.repartitionByRange(n_files, "x")
-       .sortWithinPartitions("x")
-       .write.mode("overwrite").parquet(px))
+    sx = write_bucketed(
+        df.withColumn("__p", (F.col("x") / F.lit(100000 // n_files))
+                      .cast("int")), "__p", px)
     pz = str(tmp_path / "by_z")
     z = zvalue_minmax([F.col("x"), F.col("y")],
                       [F.lit(0), F.lit(0)],
                       [F.lit(99999), F.lit(99999)], bits=8)
-    (df.withColumn("__z", z)
-       .repartitionByRange(n_files, "__z")
-       .sortWithinPartitions("__z")
-       .drop("__z")
-       .write.mode("overwrite").parquet(pz))
+    sz = write_bucketed(
+        df.withColumn("__p", (z / F.lit((1 << 16) // n_files))
+                      .cast("int")), "__p", pz)
+    assert len(sx) == n_files and len(sz) == n_files
 
-    lo, hi = 40000, 50000  # a 10% band on y ONLY
-    sx = collect_file_stats(px, ["y"])
-    sz = collect_file_stats(pz, ["y"])
+    # a 15%-wide band on y ONLY, interior to one Z y-quartile
+    # (each z-sixteenth fixes the top 2 bits of y's bucket, i.e. one
+    # y-quartile; [30000, 45000] avoids the 25000/50000 boundaries)
+    lo, hi = 30000, 45000
     keep_x = prune_files(sx, "y", "between", lo, hi)
     keep_z = prune_files(sz, "y", "between", lo, hi)
-    # x-sorted: every file spans ~the full y range — nothing skippable
+    # x-bucketed: every file spans ~the full y range — nothing skippable
     assert len(keep_x) == len(sx)
-    # z-ordered: most files' y-interval misses the band entirely
+    # z-ordered: only the 4 files of the containing y-quartile survive
     assert len(keep_z) <= len(sz) // 2, (len(keep_z), len(sz))
     # pruning is a performance decision, never a correctness one
     n_full = spark.read.parquet(pz).filter(

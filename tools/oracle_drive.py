@@ -70,7 +70,6 @@ def main() -> None:
     names = args.only.split(",") if args.only else sorted(qs)
     con = duck_connection(args.sf)
     out = open(args.out, "a" if args.resume else "w")
-    n_ok = n_bad = 0
     for name in names:
         if name in done:
             continue
@@ -83,12 +82,39 @@ def main() -> None:
                 # Spark phase would otherwise eat the DuckDB budget
                 # (no-op interrupt) or trip it on a healthy oracle
                 d = d.localCheckpoint(eager=True)
-                w = threading.Timer(args.oracle_timeout, con.interrupt)
+                # Timer.cancel() cannot stop a callback already past
+                # its wait, and a late con.interrupt() on the SHARED
+                # connection would spuriously cancel the NEXT query's
+                # healthy oracle (ADVICE r06). The lock makes the
+                # check-then-interrupt atomic against the done flag;
+                # if the callback DID interrupt (fired), a throwaway
+                # SELECT absorbs the stale interrupt before the next
+                # query touches the connection.
+                lock = threading.Lock()
+                done_flag = threading.Event()
+                fired = threading.Event()
+
+                def _interrupt_if_running() -> None:
+                    with lock:
+                        if done_flag.is_set():
+                            return
+                        fired.set()
+                        con.interrupt()
+
+                w = threading.Timer(args.oracle_timeout,
+                                    _interrupt_if_running)
                 w.start()
                 try:
                     r = compare(d, con, oracles[name])
                 finally:
+                    with lock:
+                        done_flag.set()
                     w.cancel()
+                    if fired.is_set():
+                        try:
+                            con.execute("SELECT 1").fetchall()
+                        except Exception:  # noqa: BLE001 — stale interrupt
+                            pass
                 rec = {"q": name, "ok": bool(r["ok"]),
                        "rows": r.get("spark_rows"),
                        "detail": r["detail"][:200],
@@ -99,8 +125,6 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
             rec = {"q": name, "ok": False, "err": repr(e)[:300],
                    "sec": round(time.time() - t0, 2)}
-        n_ok += rec["ok"] is True
-        n_bad += rec["ok"] is False
         out.write(json.dumps(rec) + "\n")
         out.flush()
     out.close()
