@@ -7,7 +7,6 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-import pytest
 
 from zoom_etl_spark.registry import all_queries
 
@@ -31,20 +30,27 @@ def test_holt_winters_replays(spark, sf_dir):
     ys = [float(v) for v in daily.values]
     days = list(daily.index)
     assert len(rows) == len(ys) - 7
-    l = sum(ys[:7]) / 7.0
+
+    def q(x: float) -> float:
+        # the query's 1e-4 state grid (suite/timeseries._hw_grid) —
+        # Python doubles follow the same IEEE ops as both engines, so
+        # the replay is EXACT, not approximate
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    l = q(sum(ys[:7]) / 7.0)
     b = 0.0
-    s = [ys[i] - l for i in range(7)]
+    s = [q(ys[i] - l) for i in range(7)]
     for r, day, y in zip(rows, days[7:], ys[7:]):
-        fitted = l + b + s[0]
-        l_new = 0.3 * (y - s[0]) + 0.7 * (l + b)
-        b_new = 0.2 * (l_new - l) + 0.8 * b
-        s_new = 0.1 * (y - l_new) + 0.9 * s[0]
+        fitted = q(l + b + s[0])
+        l_new = q(0.3 * (y - s[0]) + 0.7 * (l + b))
+        b_new = q(0.2 * (l_new - l) + 0.8 * b)
+        s_new = q(0.1 * (y - l_new) + 0.9 * s[0])
         assert r["day"] == day
         assert r["y_cents"] == int(y)
-        assert r["fitted"] == pytest.approx(fitted, abs=1e-3)
-        assert r["level"] == pytest.approx(l_new, abs=1e-3)
-        assert r["trend"] == pytest.approx(b_new, abs=1e-3)
-        assert r["season"] == pytest.approx(s_new, abs=1e-3)
+        assert r["fitted"] == fitted
+        assert r["level"] == l_new
+        assert r["trend"] == b_new
+        assert r["season"] == s_new
         l, b = l_new, b_new
         s = s[1:] + [s_new]
     # one-step residuals should beat the naive persistence forecast on
