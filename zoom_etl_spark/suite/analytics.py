@@ -634,10 +634,13 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     advice to this query itself: the ε=0.02 envelope needs far less
     resolution than accuracy=10000 bought (measured worst merged rank
     error at a 32-way sf0.1 merge: 0.01% at 10000, 0.1% at 1000 —
-    still 20× inside the envelope), so accuracy=1000 ships and the
-    composed query's min-of-3 drops 1.19 → 0.75 s. The exact-count
-    verification join is instrumentation priced into the contract (it
-    IS the oracle's subject); the sketch-only path times at 0.28 s.
+    still 20× inside the envelope), so accuracy=1000 ships. Round 7
+    (verdict item 3 carried) re-prices the envelope re-count itself:
+    the sketch output is |event_type|-bounded (5 rows — a documented
+    bounded collect), so the verification pass probes LITERAL
+    event_type→threshold maps instead of broadcast-joining the sketch
+    frame back to the fact — one map-combined aggregate, zero joins,
+    zero exchanges beyond the two map-side-combined group-bys.
 
     Oracle-gated via the GK guarantee itself (round-4 verdict item 5 —
     the sketch VALUE is accuracy-parameterized and not
@@ -653,14 +656,21 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators_unit.py::test_approx_quantile_rank_error."""
     e = table(spark, sf_dir, "events")
     qs = F.percentile_approx("value", [0.5, 0.95, 0.99], 1000)
-    sk = e.groupBy("event_type").agg(qs[0].alias("v50"), qs[1].alias("v95"),
-                                     qs[2].alias("v99"))
-    j = e.join(F.broadcast(sk), "event_type")
+    sk = {r["event_type"]: r["v"] for r in
+          e.groupBy("event_type").agg(qs.alias("v")).collect()}
+    # |event_type| rows (5) — bounded collect; thresholds re-enter the
+    # verification scan as literal maps, so no join and no broadcast
+    thr = {p: F.create_map(*[lit for et, v in sorted(sk.items())
+                             for lit in (F.lit(et), F.lit(v[i]))])
+           for i, p in enumerate((50, 95, 99))}
+    j = e.select("event_type", "value",
+                 *[thr[p][F.col("event_type")].alias(f"v{p}")
+                   for p in (50, 95, 99)])
     aggs = [F.count("*").alias("n")]
-    for p, v in ((50, "v50"), (95, "v95"), (99, "v99")):
-        aggs += [F.sum((F.col("value") < F.col(v)).cast("long"))
+    for p in (50, 95, 99):
+        aggs += [F.sum((F.col("value") < F.col(f"v{p}")).cast("long"))
                   .alias(f"lt{p}"),
-                 F.sum((F.col("value") <= F.col(v)).cast("long"))
+                 F.sum((F.col("value") <= F.col(f"v{p}")).cast("long"))
                   .alias(f"le{p}")]
     r = j.groupBy("event_type").agg(*aggs)
     out = [F.col("event_type"), F.col("n")]
