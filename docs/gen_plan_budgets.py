@@ -1,6 +1,6 @@
 """Generate docs/plan_budgets.json — the golden per-query shuffle
 budget (ShuffleExchange / BroadcastExchange node counts in the initial
-physical plan at sf0.001).
+physical plan at sf0.001), plus the EXACT exclusion ledger.
 
 A plan regression (an extra shuffle sneaking into a query through a
 refactor) is invisible to the correctness oracle and usually invisible
@@ -8,12 +8,17 @@ at bench noise levels too — until it is 10x at scale. Pinning the
 exchange counts per query turns "the plan got worse" into a failing
 test (tests/test_plan_budgets.py).
 
-Scope: queries whose DataFrame CONSTRUCTION is lazy (pure batch
-plans). Queries that execute work while building — streaming drains,
-iterative loops (CC, BPE, PageRank, k-means), queries that write temp
-inputs — are skipped by prefix/name; their plan shapes are pinned by
-their own dedicated tests instead. Regenerate (after an INTENDED plan
-change) with: python docs/gen_plan_budgets.py
+Scope (round-7 verdict item 5): EVERY registered query is either
+pinned in the golden file's "budgets" section or carries a one-line
+reason in its "excluded" section — the test asserts the two sections
+partition the registry EXACTLY, so a new query must choose a side on
+the day it lands. Excluded = construction is not a lazy plan: probed
+with a job-group counter (statusTracker) at round 7 — every excluded
+name still runs >=1 Spark job while building even with warm
+listing caches; the two Python-datasource scans that probed at ZERO
+construction jobs (paginated_scan, db_parallel_read) were PROMOTED to
+pinned. Regenerate (after an INTENDED plan change) with:
+python docs/gen_plan_budgets.py
 """
 
 import json
@@ -27,22 +32,69 @@ from zoom_etl_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
-# families whose fn() executes jobs during construction, or whose plan
-# is inherently run-dependent — excluded from the lazy-plan budget
-SKIP_PREFIXES = (
-    "stream_", "bpe_", "dedup_clusters", "dedup_incremental",
-    "dedup_ngram", "dedup_levenshtein", "dedup_embedding",
-    "dedup_minhash", "dedup_segments", "similarity_ann", "multimodal_",
-    "paginated_scan", "db_parallel_read", "upsert_last_wins",
-    "staging_merge", "merge_upsert", "merge_three_clause",
-    "sink_partitioned_write", "split_leakage_free", "lang_id_ngram",
-    "holt_linear", "ewma_smooth", "graph_pagerank", "graph_bfs",
-    "graph_triangles", "graph_sssp", "lineage_flagship", "heavy_hitters",
-    "join_auto_skew", "join_bucketed", "incremental_scan",
-    "agg_max_watermark", "analyze_table_stats", "dq_checks",
-    "quality_adaptive", "curation_joint", "mv_incremental",
-    "dedup_exact", "udtf_tokenize", "pipeline_",
+_R_STREAM = ("streaming drain: construction runs an availableNow drain on "
+             "the micro-batch thread; state/plan shape pinned by its "
+             "streaming IVM/replay tests")
+_R_ITER = ("driver-paced iterative loop: construction runs data-dependent "
+           "rounds, so there is no single initial plan to pin; per-round "
+           "shape pinned by its own tests")
+_R_MODEL = ("construction runs bounded model/state jobs (codebook / planes "
+            "/ vocab / threshold / watermark collected or localCheckpointed "
+            "into the plan); the final plan is run-produced, pinned by its "
+            "own tests")
+_R_WRITE = ("construction writes and reads back table/sink state (merge, "
+            "upsert, staging, bucketed/partitioned write); end-state pinned "
+            "by its merge/sink tests")
+_R_STAGED = ("multi-stage e2e composition: construction materializes staged "
+             "intermediates; stage plans pinned by their component queries")
+_R_SAMPLED = ("plan depends on runtime statistics (skew sampling / AQE "
+              "decisions) by design — not a deterministic initial plan")
+
+_STREAMING = (
+    "stream_alert_route", "stream_anomaly_ivm", "stream_bitemporal_ivm",
+    "stream_bitemporal_late", "stream_chained_windows", "stream_cusum_ivm",
+    "stream_dedup_watermark", "stream_drift_ivm", "stream_funnel_ivm",
+    "stream_ingest", "stream_lastwins_ivm", "stream_retract_ivm",
+    "stream_scd2_ivm", "stream_session_ivm", "stream_shard_manifest_ivm",
+    "stream_stateful", "stream_static_enrich", "stream_stream_join",
+    "stream_stream_left_join", "stream_temporal_join", "stream_topk_ivm",
+    "stream_upsert_sink", "stream_windowed_agg_ivm",
 )
+_ITERATIVE = (
+    "bpe_train", "dedup_clusters", "dedup_levenshtein", "graph_bfs_hops",
+    "graph_pagerank", "graph_sssp_weighted", "graph_triangles",
+    "split_leakage_free",
+)
+_MODEL_STATE = (
+    "agg_max_watermark", "bpe_encode", "curation_joint_calibrate",
+    "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_incremental", "dedup_minhash", "dedup_minhash_exact",
+    "dedup_ngram_jaccard", "dedup_segments_global", "dq_checks",
+    "ewma_smooth", "heavy_hitters_terms", "holt_linear_smooth",
+    "incremental_scan", "lang_id_ngram", "multimodal_embed_ann",
+    "multimodal_features", "multimodal_framesample",
+    "quality_adaptive_threshold", "similarity_ann_ivf",
+    "similarity_ann_ivfpq", "similarity_ann_lsh", "udtf_tokenize",
+)
+_WRITERS = (
+    "analyze_table_stats", "join_bucketed_colocated", "merge_three_clause",
+    "merge_upsert", "mv_incremental_refresh", "sink_partitioned_write",
+    "staging_merge", "upsert_last_wins",
+)
+_STAGED = (
+    "lineage_flagship", "pipeline_analytics_e2e", "pipeline_curation_e2e",
+    "pipeline_hybrid_search", "pipeline_mleval_e2e", "pipeline_privacy_e2e",
+)
+_SAMPLED = ("join_auto_skew",)
+
+EXCLUDED: dict[str, str] = {
+    **{n: _R_STREAM for n in _STREAMING},
+    **{n: _R_ITER for n in _ITERATIVE},
+    **{n: _R_MODEL for n in _MODEL_STATE},
+    **{n: _R_WRITE for n in _WRITERS},
+    **{n: _R_STAGED for n in _STAGED},
+    **{n: _R_SAMPLED for n in _SAMPLED},
+}
 
 
 def shuffle_profile(jdf) -> dict:
@@ -56,8 +108,12 @@ def main():
     spark = get_spark("plan-budgets", cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
     budgets = {}
-    for name, spec in sorted(all_queries().items()):
-        if any(name.startswith(p) for p in SKIP_PREFIXES):
+    names = all_queries()
+    stray = set(EXCLUDED) - set(names)
+    if stray:
+        sys.exit(f"EXCLUDED names not in registry: {sorted(stray)}")
+    for name, spec in sorted(names.items()):
+        if name in EXCLUDED:
             continue
         try:
             df = spec.fn(spark, SF)
@@ -65,8 +121,10 @@ def main():
         except Exception as e:  # noqa: BLE001 — generator reports, test enforces
             print(f"skip {name}: {type(e).__name__}", file=sys.stderr)
     with open("/root/repo/docs/plan_budgets.json", "w") as f:
-        json.dump(budgets, f, indent=1, sort_keys=True)
-    print(f"pinned {len(budgets)} queries")
+        json.dump({"budgets": budgets, "excluded": EXCLUDED},
+                  f, indent=1, sort_keys=True)
+    print(f"pinned {len(budgets)} queries, excluded {len(EXCLUDED)} "
+          f"with reasons")
 
 
 if __name__ == "__main__":
