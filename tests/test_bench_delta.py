@@ -1,0 +1,54 @@
+"""tools/bench_delta.py: prior minima fold across runs, the 2x flag
+binds, new/gone queries are reported, exit code gates on flags."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _write(tmp_path, name, queries):
+    p = tmp_path / name
+    p.write_text(json.dumps({"metric": "suite_total_wall_clock",
+                             "queries": queries}))
+    return str(p)
+
+
+def _run(tmp_path, cur, prevs, factor=None):
+    out = str(tmp_path / "delta.json")
+    cmd = [sys.executable, "/root/repo/tools/bench_delta.py",
+           "--current", cur, "--prev", *prevs, "--out", out]
+    if factor:
+        cmd += ["--factor", str(factor)]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    return r.returncode, json.load(open(out))
+
+
+def test_minima_fold_and_flagging(tmp_path):
+    a = _write(tmp_path, "a.json", {"q1": 4.0, "q2": 1.0, "gone": 1.0})
+    b = _write(tmp_path, "b.json", {"q1": 1.0, "q2": 5.0})
+    # q1 prior min = 1.0 (run b), q2 prior min = 1.0 (run a)
+    cur = _write(tmp_path, "cur.json",
+                 {"q1": 2.5, "q2": 1.9, "brand_new": 9.9})
+    rc, d = _run(tmp_path, cur, [a, b])
+    assert rc == 1
+    assert set(d["flagged"]) == {"q1"}         # 2.5 > 2 x 1.0; q2 under
+    assert d["flagged"]["q1"]["ratio"] == 2.5
+    assert d["new_queries"] == ["brand_new"]   # never compared, never flags
+    assert d["gone_queries"] == ["gone"]
+    assert d["n_compared"] == 2
+
+
+def test_clean_round_exits_zero(tmp_path):
+    a = _write(tmp_path, "a.json", {"q1": 1.0})
+    cur = _write(tmp_path, "cur.json", {"q1": 1.9})
+    rc, d = _run(tmp_path, cur, [a])
+    assert rc == 0 and d["flagged"] == {}
+
+
+def test_factor_override(tmp_path):
+    a = _write(tmp_path, "a.json", {"q1": 1.0})
+    cur = _write(tmp_path, "cur.json", {"q1": 1.9})
+    rc, d = _run(tmp_path, cur, [a], factor=1.5)
+    assert rc == 1 and set(d["flagged"]) == {"q1"}
