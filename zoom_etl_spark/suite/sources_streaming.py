@@ -206,14 +206,39 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.max("pos").alias("last_pos"))
 
 
-@query("multimodal_features")  # rows-only: mapInPandas feature extraction
+@query("multimodal_features", oracle="""
+SELECT doc_id,
+       'image/png;gray8' AS kind,
+       32 AS width,
+       CAST(greatest(1, CAST(ceil(length(text) / 32.0) AS INT))
+            AS INT) AS height,
+       CAST(sum(ord(substr(text, j, 1))) AS BIGINT) AS checksum
+FROM documents, generate_series(1, 2048) t(j)
+WHERE j <= length(text)
+GROUP BY doc_id, length(text)
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns + Arrow-batched mapInPandas feature extraction
-    (the reference's S3-blob pattern as first-class columns; decode
-    stubbed deterministically — container has no media libs)."""
+    """Binary media columns + Arrow-batched mapInPandas feature
+    extraction with a REAL image decode (round 7, off the rows-only
+    ledger — the stdlib-codec pattern's image side, WAV being the audio
+    side): each document's text becomes an actual PNG container (8-bit
+    grayscale, zlib-compressed IDAT, correct CRCs) and ``decode_png``
+    walks the chunk stream back — signature + per-chunk CRC validated,
+    IHDR geometry parsed, IDAT inflated, scanlines defiltered — then
+    feature-extracts the DECODED pixels. JPEG/video still raise
+    NotImplementedError (no codec wheels in-sandbox). ORACLE: pixels
+    are the text bytes zero-padded to fill the last 32-px row
+    (printable-ASCII docs: 1 byte = 1 char, padding adds 0), so DuckDB
+    reproduces geometry and checksum straight from the source text —
+    the whole write→parse→inflate→defilter→decode chain is value-gated.
+    The constant generate_series bound (2048) clears the ~577-char max
+    doc with 3.5× headroom; the j <= length(text) guard does the real
+    work (a longer future corpus fails LOUDLY via a height mismatch —
+    height derives from the full length — rather than silently
+    truncating the checksum)."""
+    from ..sources.multimodal import decode_png, synthesize_png
     d = table(spark, sf_dir, "documents")
-    media = attach_fake_media(d, "doc_id", "text")
-    return decode_media(media, fake=True)
+    return decode_png(synthesize_png(d, "doc_id", "text"))
 
 
 @query("stream_lastwins_ivm", oracle="""
