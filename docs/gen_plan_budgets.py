@@ -12,13 +12,17 @@ Scope (round-7 verdict item 5): EVERY registered query is either
 pinned in the golden file's "budgets" section or carries a one-line
 reason in its "excluded" section — the test asserts the two sections
 partition the registry EXACTLY, so a new query must choose a side on
-the day it lands. Excluded = construction is not a lazy plan: probed
-with a job-group counter (statusTracker) at round 7 — every excluded
-name still runs >=1 Spark job while building even with warm
-listing caches; the two Python-datasource scans that probed at ZERO
-construction jobs (paginated_scan, db_parallel_read) were PROMOTED to
-pinned. Regenerate (after an INTENDED plan change) with:
-python docs/gen_plan_budgets.py
+the day it lands. Excluded = construction is not a deterministic lazy
+plan. The criterion is probe-backed (statusTracker job groups, warm
+listing caches, stage names inspected): the universal 1-task
+`parquet at` schema-read job every table() fires does NOT count —
+only substantive construction work does (collect/toPandas/first/
+saveAsTable stages, streaming drains, iterative rounds), plus the one
+observed reuse-dependent plan. The round-7 refinement promoted 30
+names whose only construction job was the schema read (multimodal
+chains, merge/sink writers whose writes are lazy, bounded-threshold
+queries that turned out to inline lazily). Regenerate (after an
+INTENDED plan change) with: python docs/gen_plan_budgets.py
 """
 
 import json
@@ -61,31 +65,37 @@ _STREAMING = (
     "stream_upsert_sink", "stream_windowed_agg_ivm",
 )
 _ITERATIVE = (
-    "bpe_train", "dedup_clusters", "dedup_levenshtein", "graph_bfs_hops",
-    "graph_pagerank", "graph_sssp_weighted", "graph_triangles",
+    "bpe_train", "dedup_clusters", "dedup_levenshtein",
+    "dedup_minhash_exact", "graph_bfs_hops", "graph_pagerank",
+    "graph_sssp_weighted", "graph_triangles", "lang_id_ngram",
     "split_leakage_free",
 )
 _MODEL_STATE = (
-    "agg_max_watermark", "bpe_encode", "curation_joint_calibrate",
-    "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_incremental", "dedup_minhash", "dedup_minhash_exact",
-    "dedup_ngram_jaccard", "dedup_segments_global", "dq_checks",
-    "ewma_smooth", "heavy_hitters_terms", "holt_linear_smooth",
-    "incremental_scan", "lang_id_ngram", "multimodal_embed_ann",
-    "multimodal_features", "multimodal_framesample",
-    "quality_adaptive_threshold", "similarity_ann_ivf",
-    "similarity_ann_ivfpq", "similarity_ann_lsh", "udtf_tokenize",
+    # these COLLECT during construction (sketch thresholds, k-means
+    # codebooks / PQ centroids via collect/toPandas), so the buildable
+    # plan is only the post-collect half — pinned by their own
+    # rank-error / recall-envelope gates instead
+    "agg_approx_quantile", "similarity_ann_ivf", "similarity_ann_ivfpq",
 )
 _WRITERS = (
-    "analyze_table_stats", "join_bucketed_colocated", "merge_three_clause",
-    "merge_upsert", "mv_incremental_refresh", "sink_partitioned_write",
-    "staging_merge", "upsert_last_wins",
+    # saveAsTable of the bucketed pair runs AT construction
+    "join_bucketed_colocated",
 )
 _STAGED = (
-    "lineage_flagship", "pipeline_analytics_e2e", "pipeline_curation_e2e",
+    "pipeline_analytics_e2e", "pipeline_curation_e2e",
     "pipeline_hybrid_search", "pipeline_mleval_e2e", "pipeline_privacy_e2e",
 )
 _SAMPLED = ("join_auto_skew",)
+_REUSE_DEPENDENT = (
+    # exchange count flips with session state (ReusedExchange resolves
+    # differently warm vs cold: observed 9 vs 15 in two round-7 probes
+    # of the identical query) — a pin would flake, not protect
+    "dedup_ngram_jaccard",
+)
+
+_R_REUSE = ("initial-plan exchange count is session-state-dependent "
+            "(ReusedExchange resolves differently warm vs cold); a pin "
+            "would flake rather than protect")
 
 EXCLUDED: dict[str, str] = {
     **{n: _R_STREAM for n in _STREAMING},
@@ -94,6 +104,7 @@ EXCLUDED: dict[str, str] = {
     **{n: _R_WRITE for n in _WRITERS},
     **{n: _R_STAGED for n in _STAGED},
     **{n: _R_SAMPLED for n in _SAMPLED},
+    **{n: _R_REUSE for n in _REUSE_DEPENDENT},
 }
 
 

@@ -47,6 +47,26 @@ def test_clean_round_exits_zero(tmp_path):
     assert rc == 0 and d["flagged"] == {}
 
 
+def test_errored_queries_are_dropped_both_sides(tmp_path):
+    """bench.py times errored queries too (often a fast abort): such a
+    timing must neither seed a bogus prior min nor dodge a flag by
+    crashing fast in the current run."""
+    prev = tmp_path / "prev.json"
+    prev.write_text(json.dumps({
+        "queries": {"q1": 0.5, "q2": 1.0},
+        "errors": {"q1": "StreamingQueryException: transient abort"}}))
+    cur = tmp_path / "cur.json"
+    cur.write_text(json.dumps({
+        "queries": {"q1": 8.0, "q2": 0.4},
+        "errors": {"q2": "AnalysisException: crash-fast"}}))
+    rc, d = _run(tmp_path, str(cur), [str(prev)])
+    # q1's 0.5 prior was an errored timing -> no 16x flag; q2's 0.4
+    # current is an errored timing -> treated as new/gone, not a pass
+    assert rc == 0 and d["flagged"] == {}
+    assert d["n_compared"] == 0
+    assert d["new_queries"] == ["q1"] and d["gone_queries"] == ["q2"]
+
+
 def test_factor_override(tmp_path):
     a = _write(tmp_path, "a.json", {"q1": 1.0})
     cur = _write(tmp_path, "cur.json", {"q1": 1.9})

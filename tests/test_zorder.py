@@ -80,10 +80,10 @@ def test_zorder_write_skips_real_parquet_files(spark, tmp_path):
     df = spark.createDataFrame(data, "x int, y int")
     n_files = 16
 
-    def write_bucketed(d, bucket_col, path):
-        # one file per explicit bucket: hash-repartition ON the bucket
-        # (deterministic Murmur3, no sampling) so each partitionBy dir
-        # receives exactly one writer task's file
+    def write_bucketed(d, path):
+        # one file per explicit "__p" bucket: hash-repartition ON the
+        # bucket (deterministic Murmur3, no sampling) so each
+        # partitionBy dir receives exactly one writer task's file
         (d.repartition(n_files, "__p")
           .write.mode("overwrite").partitionBy("__p").parquet(path))
         stats = {}
@@ -94,14 +94,14 @@ def test_zorder_write_skips_real_parquet_files(spark, tmp_path):
     px = str(tmp_path / "by_x")
     sx = write_bucketed(
         df.withColumn("__p", (F.col("x") / F.lit(100000 // n_files))
-                      .cast("int")), "__p", px)
+                      .cast("int")), px)
     pz = str(tmp_path / "by_z")
     z = zvalue_minmax([F.col("x"), F.col("y")],
                       [F.lit(0), F.lit(0)],
                       [F.lit(99999), F.lit(99999)], bits=8)
     sz = write_bucketed(
         df.withColumn("__p", (z / F.lit((1 << 16) // n_files))
-                      .cast("int")), "__p", pz)
+                      .cast("int")), pz)
     assert len(sx) == n_files and len(sz) == n_files
 
     # a 15%-wide band on y ONLY, interior to one Z y-quartile

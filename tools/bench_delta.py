@@ -28,10 +28,16 @@ import sys
 
 
 def load_queries(path: str) -> dict[str, float]:
+    """Per-query seconds, DROPPING queries the run recorded under
+    'errors' — bench.py still times an errored query (often a fast
+    abort), and folding that timing would either seed a bogus tiny
+    prior min (spurious flag next round) or let a crash-fast current
+    query dodge its real regression."""
     d = json.load(open(path))
     q = d.get("queries", d)
+    bad = set(d.get("errors", {}))
     return {k: float(v) for k, v in q.items()
-            if isinstance(v, (int, float))}
+            if isinstance(v, (int, float)) and k not in bad}
 
 
 def main() -> None:

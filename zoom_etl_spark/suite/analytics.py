@@ -659,8 +659,11 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = {r["event_type"]: r["v"] for r in
           e.groupBy("event_type").agg(qs.alias("v")).collect()}
     # |event_type| rows (5) — bounded collect; thresholds re-enter the
-    # verification scan as literal maps, so no join and no broadcast
-    thr = {p: F.create_map(*[lit for et, v in sorted(sk.items())
+    # verification scan as literal maps, so no join and no broadcast.
+    # NULL-group-safe: a NULL event_type must not crash the build (and
+    # can't be a map key) — it would never equi-probe anything anyway.
+    ordered = sorted((kv for kv in sk.items() if kv[0] is not None))
+    thr = {p: F.create_map(*[lit for et, v in ordered
                              for lit in (F.lit(et), F.lit(v[i]))])
            for i, p in enumerate((50, 95, 99))}
     j = e.select("event_type", "value",

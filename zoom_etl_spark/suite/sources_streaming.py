@@ -1,7 +1,9 @@
-"""Source + streaming query bindings (rows-only checks: custom sources,
-URL encoding, Structured Streaming, multimodal plumbing — none are
-ANSI-SQL-expressible for the DuckDB oracle; SURVEY.md §2.1, §2.9).
-"""
+"""Source + streaming query bindings: custom sources, URL encoding,
+Structured Streaming, multimodal columns (SURVEY.md §2.1, §2.9). Most
+carry DuckDB oracles (closed forms, drained-IVM-vs-batch twins, the
+round-7 real-codec round-trips); the rows-only remainder is the
+justified SURVEY §2.13 ledger (encoder stubs, driver-side listener
+artifacts)."""
 
 from __future__ import annotations
 
@@ -11,7 +13,6 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import query
 from ..sources import rest
-from ..sources.multimodal import attach_fake_media, decode_media
 from ..streaming.ingest import read_events_stream, run_available_now, windowed_counts
 
 
