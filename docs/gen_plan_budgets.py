@@ -87,10 +87,13 @@ _STAGED = (
 )
 _SAMPLED = ("join_auto_skew",)
 _REUSE_DEPENDENT = (
-    # exchange count flips with session state (ReusedExchange resolves
-    # differently warm vs cold: observed 9 vs 15 in two round-7 probes
-    # of the identical query) — a pin would flake, not protect
-    "dedup_ngram_jaccard",
+    # exchange count flips with session state (exchange reuse resolves
+    # differently warm vs cold: dedup_ngram_jaccard probed 9 vs 15
+    # shuffles, dedup_minhash 9 vs 15, dedup_incremental 12 vs 20 —
+    # the minhash-banding subplan family) — a pin would flake, not
+    # protect; found by an execute-everything-then-profile warm-session
+    # sweep, which is the regeneration gate for this list
+    "dedup_incremental", "dedup_minhash", "dedup_ngram_jaccard",
 )
 
 _R_REUSE = ("initial-plan exchange count is session-state-dependent "
