@@ -9,6 +9,20 @@ driver's 2000-char capture window (a full 307-query map is ~40 KB and was
 never parseable — 5 rounds of `parsed: null`). The complete per-query
 timing / shuffle maps go to BENCH_full.json at the repo root.
 
+BENCH_full.json is SELF-FOLDING (round-7 verdict item 6): single
+full-suite runs on this host wobble 2-12x on unchanged plans, so the
+regression protocol reasons over the per-query MIN across runs — but a
+single-run artifact used to be all that was committed, and 13 of its
+rows could read >2x the gated minima while the gate itself was green.
+Now each run appends itself to a bounded `runs_history` (last 3 runs,
+full per-query maps) carried inside the artifact and recomputes
+`queries_min_of_runs` + `runs_folded` across the history, so the
+committed artifact always CONTAINS the min-of-N map the protocol
+gates on. The history resets whenever sf / cpus / the registered
+query-name set changes (a new round's registry edit starts a fresh
+fold; an unchanged registry folds the driver's end-of-round run with
+the builder's committed local runs, which is exactly the protocol).
+
 Timing = full plan execution to a noop sink (no driver collect transfer),
 except streaming/rows-only queries that execute inside their builder.
 """
@@ -32,6 +46,52 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(min(os.cpu_count() or 8, 32)))
 # full per-query maps land here (tests point it at a tmp dir)
 FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_full.json")
+
+
+MAX_RUNS_FOLDED = 3  # bounded history: enough for min-of-N, ~120 KB cap
+
+
+def _git_head() -> str:
+    try:
+        import subprocess
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 — metadata only
+        return "unknown"
+
+
+def fold_runs(full: dict, prior: dict | None) -> None:
+    """Mutate ``full`` to carry the bounded run history and the
+    min-of-N map (see module docstring). ``prior`` is the previous
+    BENCH_full.json contents (or None). History folds only when sf,
+    cpus, and the query-name set all match — any registry or config
+    change starts a fresh fold."""
+    entry = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_head": _git_head(),
+        "total": full["value"],
+        "queries": full["queries"],
+        "errors": sorted(full.get("errors", {})),
+    }
+    history = [entry]
+    if (prior and prior.get("sf") == full["sf"]
+            and prior.get("cpus") == full["cpus"]
+            and set(prior.get("queries", {})) == set(full["queries"])):
+        history = (prior.get("runs_history", []) + history)[-MAX_RUNS_FOLDED:]
+    min_map: dict[str, float] = {}
+    for run in history:
+        errored = set(run.get("errors", []))
+        for name, sec in run["queries"].items():
+            if name in errored:  # an errored timing is often a fast
+                continue         # abort — never a legitimate minimum
+            if name not in min_map or sec < min_map[name]:
+                min_map[name] = sec
+    full["runs_history"] = history
+    full["runs_folded"] = len(history)
+    full["queries_min_of_runs"] = min_map
 
 
 def _sf_label(sf_dir: str) -> float | str:
@@ -63,6 +123,10 @@ def compact_line(full: dict, max_len: int = 1900) -> str:
         "n_errors": len(full.get("errors", {})),
         "queries_note": "20 slowest of n_queries; full map in BENCH_full.json",
     }
+    if "runs_folded" in full:  # min-of-N headline (round-7 item 6)
+        out["runs_folded"] = full["runs_folded"]
+        out["min_of_runs_total"] = round(
+            sum(full["queries_min_of_runs"].values()), 2)
     if full.get("errors"):  # names only — messages live in BENCH_full.json
         out["error_names"] = sorted(full["errors"])[:10]
     if "cost_totals_mb" in full:
@@ -143,6 +207,13 @@ def main() -> None:
     if meter.enabled:
         full["shuffle_write_mb"] = shuffle_write_mb
         full["cost_totals_mb"] = {k: mb(v) for k, v in cost_totals.items()}
+    prior = None
+    try:
+        with open(FULL_PATH) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):  # first run / corrupt file: fresh fold
+        prior = None
+    fold_runs(full, prior)
     try:
         with open(FULL_PATH, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)

@@ -82,3 +82,72 @@ def test_bench_systemic_failure_exits_nonzero(spark, monkeypatch, capsys,
     assert out["n_errors"] == 10
     full = json.loads((tmp_path / "full.json").read_text())
     assert len(full["errors"]) == 10
+
+
+def test_bench_full_artifact_self_folds_min_of_runs(spark, monkeypatch,
+                                                    capsys, tmp_path):
+    """Round-7 verdict item 6: the committed BENCH_full.json must CONTAIN
+    the min-of-N map the regression protocol gates on. Two consecutive
+    runs fold (min per query, runs_folded=2, bounded history); a
+    registry change (different query-name set) resets the fold; an
+    errored timing never becomes a minimum."""
+    full_path = tmp_path / "full.json"
+    monkeypatch.setattr(bench, "FULL_PATH", str(full_path))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(
+        bench.plans, "flagship",
+        lambda s, d: s.range(5).selectExpr("id AS flag"))
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setattr(bench, "all_queries",
+                        lambda: _specs_with_bomb(spark))
+
+    for _ in range(2):
+        with pytest.raises(SystemExit):
+            bench.main()
+    capsys.readouterr()
+    full = json.loads(full_path.read_text())
+    assert full["runs_folded"] == 2 and len(full["runs_history"]) == 2
+    # min map = per-query min across both runs' clean timings
+    r1, r2 = full["runs_history"]
+    for name, v in full["queries_min_of_runs"].items():
+        assert v == min(x for x in
+                        (r1["queries"].get(name), r2["queries"].get(name))
+                        if x is not None)
+    # boom_q errored in BOTH runs -> its fail-fast timing is no minimum
+    assert "boom_q" not in full["queries_min_of_runs"]
+    assert "ok_0" in full["queries_min_of_runs"]
+
+    # a registry change resets the fold instead of folding stale minima
+    def ok(s, sf_dir):
+        return s.range(3).selectExpr("id")
+    monkeypatch.setattr(
+        bench, "all_queries",
+        lambda: {"renamed_q": types.SimpleNamespace(fn=ok)})
+    with pytest.raises(SystemExit):
+        bench.main()
+    capsys.readouterr()
+    full = json.loads(full_path.read_text())
+    assert full["runs_folded"] == 1
+    assert set(full["queries_min_of_runs"]) == {"renamed_q",
+                                                "flagship_topk_revenue"}
+
+
+def test_bench_compact_line_carries_min_of_runs(spark, monkeypatch,
+                                                capsys, tmp_path):
+    monkeypatch.setattr(bench, "FULL_PATH", str(tmp_path / "full.json"))
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(
+        bench.plans, "flagship",
+        lambda s, d: s.range(5).selectExpr("id AS flag"))
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setattr(bench, "all_queries",
+                        lambda: _specs_with_bomb(spark))
+    with pytest.raises(SystemExit):
+        bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1900
+    out = json.loads(line)
+    assert out["runs_folded"] == 1
+    assert out["min_of_runs_total"] > 0

@@ -410,3 +410,25 @@ def test_minhash_exact_replays_and_recalls(spark, sf_dir):
             want[(x, y)] = round(j, 4)
     assert got == want
     assert len(got) > 0  # the corpus contains real near-dups
+
+
+def test_rows_only_dedup_twins_are_cross_run_deterministic(spark, sf_dir):
+    """Round-7 verdict item 8: the two xxhash64 production twins
+    (`dedup_minhash`, `dedup_simhash`) are rows-only in the driver —
+    their error-bound and replay gates prove the VALUES are right, but
+    nothing pinned run-to-run determinism. Close that the
+    stream_alert_route way: run each registered query twice in the
+    same session and assert the full sorted row sets (every column,
+    exact values) are identical. xxhash64 is seed-deterministic and
+    the plans contain no sampling/time/rand source, so any flake here
+    is a real nondeterminism bug (e.g. a float reduce order leaking
+    into an emitted value)."""
+    from zoom_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("dedup_minhash", "dedup_simhash"):
+        fn = qs[name].fn
+        run1 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        run2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        assert run1 == run2, f"{name}: cross-run row-set drift"
+        assert len(run1) > 0, f"{name}: empty result can't gate anything"

@@ -82,3 +82,28 @@ def test_decode_png_rejects_corruption_and_non_png(spark):
         [(99, bytes(blob))], "doc_id long, media binary")
     with pytest.raises(Exception, match="CRC"):
         decode_png(corrupted).collect()
+
+
+def test_decode_png_rejects_truncation_and_missing_ihdr(spark):
+    """Round-7 ADVICE: malformed chunk streams must fail as descriptive
+    ValueErrors at the validation layer, never as struct.error /
+    TypeError deep in the executor."""
+    full = bytes(_png_df(spark).limit(1).collect()[0].media)
+
+    def _df(blob):
+        return spark.createDataFrame([(99, bytes(blob))],
+                                     "doc_id long, media binary")
+
+    # (a) blob cut mid chunk-header -> "truncated PNG"
+    with pytest.raises(Exception, match="truncated PNG"):
+        decode_png(_df(full[:14])).collect()
+    # (b) blob cut mid chunk-payload -> "truncated PNG ... overruns"
+    with pytest.raises(Exception, match="truncated PNG"):
+        decode_png(_df(full[:-6])).collect()
+    # (c) IHDR chunk stripped (sig + everything after IHDR) -> the
+    # explicit missing-IHDR validation, not TypeError on width=None
+    import struct as _s
+    ihdr_ln = _s.unpack(">I", full[8:12])[0]
+    no_ihdr = full[:8] + full[8 + 12 + ihdr_ln:]
+    with pytest.raises(Exception, match="no IHDR"):
+        decode_png(_df(no_ihdr)).collect()

@@ -160,8 +160,21 @@ def decode_png(df: DataFrame) -> DataFrame:
                         "container (no JPEG/video codec wheels)")
                 pos, width, height, idat = 8, None, None, b""
                 while pos < len(bb):
+                    # Bounds-check BEFORE slicing: a truncated blob
+                    # must fail as a clear validation error, not a
+                    # struct.error deep in the executor (round-7
+                    # ADVICE).
+                    if pos + 12 > len(bb):
+                        raise ValueError(
+                            f"truncated PNG: chunk header at byte "
+                            f"{pos} overruns {len(bb)}-byte blob")
                     (ln,) = struct.unpack(">I", bb[pos:pos + 4])
                     tag = bb[pos + 4:pos + 8]
+                    if pos + 12 + ln > len(bb):
+                        raise ValueError(
+                            f"truncated PNG: {tag!r} chunk of length "
+                            f"{ln} at byte {pos} overruns "
+                            f"{len(bb)}-byte blob")
                     payload = bb[pos + 8:pos + 8 + ln]
                     (crc,) = struct.unpack(
                         ">I", bb[pos + 8 + ln:pos + 12 + ln])
@@ -178,6 +191,9 @@ def decode_png(df: DataFrame) -> DataFrame:
                     elif tag == b"IEND":
                         break
                     pos += 12 + ln
+                if width is None:
+                    raise ValueError(
+                        "malformed PNG: no IHDR chunk before IDAT/IEND")
                 raw = zlib.decompress(idat)
                 pixels = bytearray()
                 stride = width + 1

@@ -618,7 +618,7 @@ _AAQ_EPS = 0.02  # merged-sketch rank-error envelope (see docstring)
 @query("agg_approx_quantile", oracle="""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
-FROM events GROUP BY event_type
+FROM events WHERE event_type IS NOT NULL GROUP BY event_type
 """)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles (Greenwald-Khanna): p50/p95/p99 of value
@@ -660,15 +660,19 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
           e.groupBy("event_type").agg(qs.alias("v")).collect()}
     # |event_type| rows (5) — bounded collect; thresholds re-enter the
     # verification scan as literal maps, so no join and no broadcast.
-    # NULL-group-safe: a NULL event_type must not crash the build (and
-    # can't be a map key) — it would never equi-probe anything anyway.
+    # NULL-group contract: a NULL event_type can't be a map key, so its
+    # rows are EXCLUDED from the verification scan (matching the old
+    # inner-join semantics and the oracle's IS NOT NULL) — otherwise
+    # sum() over all-NULL lt/le would emit NULL p*_ok vs the oracle's
+    # TRUE (round-7 ADVICE).
     ordered = sorted((kv for kv in sk.items() if kv[0] is not None))
     thr = {p: F.create_map(*[lit for et, v in ordered
                              for lit in (F.lit(et), F.lit(v[i]))])
            for i, p in enumerate((50, 95, 99))}
-    j = e.select("event_type", "value",
-                 *[thr[p][F.col("event_type")].alias(f"v{p}")
-                   for p in (50, 95, 99)])
+    j = e.filter(F.col("event_type").isNotNull()).select(
+        "event_type", "value",
+        *[thr[p][F.col("event_type")].alias(f"v{p}")
+          for p in (50, 95, 99)])
     aggs = [F.count("*").alias("n")]
     for p in (50, 95, 99):
         aggs += [F.sum((F.col("value") < F.col(f"v{p}")).cast("long"))

@@ -234,9 +234,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole write→parse→inflate→defilter→decode chain is value-gated.
     The constant generate_series bound (2048) clears the ~577-char max
     doc with 3.5× headroom; the j <= length(text) guard does the real
-    work (a longer future corpus fails LOUDLY via a height mismatch —
-    height derives from the full length — rather than silently
-    truncating the checksum)."""
+    work (a longer future corpus fails LOUDLY via a CHECKSUM mismatch —
+    heights still agree because both engines derive height from
+    length(text), but the oracle's series-bounded sum covers only the
+    first 2048 chars while the decoder sums every pixel — rather than
+    silently truncating; round-7 ADVICE corrected the claimed
+    mechanism)."""
     from ..sources.multimodal import decode_png, synthesize_png
     d = table(spark, sf_dir, "documents")
     return decode_png(synthesize_png(d, "doc_id", "text"))
