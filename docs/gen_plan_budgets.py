@@ -86,19 +86,25 @@ _STAGED = (
     "pipeline_hybrid_search", "pipeline_mleval_e2e", "pipeline_privacy_e2e",
 )
 _SAMPLED = ("join_auto_skew",)
-_REUSE_DEPENDENT = (
-    # exchange count flips with session state (exchange reuse resolves
-    # differently warm vs cold: dedup_ngram_jaccard probed 9 vs 15
-    # shuffles, dedup_minhash 9 vs 15, dedup_incremental 12 vs 20 —
-    # the minhash-banding subplan family) — a pin would flake, not
-    # protect; found by an execute-everything-then-profile warm-session
-    # sweep, which is the regeneration gate for this list
+_WARM_PINNED = (
+    # exchange count is CACHE-STATE-dependent: these queries persist()
+    # shingle frames at construction and the CacheManager substitutes
+    # InMemoryRelation into any canonically-matching subtree, so the
+    # count flips with which cache entries are live (dedup_ngram_jaccard
+    # probes 9 cache-clean, 15 after its own execution, 27 after the
+    # whole family executed — round-8 diagnosis). Unpinnable here, but
+    # since round 8 BOTH ends are pinned under the normalized
+    # clearCache protocol in docs/plan_budgets_warm.json
+    # (tools/plan_warm_sweep.py; tests/test_plan_budgets_warm.py).
     "dedup_incremental", "dedup_minhash", "dedup_ngram_jaccard",
 )
 
-_R_REUSE = ("initial-plan exchange count is session-state-dependent "
-            "(ReusedExchange resolves differently warm vs cold); a pin "
-            "would flake rather than protect")
+_R_WARM = ("cache-state-dependent initial plan (persisted subframes let "
+           "the CacheManager rewrite canonically-matching subtrees, so "
+           "the count flips with live cache entries); cold AND warm "
+           "exchange counts pinned under the normalized clearCache "
+           "protocol in docs/plan_budgets_warm.json "
+           "(tools/plan_warm_sweep.py)")
 
 EXCLUDED: dict[str, str] = {
     **{n: _R_STREAM for n in _STREAMING},
@@ -107,7 +113,7 @@ EXCLUDED: dict[str, str] = {
     **{n: _R_WRITE for n in _WRITERS},
     **{n: _R_STAGED for n in _STAGED},
     **{n: _R_SAMPLED for n in _SAMPLED},
-    **{n: _R_REUSE for n in _REUSE_DEPENDENT},
+    **{n: _R_WARM for n in _WARM_PINNED},
 }
 
 
