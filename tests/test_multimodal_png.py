@@ -107,3 +107,20 @@ def test_decode_png_rejects_truncation_and_missing_ihdr(spark):
     no_ihdr = full[:8] + full[8 + 12 + ihdr_ln:]
     with pytest.raises(Exception, match="no IHDR"):
         decode_png(_df(no_ihdr)).collect()
+
+
+def test_pixel_embedding_exact_strided_projection(spark):
+    """pixel_embedding (round-8: the deterministic stdlib 'encoder')
+    must equal the pure-Python strided-bucket sums over the REAL
+    decoded pixels — text bytes zero-padded to the 32-px raster, so
+    padding adds 0 to every bucket and the projection is derivable
+    straight from the source chars."""
+    from zoom_etl_spark.sources.multimodal import pixel_embedding
+
+    got = {r.doc_id: list(r.embedding)
+           for r in pixel_embedding(_png_df(spark), dim=16).collect()}
+    for doc_id, text in TEXTS:
+        want = [0] * 16
+        for i, ch in enumerate(text.encode()):
+            want[i % 16] += ch
+        assert got[doc_id] == want, doc_id

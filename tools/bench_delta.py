@@ -22,6 +22,16 @@ Usage:
       --prev BENCH_local_r06a.json BENCH_local_r06b.json ... \
       [--out BENCH_delta.json] [--factor 2.0]
 
+The 10x scale smoke uses the SAME tool on its artifacts (round-7
+verdict item 5 — SMOKE_10X_r0N_full.json carries an identical
+queries/errors shape), at factor 3.0 because replica-scale runs are
+noisier than sf0.1:
+  python tools/bench_delta.py --current SMOKE_10X_r08_full.json \
+      --prev SMOKE_10X_r07_full.json SMOKE_10X_r06b_full.json \
+      --out SMOKE_delta.json --factor 3.0
+Protocol on flags: identical to the bench gate — reclear each flagged
+query warm-solo at the same copies factor, or fold with a dated note.
+
 Exit 1 when the flag list OR the current-run error list is non-empty
 (so a round script can gate on it); exit 0 otherwise.
 """

@@ -693,35 +693,87 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("frame_checksum").alias("checksum_sum")))
 
 
-@query("multimodal_embed_ann")  # rows-only: fake encoder + ANN composition
+@query("multimodal_embed_ann", oracle="""
+WITH emb AS (
+  SELECT doc_id, (i - 1) % 16 AS j,
+         CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS e
+  FROM documents, generate_series(1, 2048) t(i)
+  WHERE i <= length(text)
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, CAST(sum(e * e) AS BIGINT) AS csq FROM emb GROUP BY 1
+),
+pairs AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         CAST(sum(q.e * c.e) AS BIGINT) AS dot
+  FROM emb q JOIN emb c ON q.j = c.j
+  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, dot, n.csq,
+         row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST(dot * dot AS DOUBLE) / CAST(n.csq AS DOUBLE)
+                      DESC, neighbor_id) AS rnk
+  FROM pairs JOIN norms n ON n.doc_id = pairs.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, dot, csq
+FROM r WHERE rnk <= 3
+""")
 def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal retrieval pipeline COMPOSED: binary media →
-    resize (fixed raster) → embedding (deterministic fake encoder,
-    L2-normalized) → brute-force cosine top-3 neighbors for a 10-doc
-    query slice. Proves the multimodal columns feed the similarity
-    family end to end — swap the fake encoder for CLIP and the plan is
-    unchanged (Arrow batches throughout, broadcast-sized query side,
-    TakeOrderedAndProject per query)."""
-    from ..functions.vectors import cosine_similarity
+    """The full multimodal retrieval pipeline COMPOSED, value-gated end
+    to end (round-7 verdict item 2 — off the rows-only ledger): text →
+    genuine PNG container (synthesize_png: zlib IDAT, CRC'd chunks) →
+    REAL stdlib decode + deterministic fixed-projection encoder
+    (pixel_embedding: e[j] = Σ pixels[i≡j mod 16], all-integer) →
+    brute-force cosine top-3 neighbors for a 10-doc query slice.
+
+    Exactness strategy: embeddings are exact BIGINTs, so dot products
+    and squared norms are exact; cosine ORDER uses dot²/|c|² (monotone
+    with dot/|c| since pixel sums are non-negative, and |q| is constant
+    per query group) computed as one int64→double division — a single
+    IEEE op on identical integers in both engines, so the ordering key
+    is BITWISE identical and ties (resolved by neighbor_id asc) agree.
+    Emitted columns are all integers: rank, dot, csq — no float ever
+    crosses the hash. ORACLE derives the same embeddings straight from
+    source chars (synthesize_png's pixels are the text bytes zero-padded
+    to the 32-px raster; padding adds 0 to every bucket — the
+    multimodal_features precedent), so the whole
+    write→parse→inflate→defilter→project→rank chain is value-gated.
+
+    Scale posture: encoder is one Arrow mapInPandas scan (zero
+    shuffle); the query side is 10 rows → broadcast; corpus side never
+    shuffles (TakeOrderedAndProject per query group after a map-side
+    window). Swap pixel_embedding for a model runtime and the ANN plan
+    is unchanged."""
     from ..operators.windows import topk_per_group
-    from ..sources.multimodal import (attach_fake_media, media_embedding,
-                                      resize_media)
+    from ..sources.multimodal import pixel_embedding, synthesize_png
     d = table(spark, sf_dir, "documents")
-    emb = media_embedding(
-        resize_media(attach_fake_media(d, "doc_id", "text"), 16, 16),
-        dim=16)
+    emb = pixel_embedding(synthesize_png(d, "doc_id", "text"), dim=16)
     corpus = emb.select(F.col("doc_id").alias("neighbor_id"),
                         F.col("embedding").alias("c_emb"))
     queries = (emb.filter(F.col("doc_id") < 10)
                .select(F.col("doc_id").alias("query_id"),
                        F.col("embedding").alias("q_emb")))
+    dot = F.aggregate(F.zip_with("q_emb", "c_emb", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    csq = F.aggregate(F.zip_with("c_emb", "c_emb", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
     cand = (F.broadcast(queries).crossJoin(corpus)
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("sim", F.round(cosine_similarity("q_emb", "c_emb"), 6)))
-    return topk_per_group(cand.select("query_id", "neighbor_id", "sim"),
-                          keys=["query_id"],
-                          order=[F.col("sim").desc(),
-                                 F.col("neighbor_id").asc()], k=3)
+            .withColumn("dot", dot).withColumn("csq", csq)
+            .withColumn("score", (F.col("dot") * F.col("dot"))
+                        .cast("double") / F.col("csq").cast("double")))
+    top = topk_per_group(
+        cand.select("query_id", "neighbor_id", "score", "dot", "csq"),
+        keys=["query_id"],
+        order=[F.col("score").desc(), F.col("neighbor_id").asc()], k=3,
+        rank_col="rnk", keep_rank=True)
+    return top.select("query_id", "neighbor_id",
+                      F.col("rnk").cast("long").alias("rnk"),
+                      "dot", "csq")
 
 
 @query("stream_anomaly_ivm", oracle="""
