@@ -61,3 +61,27 @@ def test_encode_bpe_matches_reference(spark, sf_dir):
         # round trip: tokens respell the original words
         respelled = "".join(t for t in want).replace(END, " ").strip()
         assert respelled == " ".join(w for w in text.split(" ") if w)
+
+
+def test_bpe_train_oracle_models_early_break():
+    """The unrolled-CTE oracle (round-8: bpe_train off the rows-only
+    ledger) must reproduce the trainer's `break` when the corpus runs
+    dry before K merges: each best-CTE's WHERE cnt >= 2 empties that
+    round's 1-row frame and the CROSS JOIN cascades every later round
+    empty. Checked against the pure-Python reference on a corpus with
+    deliberately few mergeable pairs — no Spark needed."""
+    import duckdb
+    import pandas as pd
+
+    from zoom_etl_spark.functions.bpe import train_bpe_reference
+    from zoom_etl_spark.suite.scoring import _bpe_train_oracle
+
+    texts = ["ab ab", "cd"]  # reference stops well before 10 merges
+    want = train_bpe_reference(texts, n_merges=10)
+    assert 0 < len(want) < 10  # the break path is actually exercised
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    got = [(r[1], r[2], int(r[3])) for r in
+           con.execute(_bpe_train_oracle() + " ORDER BY step").fetchall()]
+    assert got == want
