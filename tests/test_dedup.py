@@ -413,16 +413,14 @@ def test_minhash_exact_replays_and_recalls(spark, sf_dir):
 
 
 def test_rows_only_dedup_twins_are_cross_run_deterministic(spark, sf_dir):
-    """Round-7 verdict item 8: the two xxhash64 production twins
-    (`dedup_minhash`, `dedup_simhash`) are rows-only in the driver —
-    their error-bound and replay gates prove the VALUES are right, but
-    nothing pinned run-to-run determinism. Close that the
-    stream_alert_route way: run each registered query twice in the
-    same session and assert the full sorted row sets (every column,
-    exact values) are identical. xxhash64 is seed-deterministic and
-    the plans contain no sampling/time/rand source, so any flake here
-    is a real nondeterminism bug (e.g. a float reduce order leaking
-    into an emitted value)."""
+    """Round-7 verdict item 8 (kept after the round-8 oracle promotion
+    — determinism is a distinct property from single-run value
+    correctness): run each xxhash64 production query twice in the same
+    session and assert the full sorted row sets (every column, exact
+    values) are identical. xxhash64 is seed-deterministic and the
+    plans contain no sampling/time/rand source, so any flake here is a
+    real nondeterminism bug (e.g. a float reduce order leaking into an
+    emitted value)."""
     from zoom_etl_spark.registry import all_queries
 
     qs = all_queries()

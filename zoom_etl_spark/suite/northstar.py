@@ -40,18 +40,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keys(d, "doc_id", "text")
 
 
-@query("dedup_minhash")  # rows-only: LSH banding is not ANSI-SQL-expressible
+from .minhash_oracle import minhash_oracle, simhash_oracle  # noqa: E402
+
+
+@query("dedup_minhash", oracle=minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
-    Candidates come from band-key equi-joins (linear), never O(n²)."""
+    Candidates come from band-key equi-joins (linear), never O(n²).
+
+    Oracle-gated since round 8: the PRODUCTION xxhash64 variant — long
+    the rows-only poster child ("LSH banding is not ANSI-SQL-
+    expressible") — is restated end to end in DuckDB via the generated
+    XXH64-in-SQL (suite/xxh64_sql.py: 64-bit modular arithmetic on
+    HUGEINT, unrolled stripe/tail loops, loud max-length contract).
+    Signature mins run over SIGNED longs exactly like array_min; the
+    band chain, bucket cap, and hash-set Jaccard verify all mirror
+    dedup/minhash.py. The md5 portable twin (dedup_minhash_exact) and
+    the analytic error-bound + cross-run determinism gates remain."""
     d = table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(d, "doc_id", "text",
                                    k=3, num_perm=32, bands=8, threshold=0.3)
 
 
-@query("dedup_simhash")  # rows-only: 64-bit bit-fold not ANSI-SQL-expressible
+@query("dedup_simhash", oracle=simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash fingerprints (Hamming-distance near-dup keys)."""
+    """Per-doc 64-bit SimHash fingerprints (Hamming-distance near-dup
+    keys). Oracle-gated since round 8 via the generated XXH64-in-SQL
+    (see dedup_minhash): per-INSTANCE token hashes, 64 conditional
+    sign sums, MSB-first bit pack, zero-token docs read -1 — the exact
+    dedup/simhash.py semantics, value-hashed against Spark."""
     d = table(spark, sf_dir, "documents")
     return with_simhash(d, "text").select("doc_id", "simhash")
 
