@@ -161,3 +161,25 @@ def test_python_reference_matches_spark(spark):
         for _ in range(4):
             acc = ref_long(r.l, acc)
         assert r.h3 == _signed(acc)
+
+
+def test_sql_matches_reference_on_random_strings_property():
+    """Property sweep: 300 hypothesis-style random printable-ASCII
+    strings (seeded, deterministic) of length 0..127 — every one must
+    hash identically through the SQL and the Python reference. Catches
+    byte-boundary mistakes the curated BOUNDARY_STRS might miss."""
+    rng = random.Random(0xC0FFEE)
+    alphabet = [chr(c) for c in range(32, 127)]
+    strs = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 127)))
+            for _ in range(300)]
+    con = duckdb.connect()
+    con.register("t0", pd.DataFrame({"s": strs}))
+    con.execute("CREATE TABLE t AS SELECT s FROM t0")
+    s = Steps()
+    hv = hash_string_staged(s, "s", max_len=127)
+    rows = con.execute(
+        f"SELECT s, {to_signed(hv)} FROM "
+        f"({s.render_nested('SELECT s FROM t')})").fetchall()
+    assert len(rows) == len(strs)
+    for text, got in rows:
+        assert got == _signed(ref_bytes(text.encode(), SEED)), repr(text)
