@@ -17,7 +17,13 @@ Exactness notes:
     bytes — one stripe of headroom over the corpus maxima (longest
     normalized token 8 bytes, longest trigram shingle 26, identical at
     all three SFs); a longer future string hashes to NULL and the
-    drive fails LOUDLY rather than silently mis-hashing.
+    drive fails LOUDLY rather than silently mis-hashing. The bound is
+    re-asserted against the live corpus every pytest run
+    (tests/test_oracle_corpus_contract.py), so a regen fails early.
+  * The threshold filter compares the ROUNDED ratio
+    (``round(i/union, 4) >= threshold``), mirroring Spark's
+    ``F.round(inter / union, 4) >= threshold`` bit-for-bit — a pair
+    with true jaccard in [0.29995, 0.3) is kept by BOTH engines.
   * Jaccard verification intersects the per-doc shingle-HASH sets
     (signed BIGINT equality), exactly like the Spark plan — so even a
     64-bit hash collision (probability ~n²/2⁶⁴) would affect both
@@ -47,7 +53,6 @@ def _hashed_strings_cte(source_select: str, col: str) -> str:
     """Wrap ``source_select`` (yielding column ``col``) with the staged
     XXH64; returns SQL yielding (``col``, hu HUGEINT, hs BIGINT)."""
     s = Steps("hx")
-    hv = s.add(f"CAST(0 AS HUGEINT)")  # placeholder keeps prefix stable
     hv = hash_string_staged(s, col, max_len=MAX_STR)
     inner = s.render_nested(source_select)
     return (f"SELECT {col}, {hv} AS hu, {to_signed(hv)} AS hs"
@@ -146,8 +151,8 @@ FROM cand c
 LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
-      / (sa.n + sb.n - coalesce(i.i, 0)) >= {threshold}"""
+WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+      / (sa.n + sb.n - coalesce(i.i, 0)), 4) >= {threshold}"""
 
 
 def simhash_oracle() -> str:

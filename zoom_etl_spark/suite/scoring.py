@@ -180,7 +180,17 @@ def _bpe_train_oracle(k: int = _BPE_TRAIN_K) -> str:
     too: each best-CTE carries WHERE cnt >= 2, so an early trainer
     break (no pair worth merging) empties that round's 1-row frame and
     the CROSS JOIN cascades every later round empty — exactly the
-    Python loop's `break`."""
+    Python loop's `break`.
+
+    Corpus contract (same class as minhash_oracle's): the
+    pipe-delimited token encoding assumes corpus words contain no
+    literal '|' (a '|' char-token would be dropped by the
+    split/filter) and no control characters (RE2's '.' skips \\n, so
+    consecutive newlines would fuse into one token, diverging from
+    train_bpe's per-char split). Verified 0 pipes / 0 control chars at
+    all three SFs, and asserted every run by
+    tests/test_oracle_corpus_contract.py — a corpus regen that breaks
+    the assumption fails in pytest, not at drive time."""
     parts = [r"""v0 AS (
   SELECT w, CAST(count(*) AS BIGINT) AS freq,
          regexp_replace(w, '(.)', '|\1|', 'g') || '|</w>|' AS ts

@@ -40,7 +40,11 @@ prime literals themselves are. Validated exactly against BOTH Spark's
 ``F.xxhash64`` and a pure-Python reference in
 tests/test_xxh64_sql.py (string lengths 0..120 crossing every
 stripe/word/tail boundary, long/int chains, the salted-perm and
-band-key shapes).
+band-key shapes). The CALLERS' ``max_len`` choices are corpus-coupled;
+tests/test_oracle_corpus_contract.py re-measures the corpus token and
+shingle byte maxima at all three SFs every pytest run and fails if
+they approach minhash_oracle.MAX_STR — a testdata regen with longer
+strings breaks in pytest, not as all-NULL hash columns at drive time.
 """
 
 from __future__ import annotations
