@@ -133,8 +133,10 @@ def test_live_stream_reports_state_memory(spark, sf_dir):
 def test_stream_alert_route_query_is_deterministic(spark, sf_dir):
     """The registered contract query must fire EXACTLY the one critical
     fully_late_batch alert for the replayed-stale-file batch — no
-    warning noise, stable across runs (rows-only in the driver, so the
-    determinism gate lives here)."""
+    warning noise, stable across runs. Oracle-gated in the driver
+    since round 9 (alert-ledger restatement); this double-run gate
+    stays as the determinism check the oracle alone can't express,
+    and it exercises the in-query router cross-check twice."""
     from zoom_etl_spark.registry import all_queries
 
     fn = all_queries()["stream_alert_route"].fn

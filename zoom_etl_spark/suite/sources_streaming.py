@@ -1,9 +1,9 @@
 """Source + streaming query bindings: custom sources, URL encoding,
-Structured Streaming, multimodal columns (SURVEY.md §2.1, §2.9). Most
-carry DuckDB oracles (closed forms, drained-IVM-vs-batch twins, the
-round-7 real-codec round-trips); the rows-only remainder is the
-justified SURVEY §2.13 ledger (encoder stubs, driver-side listener
-artifacts)."""
+Structured Streaming, multimodal columns (SURVEY.md §2.1, §2.9). As of
+round 9 EVERY query here carries a DuckDB oracle (closed forms,
+drained-IVM-vs-batch twins, the round-7 real-codec round-trips, the
+round-9 alert-ledger restatement) — the SURVEY §2.13 rows-only ledger
+is empty."""
 
 from __future__ import annotations
 
@@ -1053,20 +1053,44 @@ def stream_bitemporal_late(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("user_id", "value", "valid_from", "valid_to"))
 
 
-@query("stream_alert_route")  # rows-only: fired alerts are driver-side
-# listener artifacts (StreamingQueryListener progress), outside ANSI
-# SQL by nature; determinism is pinned by tests/test_monitor_alerts.py
+@query("stream_alert_route", oracle="""
+WITH s AS (
+  SELECT max(ts) FILTER (WHERE ts >= TIMESTAMP '2024-01-20') AS new_max,
+         max(ts) FILTER (WHERE ts <  TIMESTAMP '2024-01-20') AS old_max
+  FROM events
+)
+SELECT 'fully_late_batch' AS rule, 'critical' AS severity,
+       CAST(1 AS INTEGER) AS batch_id
+FROM s
+WHERE old_max < new_max - INTERVAL 1 HOUR
+""")
 def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming health-alerting path AS PART OF THE CONTRACT
     (ROADMAP 8): replay events as two micro-batches where the second
     arrives entirely behind the already-advanced watermark (a stale
     backfill file landing late — the silent-data-loss scenario), and
-    surface what the AlertRouter fired: exactly one critical
-    fully_late_batch alert for the replayed batch, no warning-rule
-    noise. The drain is a real watermarked windowed aggregation; the
-    listener costs nothing on executors (driver-side metadata per
-    micro-batch) and the router rules are pure functions of the
-    recorded batch log — the production wiring minus the pager."""
+    surface the fired alerts: exactly one critical fully_late_batch
+    alert for the replayed batch, no warning-rule noise. The drain is
+    a real watermarked windowed aggregation; the listener costs
+    nothing on executors (driver-side metadata per micro-batch) and
+    the router rules are pure functions of the recorded batch log —
+    the production wiring minus the pager.
+
+    Oracle-gated since round 9 (the last rows-only ledger row): the
+    per-batch log is materialized to a parquet alert ledger (the
+    ``stream_upsert_sink`` precedent) and the returned frame is a
+    DataFrame restatement of the ``fully_late_batch`` rule over that
+    ledger — ``event_max < watermark`` on the progress report's own
+    ISO-8601 strings, exactly ``StreamMetrics.fully_late_batches`` —
+    cross-checked row-for-row against the AlertRouter's sink-routed
+    output (RuntimeError on divergence, never a silent pick). The
+    DuckDB oracle restates the fixture deterministically: batch 0 is
+    the newer file (older mtime → listed first), so the watermark
+    entering batch 1 is max(ts ≥ cut) − 1h, and batch 1 (all ts <
+    cut) is fully late iff max(ts < cut) < that watermark — true at
+    every SF with ~11 days of margin, so the [0, 1 ms) difference
+    between the report's millisecond-truncated strings and the
+    oracle's microsecond arithmetic cannot flip the row."""
     import os
     import tempfile
     import time
@@ -1099,15 +1123,46 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
-        deadline = time.time() + 15  # listener events arrive async
+        deadline = time.time() + 20  # listener events arrive async
         while time.time() < deadline \
-                and not m.fully_late_batches("alert_route_drain"):
+                and (len(m.snapshot("alert_route_drain")) < 2
+                     or not m.fully_late_batches("alert_route_drain")):
             time.sleep(0.25)
-    router = AlertRouter(m)
-    alerts = router.evaluate("alert_route_drain")
-    return spark.createDataFrame(
-        [(a.rule, a.severity, int(a.batch_id)) for a in alerts],
-        "rule STRING, severity STRING, batch_id INT")
+    log = m.snapshot("alert_route_drain")
+    if len(log) < 2:  # incomplete listener delivery: fail LOUDLY, never
+        raise RuntimeError(  # return a frame that silently hash-misses
+            f"alert_route drain recorded {len(log)} batch(es), expected 2 "
+            f"— listener events not delivered within the deadline")
+    routed: list = []
+    router = AlertRouter(m).route_to("critical", routed.append)
+    router.evaluate("alert_route_drain")
+    # materialize the batch log as the alert LEDGER (driver-side
+    # metadata — one tiny row per micro-batch regardless of data
+    # volume), then restate the fully_late_batch rule as a DataFrame
+    # computation over it: same ISO-8601 string comparison the
+    # listener uses (fixed-width UTC strings, lexicographic = time).
+    ledger = f"{srcdir}/alert_ledger"
+    (spark.createDataFrame(
+        [(r["batch_id"], r.get("watermark"), r.get("event_max"),
+          r["num_input_rows"]) for r in log],
+        "batch_id INT, watermark STRING, event_max STRING, "
+        "num_input_rows LONG")
+     .coalesce(1).write.mode("overwrite").parquet(ledger))
+    alerts = (spark.read.parquet(ledger)
+              .filter(F.col("event_max") < F.col("watermark"))
+              .select(F.lit("fully_late_batch").alias("rule"),
+                      F.lit("critical").alias("severity"),
+                      F.col("batch_id")))
+    # cross-check the DataFrame restatement against the router's
+    # sink-routed alerts — any divergence is a bug, not a tiebreak
+    got = sorted((r.rule, r.severity, r.batch_id)
+                 for r in alerts.collect())
+    want = sorted((a.rule, a.severity, int(a.batch_id)) for a in routed)
+    if got != want:
+        raise RuntimeError(
+            f"alert ledger restatement {got} != AlertRouter output "
+            f"{want} — rule drift between monitor.py and the ledger")
+    return alerts
 
 
 @query("stream_cusum_ivm", oracle="""
