@@ -1,11 +1,19 @@
 """tools/bench_delta.py: prior minima fold across runs, the 2x flag
-binds, new/gone queries are reported, exit code gates on flags."""
+binds, new/gone queries are reported, exit code gates on flags; the
+round-9 hardenings (committed-priors gate, re-plan-aware priors,
+machine-recorded reclears) each have their own gate tests."""
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import subprocess
 import sys
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_delta", "/root/repo/tools/bench_delta.py")
+bench_delta = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench_delta)
 
 
 def _write(tmp_path, name, queries):
@@ -15,14 +23,22 @@ def _write(tmp_path, name, queries):
     return str(p)
 
 
-def _run(tmp_path, cur, prevs, factor=None):
+def _run(tmp_path, cur, prevs, factor=None, replans=None, strict=False):
     out = str(tmp_path / "delta.json")
     cmd = [sys.executable, "/root/repo/tools/bench_delta.py",
-           "--current", cur, "--prev", *prevs, "--out", out]
+           "--current", cur, "--prev", *prevs, "--out", out,
+           # tests run on tmp files; the strict gate has its own test
+           "--replans", replans or str(tmp_path / "no_replans.json")]
+    if not strict:
+        cmd += ["--allow-uncommitted"]
     if factor:
         cmd += ["--factor", str(factor)]
     r = subprocess.run(cmd, capture_output=True, text=True)
-    return r.returncode, json.load(open(out))
+    try:
+        payload = json.load(open(out))
+    except FileNotFoundError:
+        payload = json.loads(r.stdout)
+    return r.returncode, payload
 
 
 def test_minima_fold_and_flagging(tmp_path):
@@ -109,3 +125,93 @@ def test_prior_fold_map_preferred(tmp_path):
     rc, d = _run(tmp_path, str(cur), [str(prev)])
     assert rc == 1 and d["flagged"]["q1"]["prev_min"] == 1.0
     assert d["flagged"]["q1"]["current"] == 2.5
+
+
+# ---------------------------------------------------------------------------
+# Round-9 hardenings (round-8 verdict items 3+4)
+
+def test_uncommitted_prior_rejected(tmp_path):
+    """Without --allow-uncommitted, a prior outside git is exit 2 —
+    the committed delta must be reproducible from the repo alone (the
+    round-8 artifact cited /tmp/bench_full_r07.json)."""
+    a = _write(tmp_path, "a.json", {"q1": 1.0})
+    cur = _write(tmp_path, "cur.json", {"q1": 1.0})
+    rc, d = _run(tmp_path, cur, [a], strict=True)
+    assert rc == 2
+    assert d.get("uncommitted") == [a]
+
+
+def test_committed_prior_accepted():
+    """A git-tracked repo artifact passes the strict gate (the normal
+    round protocol path). Compared against itself at a huge factor —
+    nothing can flag; the exit code is the committed-check verdict."""
+    prior = "/root/repo/BENCH_local_r08a.json"
+    cmd = [sys.executable, "/root/repo/tools/bench_delta.py",
+           "--current", prior, "--prev", prior,
+           "--out", "/tmp/test_bd_committed.json", "--factor", "1000"]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode in (0, 1), r.stdout  # 1 only if artifact has
+    d = json.load(open("/tmp/test_bd_committed.json"))  # errored rows
+    assert d["flagged"] == {}
+
+
+def test_replans_drop_pre_replan_history_runs(tmp_path):
+    """A prior with runs_history: runs timestamped before a query's
+    re-plan `since` are dropped for THAT query only — the fresh
+    post-re-plan run becomes its baseline, other queries keep their
+    full-history minima."""
+    prev = tmp_path / "prev.json"
+    prev.write_text(json.dumps({"runs_history": [
+        {"ts": "2026-08-15T00:00:00Z",
+         "queries": {"q1": 0.1, "q2": 1.0}},   # q1's dead-plan timing
+        {"ts": "2026-08-16T12:00:00Z",
+         "queries": {"q1": 1.0, "q2": 3.0}},
+    ]}))
+    replans = tmp_path / "replans.json"
+    replans.write_text(json.dumps({
+        "q1": {"since": "2026-08-16T00:00:00Z", "note": "re-planned"}}))
+    cur = _write(tmp_path, "cur.json", {"q1": 1.5, "q2": 2.1})
+    rc, d = _run(tmp_path, cur, [str(prev)], replans=str(replans))
+    # q1: 1.5 vs post-re-plan min 1.0 -> under 2x, NOT the 15x the
+    # dead plan would scream; q2: 2.1 vs min(1.0, 3.0)=1.0 -> flagged
+    assert set(d["flagged"]) == {"q2"}, d
+    assert rc == 1
+    assert d["replan_dropped"] == []  # q1 kept a post-re-plan prior
+
+
+def test_replans_unknown_age_prior_dropped(tmp_path):
+    """A flat single-run prior has no per-run timestamps: a re-planned
+    query's prior age is unknowable, so it is dropped conservatively,
+    reported under replan_dropped, and never classified as new."""
+    a = _write(tmp_path, "a.json", {"q1": 0.1, "q2": 1.0})
+    replans = tmp_path / "replans.json"
+    replans.write_text(json.dumps({
+        "q1": {"since": "2026-08-16T00:00:00Z", "note": "re-planned"}}))
+    cur = _write(tmp_path, "cur.json", {"q1": 5.0, "q2": 1.5})
+    rc, d = _run(tmp_path, cur, [a], replans=str(replans))
+    assert rc == 0 and d["flagged"] == {}
+    assert d["replan_dropped"] == ["q1"]
+    assert d["new_queries"] == [] and d["gone_queries"] == []
+    assert d["n_compared"] == 1  # only q2
+
+
+def test_reclear_verdicts_recorded():
+    """apply_reclears mutates each flag with a machine-recorded
+    {cold,warm,best,verdict} row: min-of-2 at/below factor*prev_min
+    clears, above confirms, a runner error keeps the flag."""
+    flagged = {
+        "fast_again": {"prev_min": 1.0, "current": 5.0, "ratio": 5.0},
+        "still_slow": {"prev_min": 1.0, "current": 5.0, "ratio": 5.0},
+        "crashes": {"prev_min": 1.0, "current": 5.0, "ratio": 5.0},
+    }
+    results = {"fast_again": {"cold": 3.0, "warm": 1.1},
+               "still_slow": {"cold": 4.0, "warm": 3.5},
+               "crashes": {"error": "Boom: transient"}}
+    remaining = bench_delta.apply_reclears(
+        flagged, lambda name: results[name], factor=2.0)
+    assert remaining == ["crashes", "still_slow"]
+    assert flagged["fast_again"]["reclear"]["verdict"] == "cleared"
+    assert flagged["fast_again"]["reclear"]["best"] == 1.1
+    assert flagged["still_slow"]["reclear"]["verdict"] == \
+        "confirmed_regression"
+    assert flagged["crashes"]["reclear"]["verdict"] == "error"
