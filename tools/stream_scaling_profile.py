@@ -24,7 +24,21 @@ linearity verdict: which phase carries the above-linear excess.
 
 Usage:  SPARK_DRIVER_MEMORY=16g python tools/stream_scaling_profile.py \
             [--query stream_windowed_agg_ivm] [--runs 2] \
-            [--out STREAM_PROFILE_r08.json]
+            [--out STREAM_PROFILE_r08.json] [--sink memory|file]
+
+--sink file (round-8 verdict item 2): the r08 memory-sink profile
+attributed the only superlinear term to driver GC from the in-JVM
+memory-sink drain (9.56 M update-mode rows accumulate in driver
+memory) and ARGUED that a real cluster sink shards it away. This mode
+MEASURES it: the identical streaming aggregation (same watermark,
+window, state sizing — the plan is restated here line-for-line from
+suite/sources_streaming.py::stream_windowed_agg_ivm because the
+registered builder pins its memory sink) drains through foreachBatch
+into parquet — update-mode emissions land in executor-written files,
+nothing accumulates on the driver — and finalize reads the parquet
+log back for the same max_by convergence aggregate. Only
+stream_windowed_agg_ivm is supported (the query the r07/r08 studies
+profiled).
 """
 
 from __future__ import annotations
@@ -85,19 +99,25 @@ def profile_once(spark, name: str, sf_dir: str) -> dict:
     n_out = df.count()  # finalize: batch aggregate over the drained log
     t1, gc1 = time.time(), _gc_ms(spark)
     spark.streams.removeListener(tap.listener)
+    return _summarize(tap.batches, t0, t_drain, t1, gc1 - gc0, n_out)
 
+
+def _summarize(batches: list[dict], t0: float, t_drain: float, t1: float,
+               gc_delta_ms: int, n_out: int) -> dict:
     dur_keys = ("addBatch", "getBatch", "latestOffset", "queryPlanning",
                 "walCommit", "commitOffsets", "triggerExecution")
     dur = {k: 0 for k in dur_keys}
     state = {"allUpdatesTimeMs": 0, "commitTimeMs": 0, "numRowsTotal": 0,
              "numRowsUpdated": 0, "memoryUsedBytes": 0}
     rows_in = rows_out_sink = 0
-    for b in tap.batches:
+    for b in batches:
         for k in dur_keys:
             dur[k] += int((b.get("durationMs") or {}).get(k, 0))
         rows_in += int(b.get("numInputRows", 0))
-        rows_out_sink += int((b.get("sink") or {}).get("numOutputRows", 0)
-                             or 0)
+        # foreachBatch sinks report numOutputRows = -1 (unknown): count
+        # only real driver-side sink rows (the memory-sink signal)
+        rows_out_sink += max(
+            0, int((b.get("sink") or {}).get("numOutputRows", 0) or 0))
         for op in b.get("stateOperators", []) or []:
             state["allUpdatesTimeMs"] += int(op.get("allUpdatesTimeMs", 0))
             state["commitTimeMs"] += int(op.get("commitTimeMs", 0))
@@ -110,14 +130,64 @@ def profile_once(spark, name: str, sf_dir: str) -> dict:
         "wall_total_sec": round(t1 - t0, 2),
         "wall_drain_sec": round(t_drain - t0, 2),
         "wall_finalize_sec": round(t1 - t_drain, 2),
-        "gc_ms": gc1 - gc0,
-        "n_micro_batches": len(tap.batches),
+        "gc_ms": gc_delta_ms,
+        "n_micro_batches": len(batches),
         "rows_in": rows_in,
         "rows_to_driver_sink": rows_out_sink,
         "n_final_rows": n_out,
         "duration_ms": dur,
         "state": state,
     }
+
+
+def profile_once_filesink(spark, name: str, sf_dir: str) -> dict:
+    """The file-sink twin of :func:`profile_once` (see module
+    docstring): same plan, same state sizing, parquet sink via
+    foreachBatch, finalize over the read-back log. Returns the same
+    record shape so fold/attribution code is shared."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from zoom_etl_spark.streaming.ingest import (
+        drain_checkpoint, read_events_stream, state_partitions)
+
+    if name != "stream_windowed_agg_ivm":
+        raise SystemExit(f"--sink file supports only "
+                         f"stream_windowed_agg_ivm, got {name!r}")
+    outdir = tempfile.mkdtemp(prefix="zes_fsink_")
+    tap = _ProgressTap()
+    spark.streams.addListener(tap.listener)
+    gc0, t0 = _gc_ms(spark), time.time()
+    # plan restated from suite/sources_streaming.py::stream_windowed_
+    # agg_ivm (the builder pins format("memory"); everything below the
+    # sink is identical)
+    stream = read_events_stream(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id"))
+           .agg(F.count("*").alias("cnt"),
+                F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3)
+                .cast("double").alias("total")))
+    out = agg.select("user_id", F.col("w.start").alias("h"), "cnt", "total")
+    with state_partitions(spark, 16), \
+            drain_checkpoint("fsink_winagg") as ckpt:
+        q = (out.writeStream
+             .foreachBatch(lambda df, _bid:
+                           df.write.mode("append").parquet(outdir))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    t_drain = time.time()
+    log = spark.read.parquet(outdir)
+    n_out = (log.groupBy("user_id", "h")
+             .agg(F.max("cnt").alias("cnt"),
+                  F.max_by("total", "cnt").alias("total"))).count()
+    t1, gc1 = time.time(), _gc_ms(spark)
+    spark.streams.removeListener(tap.listener)
+    rec = _summarize(tap.batches, t0, t_drain, t1, gc1 - gc0, n_out)
+    shutil.rmtree(outdir, ignore_errors=True)
+    return rec
 
 
 def fold_min(runs: list[dict]) -> dict:
@@ -136,6 +206,7 @@ def main() -> None:
     ap.add_argument("--query", default="stream_windowed_agg_ivm")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default="STREAM_PROFILE_r08.json")
+    ap.add_argument("--sink", choices=("memory", "file"), default="memory")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
@@ -145,7 +216,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     result: dict = {"metric": "stream_scaling_profile",
-                    "query": args.query, "factors": {}}
+                    "query": args.query, "sink": args.sink, "factors": {}}
+    one = profile_once if args.sink == "memory" else profile_once_filesink
     for factor, path in FACTORS.items():
         if not os.path.exists(os.path.join(path, "_copies.json")):
             print(f"skip {factor}x: no replica at {path} "
@@ -154,7 +226,7 @@ def main() -> None:
             continue
         runs = []
         for _ in range(args.runs):
-            runs.append(profile_once(spark, args.query, path))
+            runs.append(one(spark, args.query, path))
             spark.catalog.clearCache()
         result["factors"][str(factor)] = fold_min(runs)
 
