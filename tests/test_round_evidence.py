@@ -1,0 +1,83 @@
+"""tools/round_evidence.py — the pure parts of the evidence bundle
+(round-8 verdict item 8). The subprocess steps are exercised by the
+bundle itself each round; these tests pin the helpers the manifest's
+trustworthiness rests on: JSON-line scraping, prior-smoke discovery,
+and the resume/digest semantics."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import round_evidence as rev  # noqa: E402
+
+
+def test_last_json_line_takes_last_parseable():
+    text = ('# 12.2s flagship\n{"metric": "old", "value": 1}\n'
+            'WARN noise {not json\n{"metric": "new", "value": 2}\n# bye')
+    assert rev.last_json_line(text) == {"metric": "new", "value": 2}
+
+
+def test_last_json_line_empty_on_no_json():
+    assert rev.last_json_line("no json here\nat all") == {}
+
+
+def test_latest_committed_smoke_picks_newest_prior_round():
+    # repo truth: r05..r08 smoke folds are committed
+    assert rev._latest_committed_smoke(9).endswith(
+        "SMOKE_10X_r08_full.json")
+    assert rev._latest_committed_smoke(7).endswith(
+        "SMOKE_10X_r06b_full.json")
+    # round 5 predates every _full artifact except r05's own
+    assert rev._latest_committed_smoke(5) is None
+
+
+def test_sha256_matches_cli(tmp_path):
+    p = tmp_path / "x.json"
+    p.write_text('{"a": 1}')
+    expect = subprocess.run(["sha256sum", str(p)], capture_output=True,
+                            text=True).stdout.split()[0]
+    assert rev.sha256(str(p)) == expect
+
+
+def test_step_order_covers_every_step():
+    class A:  # minimal args stand-in
+        round = 9
+        bench_runs = 1
+        smoke_slices = 4
+    assert sorted(rev.make_steps(A())) == sorted(rev.STEP_ORDER)
+
+
+@pytest.mark.parametrize("flag,expect", [(True, 0), (False, 1)])
+def test_bundle_resume_skips_green_steps_same_head(tmp_path, monkeypatch,
+                                                   flag, expect):
+    """--resume skips an rc=0 step recorded at the same git head; a
+    different head invalidates the recording and the step re-runs."""
+    calls = []
+    monkeypatch.setattr(rev, "make_steps", lambda args: {
+        "pytest": lambda: calls.append("pytest") or
+        {"rc": 0, "summary": {}, "artifacts": []}})
+    monkeypatch.setattr(rev, "git_head", lambda: ("fakehead", False))
+    manifest = {"git_head": "fakehead" if flag else "someotherhead",
+                "steps": {"pytest": {"rc": 0, "summary": {},
+                                     "artifacts": {}}}}
+    mpath = tmp_path / "ROUND_EVIDENCE_r99.json"
+    mpath.write_text(json.dumps(manifest))
+    monkeypatch.setattr(rev, "REPO", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["round_evidence.py", "--round",
+                                      "99", "--steps", "pytest",
+                                      "--resume"])
+    with pytest.raises(SystemExit) as ei:
+        rev.main()
+    assert ei.value.code == 0
+    assert len(calls) == expect  # skipped iff same head
+    out = json.loads(mpath.read_text())
+    assert out["steps"]["pytest"]["rc"] == 0
+    if expect:  # re-ran: manifest rewritten with ok + digest
+        assert out["ok"] is True
+        assert "digest" in out
