@@ -81,3 +81,55 @@ def test_bundle_resume_skips_green_steps_same_head(tmp_path, monkeypatch,
     if expect:  # re-ran: manifest rewritten with ok + digest
         assert out["ok"] is True
         assert "digest" in out
+
+
+def _run_main(tmp_path, monkeypatch, argv_tail, prior_manifest,
+              step_rc=0):
+    """Drive main() with a single fake 'pytest' step; return
+    (n_calls, final manifest)."""
+    calls = []
+    monkeypatch.setattr(rev, "make_steps", lambda args: {
+        "pytest": lambda: calls.append("pytest") or
+        {"rc": step_rc, "summary": {}, "artifacts": []}})
+    monkeypatch.setattr(rev, "git_head", lambda: ("newhead", False))
+    mpath = tmp_path / "ROUND_EVIDENCE_r99.json"
+    mpath.write_text(json.dumps(prior_manifest))
+    monkeypatch.setattr(rev, "REPO", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["round_evidence.py", "--round",
+                                      "99", "--steps", "pytest"]
+                        + argv_tail)
+    with pytest.raises(SystemExit):
+        rev.main()
+    return len(calls), json.loads(mpath.read_text())
+
+
+GREEN_PRIOR = {"git_head": "oldhead", "started": "T0",
+               "steps": {"pytest": {"rc": 0, "summary": {},
+                                    "artifacts": {}}}}
+
+
+def test_redo_forces_rerun_of_green_step(tmp_path, monkeypatch):
+    prior = dict(GREEN_PRIOR, git_head="newhead")
+    n, out = _run_main(tmp_path, monkeypatch,
+                       ["--resume", "--redo", "pytest"], prior)
+    assert n == 1  # same head + green, but --redo re-runs it
+    assert out["steps"]["pytest"]["git_head"] == "newhead"
+
+
+def test_accept_stale_keeps_steps_and_records_head_pair(tmp_path,
+                                                        monkeypatch):
+    monkeypatch.setattr(rev.subprocess, "run", lambda *a, **k: type(
+        "R", (), {"returncode": 0, "stdout": "README.md\n"})())
+    n, out = _run_main(tmp_path, monkeypatch,
+                       ["--resume", "--accept-stale"], GREEN_PRIOR)
+    assert n == 0  # stale green step kept...
+    sr = out["stale_resume"]  # ...but the head pair is ON RECORD
+    assert sr["evidence_head"] == "oldhead"
+    assert sr["current_head"] == "newhead"
+    assert sr["diff_files"] == ["README.md"]
+
+
+def test_stale_without_accept_reruns(tmp_path, monkeypatch):
+    n, out = _run_main(tmp_path, monkeypatch, ["--resume"], GREEN_PRIOR)
+    assert n == 1
+    assert "stale_resume" not in out

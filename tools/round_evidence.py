@@ -261,6 +261,14 @@ def main() -> None:
     ap.add_argument("--skip", default="", help="steps to drop")
     ap.add_argument("--resume", action="store_true",
                     help="skip steps already recorded rc=0 at this head")
+    ap.add_argument("--redo", default="",
+                    help="steps to re-run even if recorded green")
+    ap.add_argument("--accept-stale", action="store_true",
+                    help="with --resume: keep green steps recorded at a "
+                         "DIFFERENT head, recording the head pair and "
+                         "the file diff between them in the manifest "
+                         "(legitimate only when the diff cannot affect "
+                         "the kept steps — judge-checkable)")
     ap.add_argument("--bench-runs", type=int, default=2)
     ap.add_argument("--smoke-slices", type=int, default=4)
     args = ap.parse_args()
@@ -279,10 +287,25 @@ def main() -> None:
     if args.resume and os.path.exists(manifest_path):
         prior = json.load(open(manifest_path))
         # resume only evidence produced on this same commit — a new
-        # commit invalidates every recorded step
+        # commit invalidates every recorded step, unless --accept-stale
+        # explicitly keeps it WITH the head pair + file diff on record
         if prior.get("git_head") == head:
             manifest["steps"] = prior.get("steps", {})
             manifest["started"] = prior.get("started", manifest["started"])
+        elif args.accept_stale and prior.get("git_head"):
+            manifest["steps"] = prior.get("steps", {})
+            manifest["started"] = prior.get("started", manifest["started"])
+            diff = subprocess.run(
+                ["git", "diff", "--name-only",
+                 f"{prior['git_head']}..{head}"], cwd=REPO,
+                capture_output=True, text=True)
+            manifest["stale_resume"] = {
+                "evidence_head": prior["git_head"],
+                "current_head": head,
+                "diff_files": sorted(diff.stdout.split())
+                if diff.returncode == 0 else "unresolvable",
+                "prior_stale_resume": prior.get("stale_resume"),
+            }
 
     def seal() -> None:
         """Recompute ok + artifact digest and persist — after every
@@ -301,9 +324,11 @@ def main() -> None:
             json.dump(manifest, fh, indent=1, sort_keys=True)
 
     steps = make_steps(args)
+    redo = set(args.redo.split(",")) - {""}
     for name in wanted:
         done = manifest["steps"].get(name)
-        if args.resume and done and done.get("rc") == 0:
+        if args.resume and done and done.get("rc") == 0 \
+                and name not in redo:
             print(json.dumps({"step": name, "skipped": "already green"}))
             continue
         t0 = time.time()
@@ -313,6 +338,10 @@ def main() -> None:
             res = {"rc": 1, "summary": {"error": repr(e)[:500]},
                    "artifacts": []}
         res["seconds"] = round(time.time() - t0, 1)
+        # per-step provenance: the head/dirty state the step ACTUALLY
+        # ran at (mid-bundle commits happen; the manifest should show
+        # exactly which evidence predates them)
+        res["git_head"], res["git_dirty"] = git_head()
         res["artifacts"] = {
             os.path.relpath(p, REPO): sha256(p)
             for p in res.get("artifacts", []) if os.path.exists(p)}
