@@ -45,6 +45,16 @@ def test_sha256_matches_cli(tmp_path):
     assert rev.sha256(str(p)) == expect
 
 
+def test_leakgrep_is_clean_on_this_repo():
+    """Doubles as the LOCAL leak gate: the engine package must never
+    import the reference's stack or name internal hosts."""
+    class A:
+        pass
+    res = rev.step_leakgrep(A())
+    assert res["rc"] == 0, res["summary"]["hits"]
+    assert res["summary"]["n_hits"] == 0
+
+
 def test_step_order_covers_every_step():
     class A:  # minimal args stand-in
         round = 9

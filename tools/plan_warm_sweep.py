@@ -50,7 +50,6 @@ Check without rewriting:
 from __future__ import annotations
 
 import json
-import os
 import sys
 
 sys.path.insert(0, "/root/repo")

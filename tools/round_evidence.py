@@ -65,8 +65,18 @@ SF_DRIVES = [  # (tag, data dir, sf) — matrix rows, cheapest first
     ("01", "/root/testdata/sf0.1", 0.1),
 ]
 
-STEP_ORDER = ["pytest", "plan_warm_check", "drive_sf0001", "drive_sf001",
-              "drive_sf01", "bench", "bench_delta", "smoke", "smoke_delta"]
+STEP_ORDER = ["leakgrep", "pytest", "plan_warm_check", "drive_sf0001",
+              "drive_sf001", "drive_sf01", "bench", "bench_delta",
+              "smoke", "smoke_delta"]
+
+# The judge's round-8 leak audit, as a recorded step: the engine must
+# not import the reference's stack (requests is allowed — the REST
+# source uses the public library behind an import-try) nor mention
+# internal/proprietary hosts. Hits are recorded verbatim in the
+# manifest; any hit fails the bundle.
+LEAK_PATTERNS = (r"(import|from) +(boto3|psycopg2|airflow|dropbox)\b",
+                 r"anthropic", r"\.corp\b", r"\.internal\b",
+                 r"zoom\.us", r"api\.zoom")
 
 
 def sha256(path: str) -> str:
@@ -118,6 +128,23 @@ def last_json_line(text: str) -> dict:
 
 # ---------------------------------------------------------------------------
 # Steps. Each returns {"rc": int, "summary": ..., "artifacts": [paths]}.
+
+def step_leakgrep(args) -> dict:
+    hits: list[str] = []
+    for pat in LEAK_PATTERNS:
+        r = subprocess.run(
+            ["grep", "-rInE", pat, "zoom_etl_spark", "tools", "bench.py",
+             "scale_smoke.py", "__spark_entry__.py", "--include=*.py",
+             # the pattern list itself lives in this file
+             "--exclude=round_evidence.py"],
+            cwd=REPO, capture_output=True, text=True)
+        hits += [f"{pat} :: {line}" for line in
+                 r.stdout.strip().splitlines() if line]
+    return {"rc": 1 if hits else 0,
+            "summary": {"n_hits": len(hits), "hits": hits[:20],
+                        "patterns": list(LEAK_PATTERNS)},
+            "artifacts": []}
+
 
 def step_pytest(args) -> dict:
     rc, tail = run_cmd([sys.executable, "-m", "pytest", "tests/", "-q",
@@ -239,6 +266,7 @@ def step_smoke_delta(args) -> dict:
 
 def make_steps(args) -> dict:
     steps = {
+        "leakgrep": lambda: step_leakgrep(args),
         "pytest": lambda: step_pytest(args),
         "plan_warm_check": lambda: step_plan_warm_check(args),
         "bench": lambda: step_bench(args),
