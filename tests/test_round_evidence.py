@@ -27,6 +27,13 @@ def test_last_json_line_empty_on_no_json():
     assert rev.last_json_line("no json here\nat all") == {}
 
 
+def test_last_json_line_tolerates_trailing_text():
+    # fold_drive_ledger prints '{...} exceptions: []' on one line
+    assert rev.last_json_line(
+        '{"metric": "sf01_oracle_drive", "n": 312} exceptions: []'
+    ) == {"metric": "sf01_oracle_drive", "n": 312}
+
+
 def test_latest_committed_smoke_picks_newest_prior_round():
     # repo truth: r05..r08 smoke folds are committed
     assert rev._latest_committed_smoke(9).endswith(

@@ -116,12 +116,13 @@ def run_cmd(cmd: list[str], env: dict | None = None,
 
 
 def last_json_line(text: str) -> dict:
+    dec = json.JSONDecoder()
     for line in reversed(text.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except ValueError:
+            try:  # raw_decode tolerates trailing text on the line
+                return dec.raw_decode(line)[0]  # (fold_drive_ledger
+            except ValueError:  # appends "exceptions: [...]")
                 continue
     return {}
 
