@@ -150,3 +150,22 @@ def test_stale_without_accept_reruns(tmp_path, monkeypatch):
     n, out = _run_main(tmp_path, monkeypatch, ["--resume"], GREEN_PRIOR)
     assert n == 1
     assert "stale_resume" not in out
+
+
+def test_verify_manifest_detects_tamper(tmp_path, monkeypatch):
+    import hashlib
+    art = tmp_path / "CORRECTNESS_X.json"
+    art.write_text('{"n": 312}')
+    h = hashlib.sha256(art.read_bytes()).hexdigest()
+    manifest = {"ok": True, "digest":
+                hashlib.sha256(h.encode()).hexdigest(),
+                "steps": {"drive": {"rc": 0, "artifacts":
+                                    {"CORRECTNESS_X.json": h}}}}
+    mpath = tmp_path / "ROUND_EVIDENCE_r98.json"
+    mpath.write_text(json.dumps(manifest))
+    monkeypatch.setattr(rev, "REPO", str(tmp_path))
+    assert rev.verify_manifest(str(mpath)) == 0
+    art.write_text('{"n": 311}')  # tamper
+    assert rev.verify_manifest(str(mpath)) == 1
+    art.unlink()  # missing artifact also fails
+    assert rev.verify_manifest(str(mpath)) == 1

@@ -265,6 +265,33 @@ def step_smoke_delta(args) -> dict:
             "artifacts": [os.path.join(REPO, "SMOKE_delta.json")]}
 
 
+def verify_manifest(manifest_path: str) -> int:
+    """Judge mode: recompute every artifact hash the manifest names
+    plus the digest over them; report mismatches. Returns exit code."""
+    m = json.load(open(manifest_path))
+    bad: dict[str, str] = {}
+    for step, row in m.get("steps", {}).items():
+        for rel, want in row.get("artifacts", {}).items():
+            path = os.path.join(REPO, rel)
+            if not os.path.exists(path):
+                bad[rel] = "missing"
+            elif sha256(path) != want:
+                bad[rel] = "hash mismatch"
+    all_hashes = "".join(
+        h for s in m.get("steps", {}).values()
+        for h in sorted(s.get("artifacts", {}).values()))
+    digest_ok = (hashlib.sha256(all_hashes.encode()).hexdigest()
+                 == m.get("digest"))
+    print(json.dumps({"metric": "round_evidence_verify",
+                      "manifest": os.path.relpath(manifest_path, REPO),
+                      "n_artifacts": sum(
+                          len(s.get("artifacts", {}))
+                          for s in m.get("steps", {}).values()),
+                      "mismatches": bad, "digest_ok": digest_ok,
+                      "ok": m.get("ok")}))
+    return 0 if (not bad and digest_ok) else 1
+
+
 def make_steps(args) -> dict:
     steps = {
         "leakgrep": lambda: step_leakgrep(args),
@@ -300,7 +327,16 @@ def main() -> None:
                          "the kept steps — judge-checkable)")
     ap.add_argument("--bench-runs", type=int, default=2)
     ap.add_argument("--smoke-slices", type=int, default=4)
+    ap.add_argument("--verify-manifest", action="store_true",
+                    help="audit mode: recompute the sha256 of every "
+                         "artifact the manifest names and the digest "
+                         "over them; exit 1 on any mismatch. Runs "
+                         "nothing.")
     args = ap.parse_args()
+
+    if args.verify_manifest:
+        sys.exit(verify_manifest(
+            os.path.join(REPO, f"ROUND_EVIDENCE_r{args.round:02d}.json")))
 
     wanted = [s for s in STEP_ORDER
               if s in set(args.steps.split(","))
