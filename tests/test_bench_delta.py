@@ -215,3 +215,59 @@ def test_reclear_verdicts_recorded():
     assert flagged["still_slow"]["reclear"]["verdict"] == \
         "confirmed_regression"
     assert flagged["crashes"]["reclear"]["verdict"] == "error"
+
+
+def test_rev_path_prior_accepted_and_loaded():
+    """A REV:PATH git spec is committed by construction: it passes the
+    strict gate and loads the blob content at that revision, so the
+    prior survives the working-tree file being overwritten (the
+    round-9 self-prior fix)."""
+    assert bench_delta.is_rev_path("HEAD:BENCH_full.json")
+    assert not bench_delta.is_rev_path("/root/repo/BENCH_full.json")
+    assert not bench_delta.is_rev_path("docs/replans.json")
+    assert bench_delta.is_committed("HEAD:BENCH_full.json")
+    d = bench_delta.load_json_prior("HEAD:BENCH_full.json")
+    assert "queries" in d
+
+
+def test_dirty_tracked_prior_rejected(tmp_path, monkeypatch):
+    """A git-tracked file with local edits is NOT a committed prior —
+    its content is as unrecoverable as a /tmp file. (Simulated via the
+    porcelain call so no real tracked file is dirtied.)"""
+    real_run = bench_delta.subprocess.run
+
+    def fake_run(cmd, **kw):
+        if cmd[:2] == ["git", "status"]:
+            return type("R", (), {"returncode": 0,
+                                  "stdout": " M BENCH_full.json\n"})()
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(bench_delta.subprocess, "run", fake_run)
+    assert not bench_delta.is_committed("/root/repo/BENCH_full.json")
+
+
+def test_norm_ts_handles_offsets():
+    """A +02:00 `since` from a non-UTC machine must sort
+    chronologically against Z run stamps, not as local-time text
+    (review finding: lexicographic compare mis-classified runs within
+    the offset window)."""
+    n = bench_delta._norm_ts
+    assert n("2026-08-16T23:43:18+02:00") == "2026-08-16T21:43:18Z"
+    assert n("2026-08-16T21:43:18Z") == "2026-08-16T21:43:18Z"
+    assert n("2026-08-16T21:43:18+00:00") == "2026-08-16T21:43:18Z"
+    # post-re-plan Z run no longer sorts before a +02:00 since
+    assert n("2026-08-16T22:00:00Z") > n("2026-08-16T23:43:18+02:00")
+    assert n("not a timestamp") == "not a timestamp"  # never raises
+
+
+def test_runs_history_non_numeric_timing_skipped(tmp_path):
+    """A hand-annotated or null timing inside runs_history must be
+    filtered like the flat path filters it, not crash the gate."""
+    p = tmp_path / "hist.json"
+    p.write_text(json.dumps({"runs_history": [
+        {"ts": "2026-08-16T00:00:00Z",
+         "queries": {"q1": 1.0, "q2": "folded: see note", "q3": None}},
+    ]}))
+    clean, errored, dropped = bench_delta.load_prior(str(p), {})
+    assert clean == {"q1": 1.0}
+    assert not errored and not dropped

@@ -169,3 +169,54 @@ def test_verify_manifest_detects_tamper(tmp_path, monkeypatch):
     assert rev.verify_manifest(str(mpath)) == 1
     art.unlink()  # missing artifact also fails
     assert rev.verify_manifest(str(mpath)) == 1
+
+
+def test_digest_is_insertion_order_independent():
+    """The review's top finding: seal() hashed artifact hashes in step
+    INSERTION order while verify recomputed over JSON-sorted keys, so
+    a fresh bundle failed its own audit. digest_of is now the single
+    definition, sorted."""
+    run_order = {}
+    run_order["drive_sf01"] = {"rc": 0, "artifacts": {"c.json": "h1"}}
+    run_order["bench"] = {"rc": 0, "artifacts": {"b.json": "h2"}}
+    sorted_order = dict(sorted(run_order.items()))
+    assert list(run_order) != list(sorted_order)  # genuinely differs
+    assert rev.digest_of(run_order) == rev.digest_of(sorted_order)
+
+
+def test_fresh_bundle_passes_its_own_audit(tmp_path, monkeypatch):
+    """End-to-end: a fresh run whose steps land in non-sorted order
+    must verify_manifest clean after the JSON round-trip."""
+    a1 = tmp_path / "c1.json"
+    a2 = tmp_path / "c2.json"
+
+    def step(path, text):
+        path.write_text(text)
+        return {"rc": 0, "summary": {}, "artifacts": [str(path)]}
+
+    monkeypatch.setattr(rev, "make_steps", lambda args: {
+        "drive_sf01": lambda: step(a1, "one"),   # runs before 'bench'
+        "bench": lambda: step(a2, "two")})        # but sorts after it
+    monkeypatch.setattr(rev, "git_head", lambda: ("h", False))
+    monkeypatch.setattr(rev, "REPO", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", [
+        "round_evidence.py", "--round", "97",
+        "--steps", "drive_sf01,bench"])
+    with pytest.raises(SystemExit) as ei:
+        rev.main()
+    assert ei.value.code == 0
+    mpath = str(tmp_path / "ROUND_EVIDENCE_r97.json")
+    assert rev.verify_manifest(mpath) == 0
+
+
+def test_unknown_step_name_is_an_error(tmp_path, monkeypatch):
+    """A typo in --steps/--skip/--redo must not silently drop a gate
+    from the bundle."""
+    monkeypatch.setattr(rev, "git_head", lambda: ("h", False))
+    monkeypatch.setattr(rev, "REPO", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", [
+        "round_evidence.py", "--round", "97",
+        "--steps", "pytest,smoke_detla"])
+    with pytest.raises(SystemExit) as ei:
+        rev.main()
+    assert ei.value.code == 2

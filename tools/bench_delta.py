@@ -9,11 +9,14 @@ passed (the per-query MIN across runs is the established
 contention-noise filter — single full-suite runs on this host wobble
 2-12x on unchanged plans), under three round-8 hardenings:
 
-1. **Committed priors only.** Every --prev path must be a git-tracked
-   file inside the repo, so the committed delta is reproducible from
-   the repo alone (the round-8 artifact cited /tmp/bench_full_r07.json
-   — unrecoverable). --allow-uncommitted exists for ad-hoc local use
-   and unit tests; the committed round artifacts must not use it.
+1. **Committed priors only.** Every --prev must be a `REV:PATH` git
+   spec (read via git show — committed by construction; the natural
+   prior is `HEAD:BENCH_full.json` BEFORE this round's runs land) or
+   a git-tracked repo file that is CLEAN in the working tree (a
+   tracked-but-edited prior is as unrecoverable as the round-8
+   artifact's /tmp/bench_full_r07.json). --allow-uncommitted exists
+   for ad-hoc local use and unit tests; the committed round artifacts
+   must not use it.
 
 2. **Re-plan-aware priors.** docs/replans.json records queries whose
    plan deliberately changed (query -> since/commit/note). Prior runs
@@ -66,10 +69,21 @@ DEFAULT_REPLANS = os.path.join(REPO, "docs", "replans.json")
 
 
 def _norm_ts(ts: str) -> str:
-    """Normalize ISO-8601 to `...Z` so fixed-width lexicographic
-    compare equals chronological (runs_history and replans.json both
-    record UTC; `+00:00` suffixes are folded to `Z`)."""
-    return ts.replace("+00:00", "Z")
+    """Normalize ISO-8601 to a canonical UTC `...Z` string so
+    fixed-width lexicographic compare equals chronological. Parses the
+    offset properly — a `since` recorded from a +02:00 machine must
+    not sort as local-time text against a `Z` run timestamp (that
+    mis-classifies runs within the offset window around a re-plan).
+    Unparseable strings fall back to the raw value (compares as
+    before; never raises inside the gate)."""
+    from datetime import datetime, timezone
+    try:
+        dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        if dt.tzinfo is None:  # runs_history stamps are UTC by contract
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return ts.replace("+00:00", "Z")
 
 
 def load_replans(path: str | None) -> dict[str, str]:
@@ -83,15 +97,50 @@ def load_replans(path: str | None) -> dict[str, str]:
             if isinstance(entry, dict) and "since" in entry}
 
 
+def is_rev_path(spec: str) -> bool:
+    """True for `REV:PATH` prior specs (resolved via git cat-file —
+    committed by construction, the strongest reproducibility form)."""
+    rev, sep, path = spec.partition(":")
+    return bool(sep) and bool(rev) and bool(path) \
+        and not os.path.exists(spec) and "/" not in rev
+
+
+def load_json_prior(spec: str) -> dict:
+    """Load a prior artifact from a working-tree path or a `REV:PATH`
+    git spec. REV:PATH reads the blob at that revision, so the prior
+    is recoverable from the repo alone even after the working-tree
+    file is overwritten (the previous round's committed BENCH_full
+    fold is `HEAD:BENCH_full.json` before this round's runs land)."""
+    if is_rev_path(spec):
+        r = subprocess.run(["git", "show", spec], cwd=REPO,
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            raise FileNotFoundError(
+                f"{spec}: {r.stderr.strip()[:200]}")
+        return json.loads(r.stdout)
+    return json.load(open(spec))
+
+
 def is_committed(path: str) -> bool:
-    """True iff `path` is a git-tracked file inside this repo."""
+    """True iff `path` is a git prior the committed delta can be
+    reproduced from: a `REV:PATH` spec (always), or a git-tracked
+    repo file that is CLEAN in the working tree — a tracked-but-
+    locally-edited prior is exactly as unrecoverable as a /tmp file."""
+    if is_rev_path(path):
+        return True
     ap = os.path.abspath(path)
     if not ap.startswith(REPO + os.sep):
         return False
+    rel = os.path.relpath(ap, REPO)
     r = subprocess.run(
-        ["git", "ls-files", "--error-unmatch", os.path.relpath(ap, REPO)],
+        ["git", "ls-files", "--error-unmatch", rel],
         cwd=REPO, capture_output=True, text=True)
-    return r.returncode == 0
+    if r.returncode != 0:
+        return False
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", rel],
+        cwd=REPO, capture_output=True, text=True).stdout.strip()
+    return not dirty
 
 
 def _errored(d: dict) -> set[str]:
@@ -126,7 +175,7 @@ def load_prior(path: str, replans: dict[str, str]
     SMOKE artifacts) fall back to `queries_min_of_runs` then the flat
     queries map, where a re-planned query's age is unknowable — it is
     dropped conservatively."""
-    d = json.load(open(path))
+    d = load_json_prior(path)
     runs = d.get("runs_history")
     if runs:
         min_map: dict[str, float] = {}
@@ -138,8 +187,8 @@ def load_prior(path: str, replans: dict[str, str]
             ts = _norm_ts(run.get("ts", ""))
             for name, sec in run.get("queries", {}).items():
                 seen.add(name)
-                if name in bad:
-                    continue
+                if name in bad or not isinstance(sec, (int, float)):
+                    continue  # same guard the flat path applies
                 since = replans.get(name)
                 if since and (not ts or ts < since):
                     continue  # pre-re-plan (or unknown-age) timing

@@ -79,6 +79,17 @@ LEAK_PATTERNS = (r"(import|from) +(boto3|psycopg2|airflow|dropbox)\b",
                  r"zoom\.us", r"api\.zoom")
 
 
+def digest_of(steps: dict) -> str:
+    """Digest over all artifact hashes in SORTED (step, hash) order —
+    the ONE definition both seal() and verify_manifest() use. (An
+    insertion-order digest failed its own audit after a JSON
+    round-trip sorted the keys.)"""
+    all_hashes = "".join(
+        h for _, s in sorted(steps.items())
+        for h in sorted(s.get("artifacts", {}).values()))
+    return hashlib.sha256(all_hashes.encode()).hexdigest()
+
+
 def sha256(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as fh:
@@ -167,6 +178,20 @@ def step_drive(tag: str, sf_dir: str, sf: float, args) -> dict:
     rtag = f"r{args.round:02d}"
     jsonl = f"/tmp/zes_drive_sf{tag}_{rtag}.jsonl"
     ledger = f"CORRECTNESS_SF{tag}_{rtag}.json"
+    # query-grain resume is SAME-HEAD only: a sidecar marker records
+    # the head the jsonl's rows were produced at, and a different
+    # current head restarts the drive — otherwise results from an
+    # older commit would silently fold into a ledger stamped with the
+    # new head (the bundle's provenance contract, at query grain)
+    head, _ = git_head()
+    marker = jsonl + ".head"
+    if os.path.exists(jsonl):
+        prior_head = (open(marker).read().strip()
+                      if os.path.exists(marker) else "")
+        if prior_head != head:
+            os.unlink(jsonl)
+    with open(marker, "w") as fh:
+        fh.write(head)
     rc, tail = run_cmd([sys.executable, "tools/oracle_drive.py",
                         "--sf", sf_dir, "--out", jsonl, "--resume"])
     fold_rc, fold_tail = run_cmd([
@@ -195,14 +220,19 @@ def step_bench(args) -> dict:
 
 
 def step_bench_delta(args) -> dict:
-    # the committed BENCH_full.json IS the prior: its runs_history
-    # still carries the previous round's folded runs (bench_delta
-    # refolds history per-run, replan-aware), and the current run's
-    # own row in that history can only LOWER a prior min when it is
-    # itself the fastest — which is never a flag.
+    # the prior is the COMMITTED BENCH_full.json blob (git rev spec,
+    # not the working-tree file bench just overwrote): reproducible
+    # from the repo alone, and immune to the self-compare degradation
+    # where a registry change resets the working fold's history to
+    # only this round's runs. The spec pins the RESOLVED commit (not
+    # the moving HEAD ref) so the committed artifact's prev_files
+    # stays dereferenceable forever.
+    head = subprocess.run(
+        ["git", "rev-parse", "--short=12", "HEAD"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip()
     rc, tail = run_cmd([sys.executable, "tools/bench_delta.py",
                         "--current", "BENCH_full.json",
-                        "--prev", "BENCH_full.json",
+                        "--prev", f"{head}:BENCH_full.json",
                         "--out", "BENCH_delta.json", "--reclear"])
     return {"rc": rc, "summary": last_json_line(tail) or {"tail": tail},
             "artifacts": [os.path.join(REPO, "BENCH_delta.json")]}
@@ -277,11 +307,7 @@ def verify_manifest(manifest_path: str) -> int:
                 bad[rel] = "missing"
             elif sha256(path) != want:
                 bad[rel] = "hash mismatch"
-    all_hashes = "".join(
-        h for s in m.get("steps", {}).values()
-        for h in sorted(s.get("artifacts", {}).values()))
-    digest_ok = (hashlib.sha256(all_hashes.encode()).hexdigest()
-                 == m.get("digest"))
+    digest_ok = digest_of(m.get("steps", {})) == m.get("digest")
     print(json.dumps({"metric": "round_evidence_verify",
                       "manifest": os.path.relpath(manifest_path, REPO),
                       "n_artifacts": sum(
@@ -338,9 +364,16 @@ def main() -> None:
         sys.exit(verify_manifest(
             os.path.join(REPO, f"ROUND_EVIDENCE_r{args.round:02d}.json")))
 
-    wanted = [s for s in STEP_ORDER
-              if s in set(args.steps.split(","))
-              and s not in set(args.skip.split(","))]
+    chosen = set(args.steps.split(",")) - {""}
+    skipped = set(args.skip.split(",")) - {""}
+    redo_named = set(args.redo.split(",")) - {""}
+    unknown = (chosen | skipped | redo_named) - set(STEP_ORDER)
+    if unknown:  # a typo must not silently drop a gate from the bundle
+        print(json.dumps({"metric": "round_evidence", "error":
+                          f"unknown step name(s): {sorted(unknown)}",
+                          "known": STEP_ORDER}))
+        sys.exit(2)
+    wanted = [s for s in STEP_ORDER if s in chosen and s not in skipped]
     manifest_path = os.path.join(REPO, f"ROUND_EVIDENCE_r{args.round:02d}.json")
     head, dirty = git_head()
 
@@ -378,18 +411,14 @@ def main() -> None:
         skipped --resume still carries a fresh verdict)."""
         manifest["finished"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                              time.gmtime())
-        all_hashes = "".join(
-            h for s in manifest["steps"].values()
-            for h in sorted(s.get("artifacts", {}).values()))
-        manifest["digest"] = hashlib.sha256(
-            all_hashes.encode()).hexdigest()
+        manifest["digest"] = digest_of(manifest["steps"])
         manifest["ok"] = bool(manifest["steps"]) and all(
             s.get("rc") == 0 for s in manifest["steps"].values())
         with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
 
     steps = make_steps(args)
-    redo = set(args.redo.split(",")) - {""}
+    redo = redo_named
     for name in wanted:
         done = manifest["steps"].get(name)
         if args.resume and done and done.get("rc") == 0 \

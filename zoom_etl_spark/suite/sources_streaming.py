@@ -1082,8 +1082,9 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame restatement of the ``fully_late_batch`` rule over that
     ledger — ``event_max < watermark`` on the progress report's own
     ISO-8601 strings, exactly ``StreamMetrics.fully_late_batches`` —
-    cross-checked row-for-row against the AlertRouter's sink-routed
-    output (RuntimeError on divergence, never a silent pick). The
+    cross-checked row-for-row against EVERY alert the AlertRouter
+    evaluates, all severities, so warning-rule noise fails as loudly
+    as rule drift (RuntimeError on divergence, never a silent pick). The
     DuckDB oracle restates the fixture deterministically: batch 0 is
     the newer file (older mtime → listed first), so the watermark
     entering batch 1 is max(ts ≥ cut) − 1h, and batch 1 (all ts <
@@ -1133,8 +1134,7 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(  # return a frame that silently hash-misses
             f"alert_route drain recorded {len(log)} batch(es), expected 2 "
             f"— listener events not delivered within the deadline")
-    routed: list = []
-    router = AlertRouter(m).route_to("critical", routed.append)
+    router = AlertRouter(m)
     router.evaluate("alert_route_drain")
     # materialize the batch log as the alert LEDGER (driver-side
     # metadata — one tiny row per micro-batch regardless of data
@@ -1153,15 +1153,21 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.lit("fully_late_batch").alias("rule"),
                       F.lit("critical").alias("severity"),
                       F.col("batch_id")))
-    # cross-check the DataFrame restatement against the router's
-    # sink-routed alerts — any divergence is a bug, not a tiebreak
+    # cross-check the DataFrame restatement against EVERY alert the
+    # router evaluated (all severities, not just the critical sink):
+    # a spurious warning-rule firing (state_growth / watermark_stalled)
+    # makes `want` carry an extra row and fails here LOUDLY — the
+    # "exactly one critical alert, no warning noise" contract is
+    # enforced by this comparison, not just asserted in prose
     got = sorted((r.rule, r.severity, r.batch_id)
                  for r in alerts.collect())
-    want = sorted((a.rule, a.severity, int(a.batch_id)) for a in routed)
+    want = sorted((a.rule, a.severity, int(a.batch_id))
+                  for a in router.alerts)
     if got != want:
         raise RuntimeError(
             f"alert ledger restatement {got} != AlertRouter output "
-            f"{want} — rule drift between monitor.py and the ledger")
+            f"{want} — rule drift between monitor.py and the ledger, "
+            f"or warning-rule noise during the drain")
     return alerts
 
 
