@@ -215,6 +215,50 @@ def test_minhash_banding_s_curve(spark):
     assert sum(lo) / len(lo) <= 0.2, sum(lo) / len(lo)
 
 
+def test_ngram_jaccard_cold_hot_split_matches_full_arrays(spark):
+    """The round-9 verify restructure (i = i_cold + i_hot, no full-array
+    array_intersect per candidate) must emit the IDENTICAL (pair,
+    jaccard) map as the old full-set verify — on a corpus engineered so
+    i_hot > 0 (a boilerplate shingle with df > max_df shared by near-dup
+    pairs) AND a pair that only passes the threshold WITH its hot
+    shingles counted."""
+    from zoom_etl_spark.dedup.ngram import (ngram_candidate_counts,
+                                            ngram_jaccard_pairs, shingled)
+    boiler = "lorem ipsum dolor"          # one trigram shared by ALL docs
+    rows = [(i, f"{boiler} filler{i}a filler{i}b filler{i}c")
+            for i in range(30)]           # df(boiler-grams) > max_df=20
+    # planted near-dup pair: large kept-shingle overlap + the hot grams
+    rows += [(100, f"{boiler} alpha beta gamma delta epsilon zeta"),
+             (101, f"{boiler} alpha beta gamma delta epsilon eta")]
+    # pair that passes 0.2 ONLY when hot shingles are counted: few kept
+    # shared grams, but the boilerplate pushes i over the line
+    rows += [(200, f"{boiler} omega psi chi"),
+             (201, f"{boiler} omega psi phi")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    new = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                               threshold=0.2, max_df=20).collect()}
+    # brute-force reference: the pre-round-9 full-array verify
+    sh = shingled(d, "doc_id", "text", 3).persist()
+    cand = ngram_candidate_counts(sh, 20).select("id_a", "id_b")
+    pa = sh.select(F.col("doc").alias("id_a"),
+                   F.col("grams").alias("ga"), F.col("n").alias("na"))
+    pb = sh.select(F.col("doc").alias("id_b"),
+                   F.col("grams").alias("gb"), F.col("n").alias("nb"))
+    j = (cand.join(pa, "id_a").join(pb, "id_b")
+         .withColumn("i", F.size(F.array_intersect("ga", "gb"))
+                     .cast("double")))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    old = {(r.id_a, r.id_b): r.jaccard for r in
+           j.filter(jac >= 0.2)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .collect()}
+    sh.unpersist()
+    assert new == old
+    assert (100, 101) in new
+    assert (200, 201) in new              # hot shingles counted exactly
+
+
 def test_prefix_filter_lossless(spark, sf_dir):
     """PPJoin-style prefix filtering (ngram_candidates threshold=) must
     be LOSSLESS for Jaccard >= t: the filtered candidate set, verified
