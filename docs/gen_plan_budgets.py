@@ -66,9 +66,9 @@ _STREAMING = (
 )
 _ITERATIVE = (
     "bpe_train", "dedup_clusters", "dedup_levenshtein",
-    "dedup_minhash_exact", "graph_bfs_hops", "graph_pagerank",
-    "graph_sssp_weighted", "graph_triangles", "lang_id_ngram",
-    "split_leakage_free",
+    "dedup_minhash_exact", "graph_bfs_hops", "graph_hits",
+    "graph_pagerank", "graph_sssp_weighted", "graph_triangles",
+    "lang_id_ngram", "split_leakage_free",
 )
 _MODEL_STATE = (
     # these COLLECT during construction (sketch thresholds, k-means

@@ -126,6 +126,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
               .drop("src", "deg")
               .crossJoin(F.broadcast(nn))
               .withColumn("r", F.expr(f"{_S} div n")))
+    # NOT checkpointed per iteration, deliberately (round-9 A/B,
+    # interleaved, min-of-3: unchecked 3.78 s vs checkpointed 4.58 s at
+    # sf0.1): the rank table is referenced 3× per iteration, but every
+    # duplicate subtree is salvaged by exchange reuse here, and the 4
+    # extra checkpoint materializations cost more than the duplicated
+    # projections they remove — the opposite verdict from graph_hits,
+    # whose 2^(2·iters) blowup exchange reuse does NOT contain.
     for _ in range(_ITERS):
         cr = (r.filter(F.col("kind") == "c")
                .select(F.col("id").alias("src"), F.col("r").alias("ru")))
@@ -522,16 +529,28 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
               .distinct().localCheckpoint(eager=False))
     h = edges.select("src").distinct() \
              .withColumn("h", F.lit(1000000).cast("long"))
+    # Each raw half-step frame is consumed TWICE (its own max-norm
+    # aggregate + the normalized frame) and feeds the next half-step —
+    # without truncation the final plan tree duplicates the edge-join
+    # subtree 2^(2·iters) ≈ 64×, which round 9 measured as a
+    # 566-shuffle-Exchange initial plan and ~10 s of re-executed
+    # subtrees at sf0.1 (plans/r09/graph_hits_before.txt). One
+    # localCheckpoint per half-step (the dedup/cluster.py iterative
+    # discipline) keeps the plan linear in the iteration count; the
+    # integer arithmetic is untouched, so the fixpoint values are
+    # bit-identical.
     for _ in range(_HITS_ITERS):
         araw = (edges.join(h, "src")
-                .groupBy("dst").agg(F.sum("h").cast("long").alias("a")))
+                .groupBy("dst").agg(F.sum("h").cast("long").alias("a"))
+                .localCheckpoint(eager=False))
         amax = araw.agg(F.max("a").alias("m"))
         a = (araw.crossJoin(F.broadcast(amax))
              .select("dst", F.expr(
                  "CAST(CAST(1000000 AS DECIMAL(38,0)) * a div m "
                  "AS BIGINT)").alias("a")))
         hraw = (edges.join(a, "dst")
-                .groupBy("src").agg(F.sum("a").cast("long").alias("h")))
+                .groupBy("src").agg(F.sum("a").cast("long").alias("h"))
+                .localCheckpoint(eager=False))
         hmax = hraw.agg(F.max("h").alias("m"))
         h = (hraw.crossJoin(F.broadcast(hmax))
              .select("src", F.expr(
