@@ -289,7 +289,7 @@ def stream_windowed_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double").alias("total")))
     out = agg.select("user_id", F.col("w.start").alias("h"), "cnt", "total")
     run_available_now(out, "stream_winagg_log", output_mode="update",
-                        n_state_partitions=16)
+                        n_state_partitions=8)
     log = spark.table("stream_winagg_log")
     return (log.groupBy("user_id", "h")
             .agg(F.max("cnt").alias("cnt"),
@@ -330,8 +330,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("user_id = e_user_id AND error_ts >= signup_ts "
                "AND error_ts < signup_ts + INTERVAL 1 HOUR"),
         "inner")
+    # 8 state partitions, not 16 (round-9 interleaved A/B, min-of-2:
+    # 7.75 s @16 -> 3.47 s @8 at sf0.1): a symmetric-hash stream-stream
+    # join keeps FOUR state stores per partition, so instance
+    # maintenance dominates a bounded replay well before state size
+    # does. Workload sizing, not cluster width — production raises it
+    # before first start (state_partitions docstring).
     run_available_now(joined, "stream_ss_join_log", output_mode="append",
-                        n_state_partitions=16)
+                        n_state_partitions=8)
     return spark.table("stream_ss_join_log").select(
         "user_id", "signup_id", "signup_ts",
         "error_id", "error_ts", "error_value")
@@ -439,8 +445,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. The full drained-set sandwich (must ⊆ drained ⊆ may)
     stays property-gated in test_sources_streaming.py."""
     joined = _ss_left_join_streams(spark, sf_dir)
+    # 8 state partitions, not 16 — same four-stores-per-partition
+    # measurement as stream_stream_join (7.52 s @16 -> 4.52 s @8).
     run_available_now(joined, "stream_ss_ljoin_log", output_mode="append",
-                        n_state_partitions=16)
+                        n_state_partitions=8)
     e = table(spark, sf_dir, "events")
     wm = (e.groupBy("event_type").agg(F.max("ts").alias("mx"))
           .filter(F.col("event_type").isin("signup", "error"))
@@ -546,7 +554,7 @@ def stream_session_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select("user_id", F.col("w.start").alias("session_start"),
                      "n_events")
     run_available_now(out, "stream_session_log", output_mode="append",
-                        n_state_partitions=16)
+                        n_state_partitions=8)
     return spark.table("stream_session_log")
 
 
