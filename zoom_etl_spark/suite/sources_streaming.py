@@ -1126,17 +1126,22 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     agg = (stream.withWatermark("ts", "1 hour")
                  .groupBy(F.window("ts", "1 day")).count())
-    from ..streaming.ingest import drain_checkpoint
-    with watched(spark) as m, drain_checkpoint("alert_route") as ckpt:
+    from ..streaming.ingest import drain_checkpoint, state_partitions
+    # state_partitions(8): the windowed aggregate is stateful, and this
+    # drain previously inherited the session's 64 shuffle partitions —
+    # 64 near-empty state-store instances per micro-batch (the same
+    # instance-maintenance tax measured on the stream-stream joins).
+    with watched(spark) as m, drain_checkpoint("alert_route") as ckpt, \
+            state_partitions(spark, 8):
         q = (agg.writeStream.format("memory").queryName("alert_route_drain")
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
-        deadline = time.time() + 20  # listener events arrive async
+        deadline = time.time() + 20  # listener events arrive async; poll
         while time.time() < deadline \
                 and (len(m.snapshot("alert_route_drain")) < 2
                      or not m.fully_late_batches("alert_route_drain")):
-            time.sleep(0.25)
+            time.sleep(0.05)  # fine-grained: the wait ends ~0.2s sooner
     log = m.snapshot("alert_route_drain")
     if len(log) < 2:  # incomplete listener delivery: fail LOUDLY, never
         raise RuntimeError(  # return a frame that silently hash-misses
