@@ -1028,17 +1028,21 @@ def stream_bitemporal_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
     srcdir = tempfile.mkdtemp(prefix="zes_bt_late_")
     cuts = (mx // 3, 2 * mx // 3)
-    parts = [  # ages order the file listing: low, HIGH, then mid (late)
-        ("f_low", raw.filter(F.col("event_id") <= cuts[0]), 300),
-        ("f_high", raw.filter(F.col("event_id") > cuts[1]), 200),
-        ("f_mid", raw.filter((F.col("event_id") > cuts[0])
-                             & (F.col("event_id") <= cuts[1])), 100),
-    ]
+    # ONE partitioned write instead of three filtered scans+writes
+    # (guide §6 / round-9 A/B min-of-3: 1.72 s → 1.25 s, and 3 event
+    # scans become 1). repartition("b") guarantees exactly one file per
+    # bucket dir (a bucket never splits across tasks; the writer forks
+    # per partition value within a task), which the maxFilesPerTrigger=1
+    # replay ordering requires. Ages order the file listing: low, HIGH,
+    # then mid (late).
+    bucket = (F.when(F.col("event_id") <= cuts[0], "f_low")
+              .when(F.col("event_id") > cuts[1], "f_high")
+              .otherwise("f_mid"))
+    (raw.withColumn("b", bucket).repartition("b")
+        .write.partitionBy("b").mode("overwrite").parquet(srcdir))
     now = time.time()
-    for sub, p, age in parts:
-        d = f"{srcdir}/{sub}"
-        p.coalesce(1).write.mode("overwrite").parquet(d)
-        for root, _, files in os.walk(d):
+    for sub, age in (("f_low", 300), ("f_high", 200), ("f_mid", 100)):
+        for root, _, files in os.walk(f"{srcdir}/b={sub}"):
             for fn in files:
                 os.utime(os.path.join(root, fn), (now - age, now - age))
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
@@ -1111,13 +1115,15 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
     srcdir = tempfile.mkdtemp(prefix="zes_alert_route_")
     cut = F.unix_micros(F.lit("2024-01-20").cast("timestamp")) * 1000
-    (raw.filter(F.col("ts") >= cut).coalesce(1)
-        .write.mode("overwrite").parquet(f"{srcdir}/f1_new"))
-    (raw.filter(F.col("ts") < cut).coalesce(1)
-        .write.mode("overwrite").parquet(f"{srcdir}/f2_old"))
+    # one partitioned write, not two filtered scans+writes (the
+    # stream_bitemporal_late fixture trick): exactly one file per
+    # bucket dir, mtimes order the listing (new file FIRST)
+    bucket = F.when(F.col("ts") >= cut, "f1_new").otherwise("f2_old")
+    (raw.withColumn("b", bucket).repartition("b")
+        .write.partitionBy("b").mode("overwrite").parquet(srcdir))
     now = time.time()
-    for sub, age in (("f1_new", 400), ("f2_old", 100)):  # new file FIRST
-        for root, _, files in os.walk(f"{srcdir}/{sub}"):
+    for sub, age in (("f1_new", 400), ("f2_old", 100)):
+        for root, _, files in os.walk(f"{srcdir}/b={sub}"):
             for fn in files:
                 os.utime(os.path.join(root, fn), (now - age, now - age))
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
