@@ -107,6 +107,50 @@ def test_state_bytes_tracks_memory():
     assert state_bytes(m, "q") == [100, 250, 250]
 
 
+def test_progress_record_matches_listener_shape():
+    """``progress_record`` (the synchronous recentProgress path the
+    alert_route drain uses instead of polling the async listener bus)
+    must produce exactly the record shape ``StreamMetrics`` builds from
+    listener-event JSON — same keys, same camelCase source fields — so
+    rules evaluated over either history agree."""
+    from zoom_etl_spark.streaming.monitor import progress_record
+
+    raw = {
+        "batchId": 1, "numInputRows": 42,
+        "eventTime": {"watermark": "2024-01-21T01:02:03.000Z",
+                      "max": "2024-01-19T00:00:00.000Z",
+                      "min": "2024-01-01T00:00:00.000Z"},
+        "stateOperators": [{"operatorName": "stateStoreSave",
+                            "numRowsTotal": 7, "numRowsUpdated": 2,
+                            "numRowsDroppedByWatermark": 42,
+                            "memoryUsedBytes": 1024}],
+    }
+    rec = progress_record(raw)
+    assert rec == {
+        "batch_id": 1, "num_input_rows": 42,
+        "watermark": "2024-01-21T01:02:03.000Z",
+        "event_max": "2024-01-19T00:00:00.000Z",
+        "event_min": "2024-01-01T00:00:00.000Z",
+        "state": [{"operator": "stateStoreSave", "rows_total": 7,
+                   "rows_updated": 2, "rows_dropped_by_watermark": 42,
+                   "memory_used_bytes": 1024}],
+    }
+    # fed into StreamMetrics, the fully-late rule fires on it (event
+    # max behind watermark) exactly as with a listener-built record
+    m = StreamMetrics()
+    m.feed("q", progress_record({"batchId": 0, "numInputRows": 5,
+                                 "eventTime": {
+                                     "watermark": "2024-01-01T00:00:00.000Z",
+                                     "max": "2024-01-02T00:00:00.000Z"}}))
+    m.feed("q", rec)
+    assert m.fully_late_batches("q") == [1]
+    # a no-data finalize batch (empty eventTime) parses and never fires
+    empty = progress_record({"batchId": 2, "numInputRows": 0,
+                             "eventTime": {}})
+    m.feed("q", empty)
+    assert m.fully_late_batches("q") == [1]
+
+
 def test_live_stream_reports_state_memory(spark, sf_dir):
     """End to end: a real watermarked aggregation drain reports nonzero
     state-store memory through the listener — the SIZE leak signal is

@@ -25,6 +25,37 @@ from collections import defaultdict, deque
 from pyspark.sql.streaming.listener import StreamingQueryListener
 
 
+def progress_record(raw: dict) -> dict:
+    """One :class:`StreamMetrics` batch record from a progress dict —
+    either the parsed listener-event JSON or an entry of
+    ``StreamingQuery.recentProgress`` (a dict subclass since Spark 4);
+    both carry the same camelCase keys. ``recentProgress`` is populated
+    SYNCHRONOUSLY by the streaming engine as each micro-batch finishes,
+    so a bounded drain can read its full batch history right after
+    ``awaitTermination()`` with no listener-bus delivery wait (the
+    async listener path needed a poll-with-deadline for the same
+    facts)."""
+    et = raw.get("eventTime", {}) or {}
+    rec = {
+        "batch_id": raw.get("batchId"),
+        "num_input_rows": raw.get("numInputRows"),
+        "state": [],
+        "watermark": et.get("watermark"),
+        "event_max": et.get("max"),
+        "event_min": et.get("min"),
+    }
+    for op in raw.get("stateOperators", []) or []:
+        rec["state"].append({
+            "operator": op.get("operatorName"),
+            "rows_total": op.get("numRowsTotal"),
+            "rows_updated": op.get("numRowsUpdated"),
+            "rows_dropped_by_watermark":
+                op.get("numRowsDroppedByWatermark"),
+            "memory_used_bytes": op.get("memoryUsedBytes"),
+        })
+    return rec
+
+
 class StreamMetrics(StreamingQueryListener):
     """Collects per-batch progress for every query on the session.
 
@@ -43,28 +74,13 @@ class StreamMetrics(StreamingQueryListener):
 
     def onQueryProgress(self, event):  # noqa: N802
         p = event.progress
-        rec = {
-            "batch_id": p.batchId,
-            "num_input_rows": p.numInputRows,
-            "state": [],
-        }
         try:
             raw = json.loads(p.json)
         except Exception:
             raw = {}
-        et = raw.get("eventTime", {}) or {}
-        rec["watermark"] = et.get("watermark")
-        rec["event_max"] = et.get("max")
-        rec["event_min"] = et.get("min")
-        for op in raw.get("stateOperators", []) or []:
-            rec["state"].append({
-                "operator": op.get("operatorName"),
-                "rows_total": op.get("numRowsTotal"),
-                "rows_updated": op.get("numRowsUpdated"),
-                "rows_dropped_by_watermark":
-                    op.get("numRowsDroppedByWatermark"),
-                "memory_used_bytes": op.get("memoryUsedBytes"),
-            })
+        rec = progress_record(raw)
+        rec["batch_id"] = p.batchId
+        rec["num_input_rows"] = p.numInputRows
         self._by_query[p.name or p.id].append(rec)
 
     def onQueryTerminated(self, event):  # noqa: N802

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import query
 from ..sources import rest
-from ..streaming.ingest import read_events_stream, run_available_now, windowed_counts
+from ..streaming.ingest import (read_events_stream, replay_state_partitions,
+                                run_available_now, windowed_counts)
 
 
 @query("paginated_scan", oracle="""
@@ -79,7 +80,7 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windowed agg = stateful: opt in to small state-store sizing (the
     # override is per-call now, not silently session-wide)
     return run_available_now(result, "stream_ingest_result",
-                             n_state_partitions=8)
+                             n_state_partitions=replay_state_partitions(spark))
 
 
 @query("stream_stateful", oracle="""
@@ -103,7 +104,8 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = user_lifetime_stats(stream)
     run_available_now(out, "stream_stateful_result", output_mode="update",
-                        n_state_partitions=16)
+                        n_state_partitions=replay_state_partitions(
+                            spark, python_stateful=True))
     log = spark.table("stream_stateful_result")
     return topk_per_group(log, keys=["user_id"],
                           order=[F.col("n_events").desc(),
@@ -149,7 +151,8 @@ def stream_scd2_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = scd2_maintain(stream)
     run_available_now(out, "stream_scd2_log", output_mode="update",
-                        n_state_partitions=16)
+                        n_state_partitions=replay_state_partitions(
+                            spark, python_stateful=True))
     return scd2_finalize(spark.table("stream_scd2_log")).select(
         "user_id", "event_id", "state", "valid_from", "valid_to", "is_current")
 
@@ -262,7 +265,8 @@ def stream_lastwins_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = lastwins_maintain(stream)
     run_available_now(out, "stream_lastwins_log", output_mode="update",
-                        n_state_partitions=16)
+                        n_state_partitions=replay_state_partitions(
+                            spark, python_stateful=True))
     return lastwins_finalize(spark.table("stream_lastwins_log")).select(
         "user_id", "event_id", "event_type", "ts", "value")
 
@@ -289,7 +293,7 @@ def stream_windowed_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double").alias("total")))
     out = agg.select("user_id", F.col("w.start").alias("h"), "cnt", "total")
     run_available_now(out, "stream_winagg_log", output_mode="update",
-                        n_state_partitions=8)
+                        n_state_partitions=replay_state_partitions(spark))
     log = spark.table("stream_winagg_log")
     return (log.groupBy("user_id", "h")
             .agg(F.max("cnt").alias("cnt"),
@@ -337,7 +341,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does. Workload sizing, not cluster width — production raises it
     # before first start (state_partitions docstring).
     run_available_now(joined, "stream_ss_join_log", output_mode="append",
-                        n_state_partitions=8)
+                        n_state_partitions=replay_state_partitions(spark))
     return spark.table("stream_ss_join_log").select(
         "user_id", "signup_id", "signup_ts",
         "error_id", "error_ts", "error_value")
@@ -448,7 +452,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 state partitions, not 16 — same four-stores-per-partition
     # measurement as stream_stream_join (7.52 s @16 -> 4.52 s @8).
     run_available_now(joined, "stream_ss_ljoin_log", output_mode="append",
-                        n_state_partitions=8)
+                        n_state_partitions=replay_state_partitions(spark))
     e = table(spark, sf_dir, "events")
     wm = (e.groupBy("event_type").agg(F.max("ts").alias("mx"))
           .filter(F.col("event_type").isin("signup", "error"))
@@ -483,7 +487,8 @@ def stream_retract_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     log = retract_maintain(stream)
     run_available_now(log, "stream_retract_log", output_mode="update",
-                        n_state_partitions=16)
+                        n_state_partitions=replay_state_partitions(
+                            spark, python_stateful=True))
     return changelog_fold(spark.table("stream_retract_log")).select(
         "user_id", "n_events", F.round("value_sum", 3).alias("value_sum"))
 
@@ -510,7 +515,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("event_id", "user_id", "event_type", "ts",
                        F.round("value", 3).alias("val")))
     run_available_now(deduped, "stream_dedup_log", output_mode="append",
-                        n_state_partitions=16)
+                        n_state_partitions=replay_state_partitions(
+                            spark, python_stateful=True))
     return spark.table("stream_dedup_log")
 
 
@@ -554,7 +560,7 @@ def stream_session_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select("user_id", F.col("w.start").alias("session_start"),
                      "n_events")
     run_available_now(out, "stream_session_log", output_mode="append",
-                        n_state_partitions=8)
+                        n_state_partitions=replay_state_partitions(spark))
     return spark.table("stream_session_log")
 
 
@@ -818,7 +824,8 @@ def stream_anomaly_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = anomaly_maintain(stream)
     run_available_now(out, "stream_anom_log", output_mode="append",
-                      n_state_partitions=16)
+                      n_state_partitions=replay_state_partitions(
+                          spark, python_stateful=True))
     return spark.table("stream_anom_log").select(
         "user_id", "event_id", "is_anom")
 
@@ -853,7 +860,8 @@ def stream_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = topk_maintain(stream)
     run_available_now(out, "stream_topk_log", output_mode="update",
-                      n_state_partitions=16)
+                      n_state_partitions=replay_state_partitions(
+                          spark, python_stateful=True))
     return topk_finalize(spark.table("stream_topk_log"))
 
 
@@ -937,8 +945,9 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.sum("hn").alias("cnt"),
                         F.sum("hm").alias("milli")))
     out = daily.select(F.col("dw.start").alias("day"), "cnt", "milli")
-    return run_available_now(out, "stream_chained_log",
-                             output_mode="append", n_state_partitions=8)
+    return run_available_now(
+        out, "stream_chained_log", output_mode="append",
+        n_state_partitions=replay_state_partitions(spark))
 
 
 @query("stream_bitemporal_ivm", oracle="""
@@ -976,7 +985,8 @@ def stream_bitemporal_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("tx"))
     out = bitemporal_maintain(assertions)
     run_available_now(out, "stream_bt_log", output_mode="update",
-                      n_state_partitions=16)
+                      n_state_partitions=replay_state_partitions(
+                          spark, python_stateful=True))
     bt = bitemporal_finalize(spark.table("stream_bt_log"))
     e = table(spark, sf_dir, "events")
     tcap = e.agg(F.expr("max(event_id) div 2").alias("tcap"))
@@ -1042,9 +1052,15 @@ def stream_bitemporal_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.partitionBy("b").mode("overwrite").parquet(srcdir))
     now = time.time()
     for sub, age in (("f_low", 300), ("f_high", 200), ("f_mid", 100)):
+        got_files = False
         for root, _, files in os.walk(f"{srcdir}/b={sub}"):
             for fn in files:
+                got_files = True
                 os.utime(os.path.join(root, fn), (now - age, now - age))
+        if not got_files:  # an empty bucket writes NO dir — that would
+            raise RuntimeError(  # silently replay fewer micro-batches
+                f"bitemporal_late fixture: bucket {sub} produced no "
+                f"file (empty event_id range at this SF?)")
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("maxFilesPerTrigger", "1")
               .option("recursiveFileLookup", "true").parquet(srcdir)
@@ -1055,7 +1071,9 @@ def stream_bitemporal_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("tx"))
     run_available_now(
         bitemporal_maintain(assertions, tx_lateness=2 * mx // 3 + 2),
-        "stream_bt_late_log", output_mode="update", n_state_partitions=16)
+        "stream_bt_late_log", output_mode="update",
+        n_state_partitions=replay_state_partitions(
+            spark, python_stateful=True))
     bt = bitemporal_finalize(spark.table("stream_bt_late_log"))
     tcap = e.agg(F.expr("max(event_id) div 2").alias("tcap"))
     return (bt.crossJoin(F.broadcast(tcap))
@@ -1109,7 +1127,8 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     from ..streaming.ingest import EVENTS_SCHEMA
-    from ..streaming.monitor import AlertRouter, watched
+    from ..streaming.monitor import AlertRouter, StreamMetrics, \
+        progress_record
 
     e = table(spark, sf_dir, "events")
     raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
@@ -1123,9 +1142,15 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.partitionBy("b").mode("overwrite").parquet(srcdir))
     now = time.time()
     for sub, age in (("f1_new", 400), ("f2_old", 100)):
+        got_files = False
         for root, _, files in os.walk(f"{srcdir}/b={sub}"):
             for fn in files:
+                got_files = True
                 os.utime(os.path.join(root, fn), (now - age, now - age))
+        if not got_files:  # an empty bucket writes NO dir — that would
+            raise RuntimeError(  # silently replay fewer micro-batches
+                f"alert_route fixture: bucket {sub} produced no file "
+                f"(empty ts range at this SF?)")
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("maxFilesPerTrigger", "1")
               .option("recursiveFileLookup", "true").parquet(srcdir)
@@ -1133,26 +1158,31 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (stream.withWatermark("ts", "1 hour")
                  .groupBy(F.window("ts", "1 day")).count())
     from ..streaming.ingest import drain_checkpoint, state_partitions
-    # state_partitions(8): the windowed aggregate is stateful, and this
-    # drain previously inherited the session's 64 shuffle partitions —
-    # 64 near-empty state-store instances per micro-batch (the same
-    # instance-maintenance tax measured on the stream-stream joins).
-    with watched(spark) as m, drain_checkpoint("alert_route") as ckpt, \
-            state_partitions(spark, 8):
+    # the windowed aggregate is stateful: size its state-store instance
+    # count from the replay policy (this drain once inherited the
+    # session's 64 shuffle partitions — 64 near-empty state-store
+    # instances per micro-batch, the same instance-maintenance tax
+    # measured on the stream-stream joins).
+    with drain_checkpoint("alert_route") as ckpt, \
+            state_partitions(spark, replay_state_partitions(spark)):
         q = (agg.writeStream.format("memory").queryName("alert_route_drain")
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
-        deadline = time.time() + 20  # listener events arrive async; poll
-        while time.time() < deadline \
-                and (len(m.snapshot("alert_route_drain")) < 2
-                     or not m.fully_late_batches("alert_route_drain")):
-            time.sleep(0.05)  # fine-grained: the wait ends ~0.2s sooner
+        # progress is read SYNCHRONOUSLY off the finished query object
+        # (the engine records it as each batch completes), so there is
+        # no async listener-bus delivery to poll for — the old
+        # poll-with-20s-deadline was pure wait (round-9's worst
+        # in-suite regression came from exactly that wait under load)
+        progresses = q.recentProgress
+    m = StreamMetrics()
+    for p in progresses:
+        m.feed("alert_route_drain", progress_record(p))
     log = m.snapshot("alert_route_drain")
-    if len(log) < 2:  # incomplete listener delivery: fail LOUDLY, never
+    if len(log) < 2:  # incomplete batch history: fail LOUDLY, never
         raise RuntimeError(  # return a frame that silently hash-misses
             f"alert_route drain recorded {len(log)} batch(es), expected 2 "
-            f"— listener events not delivered within the deadline")
+            f"— recentProgress incomplete after awaitTermination")
     router = AlertRouter(m)
     router.evaluate("alert_route_drain")
     # materialize the batch log as the alert LEDGER (driver-side
@@ -1160,13 +1190,23 @@ def stream_alert_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # volume), then restate the fully_late_batch rule as a DataFrame
     # computation over it: same ISO-8601 string comparison the
     # listener uses (fixed-width UTC strings, lexicographic = time).
+    # The rows already live on the driver, so the parquet file is
+    # written directly (pyarrow) instead of dispatching a one-row-per-
+    # batch Spark write job; the declared query still READS the ledger
+    # through a normal scan.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     ledger = f"{srcdir}/alert_ledger"
-    (spark.createDataFrame(
-        [(r["batch_id"], r.get("watermark"), r.get("event_max"),
-          r["num_input_rows"]) for r in log],
-        "batch_id INT, watermark STRING, event_max STRING, "
-        "num_input_rows LONG")
-     .coalesce(1).write.mode("overwrite").parquet(ledger))
+    os.makedirs(ledger, exist_ok=True)
+    pq.write_table(pa.table({
+        "batch_id": pa.array([r["batch_id"] for r in log], pa.int32()),
+        "watermark": pa.array([r.get("watermark") for r in log],
+                              pa.string()),
+        "event_max": pa.array([r.get("event_max") for r in log],
+                              pa.string()),
+        "num_input_rows": pa.array([r["num_input_rows"] for r in log],
+                                   pa.int64()),
+    }), os.path.join(ledger, "part-00000.parquet"))
     alerts = (spark.read.parquet(ledger)
               .filter(F.col("event_max") < F.col("watermark"))
               .select(F.lit("fully_late_batch").alias("rule"),
@@ -1272,7 +1312,8 @@ def stream_cusum_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = cusum_maintain(stream, targets)
     run_available_now(out, "stream_cusum_log", output_mode="append",
-                      n_state_partitions=16)
+                      n_state_partitions=replay_state_partitions(
+                          spark, python_stateful=True))
     return spark.table("stream_cusum_log").select(
         "event_type", "event_id", "cusum_hi", "cusum_lo",
         "alarm_hi", "alarm_lo")
@@ -1320,7 +1361,8 @@ def stream_funnel_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = funnel_maintain(stream)
     run_available_now(out, "stream_funnel_log", output_mode="update",
-                      n_state_partitions=16)
+                      n_state_partitions=replay_state_partitions(
+                          spark, python_stateful=True))
     emitted = spark.table("stream_funnel_log")
     return funnel_finalize(emitted).select("user_id", "stage_reached")
 
@@ -1379,7 +1421,8 @@ def stream_drift_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum("isb").alias("nb"),
                    F.sum(1 - F.col("isb")).alias("nc")))
     run_available_now(counts, "stream_drift_log", output_mode="update",
-                      n_state_partitions=16)
+                      n_state_partitions=replay_state_partitions(
+                          spark, python_stateful=True))
     c = (spark.table("stream_drift_log")
          .groupBy("event_type", "bucket")
          .agg(F.max("nb").alias("nb"), F.max("nc").alias("nc"))
@@ -1435,7 +1478,9 @@ def stream_shard_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").alias("cents"),
                 F.bit_xor("hv").alias("checksum")))
     run_available_now(agg, "stream_shard_manifest_log",
-                      output_mode="update", n_state_partitions=16)
+                      output_mode="update",
+                      n_state_partitions=replay_state_partitions(
+                          spark, python_stateful=True))
     log = spark.table("stream_shard_manifest_log")
     return (log.groupBy("shard")
             .agg(F.max("n_events").alias("n_events"),
