@@ -79,15 +79,27 @@ def ngram_candidate_counts(sh: DataFrame, max_df: int = 50) -> DataFrame:
 
 
 def _pair_counts(postings: DataFrame) -> DataFrame:
-    """(id_a < id_b, i_cold) from a (doc, g) postings frame: the
-    inverted-index self-join, deduplicated by the SAME aggregate that
-    counts each pair's shared postings."""
-    return (postings.alias("a")
-            .join(postings.alias("b"),
-                  (F.col("a.g") == F.col("b.g"))
-                  & (F.col("a.doc") < F.col("b.doc")))
-            .groupBy(F.col("a.doc").alias("id_a"),
-                     F.col("b.doc").alias("id_b"))
+    """(id_a < id_b, i_cold) from a (doc, g) postings frame.
+
+    ONE shuffle of the postings (groupBy g → sorted doc-list, bounded
+    by max_df because the caller already dropped df>max_df shingles),
+    then pair generation is a codegen'd in-array double transform —
+    the assoc_rules/graph_triangles basket idiom — instead of a
+    postings⋈postings self-join that shuffles every posting TWICE and
+    walks Σdf² join matches through a sort-merge. The pair-dedup
+    aggregate that counts each pair's shared postings (i_cold) is
+    unchanged; per g the exploded (a<b) pairs are exactly the rows the
+    old self-join produced (docs sorted ascending, i<j), so the counts
+    are identical."""
+    lists = (postings.groupBy("g")
+             .agg(F.sort_array(F.collect_list("doc")).alias("ds")))
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS id_a, y AS id_b))))")
+    return (lists.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
             .agg(F.count("*").alias("i_cold")))
 
 
