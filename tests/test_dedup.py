@@ -230,14 +230,18 @@ def test_ngram_jaccard_cold_hot_split_matches_full_arrays(spark):
     # planted near-dup pair: large kept-shingle overlap + the hot grams
     rows += [(100, f"{boiler} alpha beta gamma delta epsilon zeta"),
              (101, f"{boiler} alpha beta gamma delta epsilon eta")]
-    # pair that passes 0.2 ONLY when hot shingles are counted: few kept
-    # shared grams, but the boilerplate pushes i over the line
+    # pair that passes the 0.4 threshold ONLY when hot shingles are
+    # counted: with the boilerplate i = 3 of 5 union grams (J = 0.6);
+    # kept-only i_cold = 2 gives J = 2/(4+4-2) = 0.333 < 0.4 — dropping
+    # i_hot would lose the pair, so the threshold assert below
+    # exercises the recall property, not just the value map (round-9
+    # ADVICE: at 0.2 the pair passed either way)
     rows += [(200, f"{boiler} omega psi chi"),
              (201, f"{boiler} omega psi phi")]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     new = {(r.id_a, r.id_b): r.jaccard for r in
            ngram_jaccard_pairs(d, "doc_id", "text", k=3,
-                               threshold=0.2, max_df=20).collect()}
+                               threshold=0.4, max_df=20).collect()}
     # brute-force reference: the pre-round-9 full-array verify
     sh = shingled(d, "doc_id", "text", 3).persist()
     cand = ngram_candidate_counts(sh, 20).select("id_a", "id_b")
@@ -250,7 +254,7 @@ def test_ngram_jaccard_cold_hot_split_matches_full_arrays(spark):
                      .cast("double")))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     old = {(r.id_a, r.id_b): r.jaccard for r in
-           j.filter(jac >= 0.2)
+           j.filter(jac >= 0.4)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
             .collect()}
     sh.unpersist()

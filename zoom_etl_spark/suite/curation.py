@@ -655,10 +655,17 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-wide (the CPU-bound-transform lesson, pushdown-proof form).
     j = j.repartition(par).localCheckpoint(eager=False)
     # banded Levenshtein: a threshold turns O(len_a*len_b) per pair into
-    # O(min*k) with early abort (-1 = "exceeds"); the bound is the
-    # largest any row's cutoff can be — driver-side scalar, one tiny agg
-    thr = int(0.2 * d.agg(F.max("n_chars")).first()[0]) + 1
-    dist = F.levenshtein("ta", "tb", thr)
+    # O(min*k) with early abort (-1 = "exceeds"). The band is PER PAIR —
+    # floor(0.2*longest), this pair's own integer cutoff (the SQL form
+    # accepts a non-foldable threshold even though the Python helper
+    # types it int) — instead of the old global-max scalar, which was
+    # ~10x looser for a typical pair and needed a driver-side agg job.
+    # Equivalence: dist is an integer, so dist <= 0.2*longest iff
+    # dist <= floor(0.2*longest); inside the band the exact distance is
+    # returned, outside it -1 (dropped by dist >= 0 exactly as before).
+    dist = F.expr("levenshtein(ta, tb, "
+                  "cast(floor(0.2 * greatest(length(ta), length(tb))) "
+                  "as int))")
     longest = F.greatest(F.length("ta"), F.length("tb"))
     return (j.filter((dist >= 0) & (dist <= 0.2 * longest))
             .select("id_a", "id_b", dist.cast("int").alias("dist"),

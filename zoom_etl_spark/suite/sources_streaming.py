@@ -515,8 +515,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("event_id", "user_id", "event_type", "ts",
                        F.round("value", 3).alias("val")))
     run_available_now(deduped, "stream_dedup_log", output_mode="append",
-                        n_state_partitions=replay_state_partitions(
-                            spark, python_stateful=True))
+                        n_state_partitions=replay_state_partitions(spark))
     return spark.table("stream_dedup_log")
 
 
